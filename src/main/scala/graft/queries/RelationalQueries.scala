@@ -1,0 +1,449 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Num._
+
+/** General relational surface over the TPC-H-ish corpus: scans with
+  * pushdown, aggregations, joins of every flavor, windows, top-k, set ops.
+  *
+  * The reference (/root/reference/src/etl.js) has no relational surface at
+  * all — every aggregate is a whole-file scalar reduction (SURVEY.md §2.4-2.6
+  * marks joins/windows/sorts "absent"). These queries are the engine's
+  * general-purpose layer, built purely from Catalyst-optimized built-ins.
+  *
+  * Determinism rules (see graft.functions.Num): double sums go through
+  * fixed-point longs; every output is ordered by a unique key.
+  */
+object RelationalQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style grouped aggregation: one shuffle, partial aggregation
+    // map-side; all sums fixed-point for cross-engine determinism.
+    "q01_groupby_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          fixedSum(col("l_quantity"), 2).as("sum_qty"),
+          fixedSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          fixedAvg(col("l_quantity"), 2).as("avg_qty"),
+          fixedAvg(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q6-style selective scan: both filters and the 2-column read
+    // schema reach the parquet scan (PushedFilters in explain).
+    "q02_filter_pushdown" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(fixedSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    }),
+
+    // Broadcast hash join: customer is tiny relative to orders at every SF
+    // (150 rows/SF-unit vs 1500/SF-unit); explicitly broadcast.
+    "q03_join_broadcast" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             fixedSum(col("o_totalprice"), 2).as("sum_totalprice"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // TPC-H Q5-style 6-way join. Dimension chain (supplier/nation/region)
+    // broadcasts; the lineitem-orders join shuffles on the order key — the
+    // one unavoidable shuffle at 100 TB, keyed on the join key so AQE can
+    // split skew.
+    "q04_join_multi" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+                             col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Left-semi join = EXISTS: customers that placed at least one 'F' order.
+    "q05_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-anti join = NOT EXISTS: customers with no orders at all.
+    "q06_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Ranking window: top-3 orders per customer. Sort key includes
+    // o_orderkey so row_number is deterministic under ties.
+    "q07_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Running-total window: cumulative spend per customer in cents (exact
+    // integer accumulation → deterministic double at the end).
+    "q08_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("running_spend", (sum(col("cents")).over(w) / 100.0).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Top-k: global orderBy + limit plans as TakeOrderedAndProject — no full
+    // sort, per-partition heaps then a driver merge. Deterministic tiebreak.
+    "q09_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"),
+                round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+
+    // Exact distinct counts (SURVEY §2.5 A2 requires exact, not approx).
+    "q10_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Set operations: nations that have customers vs nations that have
+    // suppliers — union / intersect / except distinct semantics.
+    "q11_setops" -> ((s, d) => {
+      val cn = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+      val u = cn.union(sn).distinct().withColumn("op", lit("union"))
+      val i = cn.intersect(sn).withColumn("op", lit("intersect"))
+      val e = cn.except(sn).withColumn("op", lit("except"))
+      u.union(i).union(e).select(col("op"), col("nationkey"))
+        .orderBy(col("op"), col("nationkey"))
+    }),
+
+    // Conditional-count buckets in one pass (SURVEY §2.5 A3: the reference's
+    // fixed predicate buckets, e.g. top3/top10/top100 and 4xx/5xx counts).
+    "q12_cond_buckets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("l_quantity") <= 3, 1).otherwise(0)).as("qty_le3"),
+          sum(when(col("l_quantity") <= 10, 1).otherwise(0)).as("qty_le10"),
+          sum(when(col("l_quantity") <= 25, 1).otherwise(0)).as("qty_le25"),
+          sum(when(col("l_quantity").between(40, 49), 1).otherwise(0)).as("qty_40s"),
+          sum(when(col("l_quantity") >= 50, 1).otherwise(0)).as("qty_ge50"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Lower-nearest-rank p75 (SURVEY §2.5 A7: index floor(0.75*(n-1)) of the
+    // sorted values — NOT interpolated, NOT approximate). Implemented as a
+    // distributed sort-based window per group: no collect, no giant arrays,
+    // scales to arbitrary group sizes.
+    "q13_p75_nearest_rank" -> ((s, d) => {
+      graft.functions.Percentiles.nearestRankByGroup(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice", 0.75)
+        .select(col("l_returnflag"), round(col("p75"), 2).as("p75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // GROUP BY + HAVING: parts appearing in many lineitems.
+    "q14_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), fixedSum(col("l_quantity"), 2).as("sum_qty"))
+        .filter(col("n") >= 20)
+        .orderBy(col("l_partkey"))
+    }),
+
+    // ROLLUP hierarchy totals (grouping-set nulls replaced by sentinels so
+    // sort keys are never NULL — avoids engine NULL-ordering divergence).
+    "q15_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), fixedSum(col("o_totalprice"), 2).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // Scalar string/math surface (SURVEY §2.7): lower/trim/substring/
+    // concat/length/regexp + greatest/least/round, all codegen'd built-ins.
+    "q16_scalar_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_type"), 1, 6).as("type_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+          greatest(col("p_size"), lit(10)).as("size_floor10"),
+          // price*1.1 has 3 true decimals; fixed-point at 3dp avoids the
+          // cross-engine round-half divergence on arbitrary doubles.
+          (round(col("p_retailprice") * 1100).cast("long") / 1000.0).as("price_bump"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time kit over timestamps: truncation, extraction, date math.
+    // Timestamps leave the query as strings so both engines serialize
+    // identically.
+    "q17_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+                 month(col("o_orderdate")).cast("int").as("o_month"))
+        .agg(count(lit(1)).as("n"), fixedSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("o_year"), col("o_month"))
+    }),
+
+    // JSON extraction from events.props (SURVEY §2.7 json class; reference
+    // navigates Lighthouse JSON by path — same capability over a column).
+    "q18_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull && col("k") % 10 === 0)
+        .orderBy(col("event_id"))
+    }),
+
+    // NULL-handling kit: coalesce / null-safe aggregation over a column made
+    // artificially sparse (every 3rd acctbal nulled) — mirrors the
+    // reference's ??-coalescing (SURVEY §2.5 A9) on a relational surface.
+    "q19_null_handling" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumn("bal", when(col("c_custkey") % 3 === 0, lit(null).cast("double"))
+                             .otherwise(col("c_acctbal")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(col("bal")).as("n_nonnull"),
+             count(lit(1)).as("n_rows"),
+             fixedSum(coalesce(col("bal"), lit(0.0)), 2).as("sum_bal_coalesced"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Lenient numeric cast parity (SURVEY §2.2 P2 toNum): strip junk chars,
+    // cast, NULL on malformed — applied to customer names ("Customer#0001"
+    // → 1.0) exactly as both engines' regexp_replace+cast evaluate it.
+    "q20_tonum" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"), toNum(col("c_name")).as("name_num"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_groupby_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/COUNT(l_quantity)/100.0 AS DOUBLE) AS avg_qty,
+             CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT))/COUNT(l_discount)/100.0 AS DOUBLE) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_pushdown" -> """
+      SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*10000) AS BIGINT))/10000.0 AS DOUBLE) AS revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q03_join_broadcast" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q04_join_multi" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q05_semi_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey""",
+
+    "q06_anti_join" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q07_window_rank" -> """
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+
+    "q08_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS DOUBLE)
+               AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q09_topk" -> """
+      SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10""",
+
+    "q10_distinct" -> """
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q11_setops" -> """
+      WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer),
+           sn AS (SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier)
+      SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn)
+      UNION ALL
+      SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+      UNION ALL
+      SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+      ORDER BY op, nationkey""",
+
+    "q12_cond_buckets" -> """
+      SELECT l_linestatus,
+             SUM(CASE WHEN l_quantity <= 3 THEN 1 ELSE 0 END) AS qty_le3,
+             SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS qty_le10,
+             SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS qty_le25,
+             SUM(CASE WHEN l_quantity BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS qty_40s,
+             SUM(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END) AS qty_ge50
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus""",
+
+    "q13_p75_nearest_rank" -> """
+      SELECT l_returnflag, ROUND(p75, 2) AS p75 FROM (
+        SELECT l_returnflag, l_extendedprice AS p75,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      WHERE rn = CAST(FLOOR(0.75 * (n - 1)) AS BIGINT) + 1
+      ORDER BY l_returnflag""",
+
+    "q14_having" -> """
+      SELECT l_partkey, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING COUNT(*) >= 20
+      ORDER BY l_partkey""",
+
+    "q15_rollup" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    "q16_scalar_funcs" -> """
+      SELECT p_partkey,
+             LOWER(p_brand) AS brand_lower,
+             SUBSTRING(p_type, 1, 6) AS type_prefix,
+             CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+             CONCAT_WS('|', p_brand, p_type) AS brand_type,
+             REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+             GREATEST(p_size, 10) AS size_floor10,
+             CAST(ROUND(p_retailprice * 1100) AS BIGINT) / 1000.0 AS price_bump
+      FROM part
+      ORDER BY p_partkey""",
+
+    "q17_date_funcs" -> """
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY o_year, o_month""",
+
+    "q18_json" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+        AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0
+      ORDER BY event_id""",
+
+    "q19_null_handling" -> """
+      SELECT c_mktsegment,
+             COUNT(bal) AS n_nonnull,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(ROUND(COALESCE(bal, 0.0)*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_bal_coalesced
+      FROM (SELECT c_mktsegment,
+                   CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal,
+                   c_custkey
+            FROM customer)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q20_tonum" -> """
+      SELECT c_custkey,
+             TRY_CAST(REGEXP_REPLACE(c_name, '[^0-9.\-]', '', 'g') AS DOUBLE) AS name_num
+      FROM customer
+      ORDER BY c_custkey"""
+  )
+}
