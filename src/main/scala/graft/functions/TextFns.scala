@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline operators: tokenization,
+  * shingling, hashing. Everything here is built from codegen'd/HOF built-ins
+  * — no UDFs — so the expressions stay inside Catalyst and the same logic is
+  * expressible as ANSI SQL for the oracle.
+  *
+  * Hash-family trick: a MinHash permutation is simulated by
+  * `min(md5(shingle || '#' || seed))` — md5 hex strings are uniformly
+  * distributed, lexicographic min over them is a valid min-wise hash, and
+  * md5 is bit-identical across engines, unlike engine-native hash().
+  */
+object TextFns {
+
+  /** Whitespace tokens, empties removed (split keeps boundary empties). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Character k-shingles; strings shorter than k yield one short shingle. */
+  def charShingles(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => text.substr(i, lit(k)))
+
+  /** Word n-grams over a token array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, n)))
+
+  /** One MinHash value (lexicographic-min md5) for a shingle array. */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => md5(concat(s, lit(s"#$seed")))))
+
+  /** MinHash signature as an array of `num` independent min-hashes. */
+  def minhashSignature(shingles: Column, num: Int): Column =
+    array((0 until num).map(i => minhash(shingles, i)): _*)
+
+  /** LSH band key: hash of `rows` consecutive signature positions.
+    * Signature array is 1-indexed for `slice`. */
+  def lshBand(signature: Column, band: Int, rows: Int): Column =
+    md5(concat_ws("|", slice(signature, band * rows + 1, rows)))
+
+  /** First 16 bits of md5 as a long (0..65535) — the per-token hash used by
+    * the 16-bit SimHash gate query. Exactly mirrors the oracle's
+    * strpos-arithmetic on the same hex characters. */
+  def md5Bits16(s: Column): Column =
+    conv(substring(md5(s), 1, 4), 16, 10).cast("long")
+
+  /** BPE-ish token count: word / number / single-other-symbol pieces. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Small per-language stopword inventories for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny: language ID here is a
+    * frequency heuristic, not a model. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh" -> Seq("de", "le", "shi", "zai", "you", "wo", "ta", "men"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+}
