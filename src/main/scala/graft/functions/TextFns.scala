@@ -29,7 +29,7 @@ object TextFns {
   def wordShingles(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, n)))
+      i => concat_ws(" ", slice(toks, i, lit(n))))
 
   /** One MinHash value (lexicographic-min md5) for a shingle array. */
   def minhash(shingles: Column, seed: Int): Column =
