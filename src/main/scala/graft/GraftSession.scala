@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place where engine-wide session configuration lives, so every
+  * entrypoint (Verify, Bench, tests) runs with identical semantics.
+  *
+  * - `spark.sql.shuffle.partitions` sized to the worker count (local mode);
+  *   on a real cluster this is the one knob to retune (or rely on AQE
+  *   coalescing, which is enabled by default in Spark 4).
+  * - UTC session timezone: all timestamp arithmetic and serialization must
+  *   be timezone-free to hash-match external oracles.
+  * - `nanosAsLong`: the corpus's `events.parquet` carries TIMESTAMP(NANOS),
+  *   which Spark's vectorized reader rejects; the legacy conf reads it as a
+  *   raw long which `Tables.events` converts to µs. Set once here — it only
+  *   affects NANOS-typed parquet columns, which no other corpus table has.
+  */
+object GraftSession {
+
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -33,14 +33,25 @@ object Tables {
     * 53-bit mantissa, so a float path would corrupt timestamps.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The read path needs the legacy conf (see GraftSession, which sets it
+    // at session build). Set-if-absent here keeps standalone callers working
+    // without clobbering an explicit caller choice; the conf only affects
+    // TIMESTAMP(NANOS) parquet columns, which no other corpus table has.
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views so `spark.sql` surfaces the corpus. */
+  /** Register all tables as temp views so `spark.sql` surfaces the corpus.
+    * `events` goes through its dedicated loader so the view carries proper
+    * microsecond timestamps (a bare load() would either throw on
+    * TIMESTAMP(NANOS) or expose raw nanos longs). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -20,12 +20,17 @@ object Num {
     * matches the reference's filter-non-finite idiom).
     */
   def toNum(c: Column): Column = {
-    val stripped = regexp_replace(c.cast("string"), "[^0-9.\\-]", "")
+    // JS `String(v ?? '')` maps null/undefined to '' first, so a NULL input
+    // behaves exactly like an empty string below.
+    val stripped = regexp_replace(coalesce(c.cast("string"), lit("")), "[^0-9.\\-]", "")
     // Guarded cast: Spark 4 runs ANSI mode by default, where a malformed
-    // cast throws instead of yielding NULL. The regex admits exactly the
-    // strings JS `Number()` accepts post-strip ("5.", "-.5", "007") and
-    // rejects what it NaNs ("", "1-2", "1.2.3", "-", ".").
-    when(stripped.rlike("^-?(\\d+\\.?\\d*|\\.\\d+)$"), stripped.cast("double"))
+    // cast throws instead of yielding NULL. JS `Number('')` is 0 (finite),
+    // so a digit-free input yields 0.0 — not NULL. The regex admits exactly
+    // the strings JS `Number()` accepts post-strip ("5.", "-.5", "007");
+    // what it NaNs ("1-2", "1.2.3", "-", ".") becomes NULL here, matching
+    // the reference's filter-non-finite idiom.
+    when(stripped === "", lit(0.0))
+      .when(stripped.rlike("^-?(\\d+\\.?\\d*|\\.\\d+)$"), stripped.cast("double"))
   }
 
   /** Exact fixed-point sum: sum(round(x*10^dp) as long) / 10^dp, as double. */

@@ -48,21 +48,24 @@ object RelationalQueries extends QueryPack {
              count(lit(1)).as("n_rows"))
     }),
 
-    // Broadcast hash join: customer is tiny relative to orders at every SF
-    // (150 rows/SF-unit vs 1500/SF-unit); explicitly broadcast.
+    // Hash join on the customer key. No broadcast hint: customer grows
+    // linearly with SF (it would OOM the driver at the 100 TB design
+    // point), so AQE decides shuffle-vs-broadcast from runtime stats.
     "q03_join_broadcast" -> ((s, d) => {
       Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
              fixedSum(col("o_totalprice"), 2).as("sum_totalprice"))
         .orderBy(col("c_mktsegment"))
     }),
 
-    // TPC-H Q5-style 6-way join. Dimension chain (supplier/nation/region)
-    // broadcasts; the lineitem-orders join shuffles on the order key — the
-    // one unavoidable shuffle at 100 TB, keyed on the join key so AQE can
-    // split skew.
+    // TPC-H Q5-style 6-way join. Only the FIXED-size dimensions
+    // (nation: 25 rows, region: 5 rows at every SF) carry broadcast hints;
+    // customer/supplier grow linearly with SF, so AQE picks their join
+    // strategy from runtime stats. The lineitem-orders join shuffles on the
+    // order key — the one unavoidable shuffle at 100 TB, keyed on the join
+    // key so AQE can split skew.
     "q04_join_multi" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o  = Tables.orders(s, d)
@@ -71,9 +74,9 @@ object RelationalQueries extends QueryPack {
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
-                             col("c_nationkey") === col("s_nationkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
@@ -442,7 +445,10 @@ object RelationalQueries extends QueryPack {
 
     "q20_tonum" -> """
       SELECT c_custkey,
-             TRY_CAST(REGEXP_REPLACE(c_name, '[^0-9.\-]', '', 'g') AS DOUBLE) AS name_num
+             CASE WHEN REGEXP_REPLACE(COALESCE(c_name, ''), '[^0-9.\-]', '', 'g') = ''
+                  THEN 0.0
+                  ELSE TRY_CAST(REGEXP_REPLACE(c_name, '[^0-9.\-]', '', 'g') AS DOUBLE)
+             END AS name_num
       FROM customer
       ORDER BY c_custkey"""
   )
