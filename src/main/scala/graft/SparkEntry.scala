@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
-    AuditKitQueries
+    AuditKitQueries,
+    TextPipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

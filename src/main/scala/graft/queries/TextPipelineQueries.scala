@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Training-data text operators over `documents` (the builder-prompt LLM
+  * pipeline family): text stats + quality, language ID, exact dedup,
+  * MinHash+LSH near-dup dedup, SimHash fingerprints, and blocked n-gram
+  * Jaccard similarity.
+  *
+  * Everything is HOF/built-in only (no UDFs): the whole pipeline stays
+  * inside Catalyst and every step is expressible as DuckDB SQL for the
+  * oracle, using cross-engine-stable md5 as the hash family (see
+  * graft.functions.TextFns).
+  *
+  * Scale design: near-dup candidate generation joins on LSH band keys —
+  * never all-pairs. The band self-join shuffles on the band key; bucket
+  * skew (a hot band) is AQE-splittable. Blocked Jaccard (q37) compares only
+  * within (lang, source) blocks. At 100 TB the same plans hold: per-doc maps
+  * are embarrassingly parallel, and the only shuffles are keyed joins/aggs.
+  */
+object TextPipelineQueries extends QueryPack {
+
+  private val NumHashes = 8
+  private val Bands = 4
+  private val RowsPerBand = 2
+  private val JaccThreshold = 0.5
+
+  /** doc_id + distinct word-3-gram shingle set. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("sh"))
+
+  /** Exploded (doc_id, band index, band key) — the LSH bucketing. */
+  private def bands(sh: DataFrame): DataFrame = {
+    val sig = sh.select(col("doc_id"),
+      TextFns.minhashSignature(col("sh"), NumHashes).as("mh"))
+    sig.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
+        TextFns.lshBand(col("mh"), b, RowsPerBand)): _*)).as(Seq("b", "key")))
+  }
+
+  /** Candidate pairs from shared LSH buckets, confirmed by exact Jaccard on
+    * the shingle sets. The join is keyed on (band, key) — no all-pairs. */
+  private def confirmedPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val bd = bands(sh)
+    val cand = bd.as("x").join(bd.as("y"),
+        col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), col("doc_a") === col("ida"))
+      .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), col("doc_b") === col("idb"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+         size(array_union(col("sha"), col("shb")))).as("jacc"))
+      .filter(col("jacc") >= JaccThreshold)
+  }
+
+  /** Oracle CTE prefix shared by the MinHash queries (q34/q35): tokens →
+    * distinct 3-gram shingles → 8-hash signature → 4×2 LSH bands →
+    * bucket-joined candidates → Jaccard-confirmed pairs. */
+  private val pairsCtes: String = s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM t),
+      sig AS (
+        SELECT doc_id, sh,
+               [list_min(list_transform(sh, x -> md5(x || '#' || j)))
+                for j in generate_series(0, ${NumHashes - 1})] AS mh
+        FROM s),
+      bands AS (
+        SELECT doc_id, b, md5(mh[2*b+1] || '|' || mh[2*b+2]) AS key
+        FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+        FROM bands a JOIN bands bb
+          ON a.key = bb.key AND a.b = bb.b AND a.doc_id < bb.doc_id),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jacc
+        FROM cand c
+        JOIN s sa ON c.doc_a = sa.doc_id
+        JOIN s sb ON c.doc_b = sb.doc_id)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text stats + quality scoring: token count, BPE-ish subword count,
+    // distinct-token count, mean token length, stopword ratio — the
+    // per-document map stage of a corpus-quality pipeline.
+    "q31_text_stats" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+      base.select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.subwordCount(col("text")).as("n_subwords"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+         size(col("toks"))).as("avg_token_len"),
+        (TextFns.stopwordHits(col("toks"), TextFns.stopwords("en")).cast("double") /
+         size(col("toks"))).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword-inventory language ID: per-language hit counts, argmax with
+    // a fixed priority-order tiebreak (en > es > de > fr > zh).
+    "q32_lang_id" -> ((s, d) => {
+      val langs = Seq("en", "es", "de", "fr", "zh")
+      val base = Tables.documents(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+      val withHits = langs.foldLeft(base) { (df, l) =>
+        df.withColumn(s"h_$l", TextFns.stopwordHits(col("toks"), TextFns.stopwords(l)))
+      }
+      val mx = greatest(langs.map(l => col(s"h_$l")): _*)
+      val predicted = langs.reverse.foldLeft(lit("und"): Column) { (acc, l) =>
+        when(col(s"h_$l") === mx, lit(l)).otherwise(acc)
+      }
+      withHits.select(
+          (Seq(col("doc_id"), col("lang"), predicted.as("pred_lang")) ++
+           langs.map(l => col(s"h_$l"))): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact deduplication: hash-groupBy on a content key (here the leading
+    // 2-token prefix), canonical representative = min doc_id. One shuffle
+    // agg — the standard exact-dedup shape at any scale.
+    "q33_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("key",
+          concat_ws(" ", slice(TextFns.tokens(col("text")), 1, 2)))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("kept"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("key"))
+    }),
+
+    // MinHash+LSH near-dup pairs: bucket-join candidates (no all-pairs),
+    // confirmed by exact Jaccard >= 0.5 on the shingle sets.
+    "q34_minhash_pairs" -> ((s, d) => {
+      confirmedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Dedup resolution: greedy keep-lowest-id — drop every doc that appears
+    // as the larger id of a confirmed pair; report per-language counts.
+    "q35_minhash_keep" -> ((s, d) => {
+      val dropped = confirmedPairs(s, d).select(col("doc_b")).distinct()
+      Tables.documents(s, d)
+        .join(dropped, col("doc_id") === col("doc_b"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // 16-bit SimHash document fingerprint from per-token md5 hashes:
+    // bit i of the fingerprint is the sign of Σ_tokens (±1 by token-hash
+    // bit i). Pure HOF fold — one pass over each doc's token array.
+    "q36_simhash" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("hs", transform(TextFns.tokens(col("text")),
+          t => TextFns.md5Bits16(t)))
+      val bitSums = (0 until 16).map { i =>
+        aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+                             .otherwise(-1L)).as(s"s_$i")
+      }
+      val withSums = base.select((col("doc_id") +: bitSums): _*)
+      val simhash = (0 until 16).map { i =>
+        when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      withSums.select(col("doc_id"), simhash.as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Blocked n-gram Jaccard: char-3-gram similarity for all pairs WITHIN a
+    // (lang, source) block — the classic blocking pattern that turns an
+    // O(n²) comparison into per-block joins keyed on the block id.
+    "q37_trigram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        array_distinct(TextFns.charShingles(col("text"), 3)).as("gr"))
+      docs.as("x").join(docs.as("y"),
+          col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.lang").as("lang"), col("x.source").as("source"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          (size(array_intersect(col("x.gr"), col("y.gr"))).cast("double") /
+           size(array_union(col("x.gr"), col("y.gr")))).as("jacc"))
+        .filter(col("jacc") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  val oracles: Map[String, String] = {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    def inv(l: String): String =
+      TextFns.stopwords(l).map(w => s"'$w'").mkString("[", ",", "]")
+    def hits(l: String): String =
+      s"CAST(len(list_filter(toks, t -> list_contains(${inv(l)}, t))) AS INTEGER)"
+
+    // 4-hex-char → int via strpos arithmetic (mirrors TextFns.md5Bits16).
+    val hex16 = (1 to 4).map { p =>
+      s"(strpos('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * ${1L << (4 * (4 - p))}"
+    }.mkString(" + ")
+
+    Map(
+      "q31_text_stats" -> """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len,
+               CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS DOUBLE)
+                 / len(toks) AS stop_ratio
+        FROM t
+        ORDER BY doc_id""",
+
+      "q32_lang_id" -> s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang,
+                 ${langs.map(l => s"${hits(l)} AS h_$l").mkString(",\n                 ")}
+          FROM t)
+        SELECT doc_id, lang,
+               CASE ${langs.map(l => s"WHEN h_$l = greatest(${langs.map(x => s"h_$x").mkString(",")}) THEN '$l'").mkString(" ")}
+               END AS pred_lang,
+               ${langs.map(l => s"h_$l").mkString(", ")}
+        FROM h
+        ORDER BY doc_id""",
+
+      "q33_dedup_exact" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')[1:2], ' ') AS key
+          FROM documents)
+        SELECT key, COUNT(*) AS n_docs, MIN(doc_id) AS kept
+        FROM t
+        GROUP BY key
+        HAVING COUNT(*) > 1
+        ORDER BY key""",
+
+      "q34_minhash_pairs" -> s"""
+        $pairsCtes
+        SELECT doc_a, doc_b, jacc
+        FROM pairs
+        WHERE jacc >= $JaccThreshold
+        ORDER BY doc_a, doc_b""",
+
+      "q35_minhash_keep" -> s"""
+        $pairsCtes,
+        dropped AS (SELECT DISTINCT doc_b FROM pairs WHERE jacc >= $JaccThreshold)
+        SELECT lang, COUNT(*) AS n_kept
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+        GROUP BY lang
+        ORDER BY lang""",
+
+      "q36_simhash" -> s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                   t -> $hex16) AS hs
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 ${(0 until 16).map(i =>
+                     s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s_$i"
+                   ).mkString(",\n                 ")}
+          FROM t)
+        SELECT doc_id,
+               CAST(${(0 until 16).map(i => s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")} AS BIGINT) AS simhash
+        FROM b
+        ORDER BY doc_id""",
+
+      "q37_trigram_jaccard" -> """
+        WITH g AS (
+          SELECT doc_id, lang, source,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 2, 1)),
+                   i -> substr(text, i, 3))) AS gr
+          FROM documents)
+        SELECT x.lang, x.source, x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.gr, y.gr))) AS jacc
+        FROM g x JOIN g y
+          ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+        WHERE CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.gr, y.gr))) >= 0.5
+        ORDER BY doc_a, doc_b"""
+    )
+  }
+}
