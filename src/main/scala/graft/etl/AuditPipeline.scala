@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Distributed audit processing: the reference runs ONE zip per actor
+  * invocation (/root/reference/src/main.js:27-38); the Spark-native shape
+  * is a DataFrame of archives → one result row per archive, with the pure
+  * per-archive kernel (AuditEtl.processZip) mapped in executors.
+  *
+  * Scale notes: `binaryFile` is Spark's built-in many-small-binaries
+  * source (each archive ≤ spark.sql.files.maxPartitionBytes lands in one
+  * task); results are three JSON documents per archive — a columnar
+  * DataFrame, writable to parquet or fanned out as per-audit JSON files
+  * (the reference's KV-store layout). Nothing is collected to the driver.
+  */
+object AuditPipeline {
+
+  final case class AuditJob(path: String, client: String, domain: String,
+                            runDate: String, content: Array[Byte])
+  final case class AuditRow(path: String, client: String, domain: String,
+                            runDate: String, ok: Boolean, error: String,
+                            normalizedJson: String, scoresJson: String,
+                            manifestJson: String)
+
+  /** Process every `*.zip` under `dir` (recursively). Client/domain default
+    * from the file name (client__domain__runDate.zip, else stem). */
+  def processDir(spark: SparkSession, dir: String): Dataset[AuditRow] = {
+    import spark.implicits._
+    val bins = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    bins.map { case (path, content) =>
+      val stem = path.split('/').last.stripSuffix(".zip")
+      val parts = stem.split("__")
+      val (client, domain, runDate) =
+        if (parts.length == 3) (parts(0), parts(1), parts(2))
+        else (stem, stem, "")
+      process(AuditJob(path, client, domain, runDate, content))
+    }
+  }
+
+  def process(job: AuditJob): AuditRow =
+    try {
+      val r = AuditEtl.processZip(job.content, job.client, job.domain, job.runDate)
+      AuditRow(job.path, job.client, job.domain, job.runDate, ok = true, error = "",
+        r.normalized.toJson, r.scores.toJson, r.manifest.toJson)
+    } catch {
+      case e: Throwable =>
+        AuditRow(job.path, job.client, job.domain, job.runDate, ok = false,
+          error = e.toString, normalizedJson = "", scoresJson = "", manifestJson = "")
+    }
+
+  /** Columnar result surface (for parquet/SQL over many audits). */
+  def toFrame(rows: Dataset[AuditRow]): DataFrame = rows.toDF()
+
+  /** KV-store-style sink (reference parity: main.js:30-32 writes
+    * normalized_audit.json / scores.json / etl_manifest.json): one
+    * directory per audit. Driver-side utility for single audits and tests;
+    * the distributed path writes `toFrame(...).write.parquet`. */
+  def writeKv(outDir: String, r: AuditEtl.Result): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(Paths.get(s"$outDir/normalized_audit.json"), r.normalized.toJson)
+    Files.writeString(Paths.get(s"$outDir/scores.json"), r.scores.toJson)
+    Files.writeString(Paths.get(s"$outDir/etl_manifest.json"), r.manifest.toJson)
+  }
+}
