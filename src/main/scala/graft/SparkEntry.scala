@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries,
     AuditKitQueries,
     TextPipelineQueries,
-    VectorQueries
+    VectorQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Batch-equivalence gate for the streaming operators: the EXACT
+  * transformations EventStreams runs under Structured Streaming, executed
+  * in batch over the `events` table and oracle-checked in DuckDB
+  * (tumbling/sliding via time-bucketing, session windows via
+  * gaps-and-islands SQL). The streaming-only behaviors (watermark state
+  * eviction, incremental emission) are covered by StreamingSpec with a
+  * MemoryStream. */
+object StreamingQueries extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_tumbling_window" -> ((s, d) => {
+      EventStreams.tumblingHourly(Tables.events(s, d))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "q41_session_window" -> ((s, d) => {
+      EventStreams.userSessions(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "q42_sliding_window" -> ((s, d) => {
+      EventStreams.slidingTwoHour(Tables.events(s, d))
+        .orderBy(col("window_start"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_tumbling_window" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+
+    // Gaps-and-islands: a session break is a gap STRICTLY GREATER than the
+    // 2h inactivity timeout (Spark merges windows that touch exactly:
+    // [t, t+gap) U [t+gap, ...) share the boundary instant).
+    "q41_session_window" -> """
+      WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             COUNT(*) AS n_events
+      FROM sessions
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
+    // Each event belongs to the two hour-aligned 2h windows covering it.
+    "q42_sliding_window" -> """
+      SELECT strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             COUNT(*) AS n
+      FROM events, unnest([0, 1]) AS t(o)
+      GROUP BY 1
+      ORDER BY window_start"""
+  )
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over the `events` stream (SURVEY §7.4
+  * extension): event-time windows with watermarks, session windows, and a
+  * custom-state operator via flatMapGroupsWithState.
+  *
+  * Every aggregation here is expressed so the SAME transformation runs in
+  * batch mode (the gate queries in StreamingQueries call these with a batch
+  * DataFrame) — Structured Streaming's unified Dataset API is the point:
+  * correctness is oracle-checked in batch, the streaming execution adds
+  * watermarking/incremental state on top.
+  *
+  * Scale notes: windowed aggs shuffle on (window, key) — high cardinality,
+  * AQE-friendly. Watermarks bound state: 2h late tolerance keeps per-key
+  * state to a handful of open windows regardless of stream length.
+  */
+object EventStreams {
+
+  /** Hourly tumbling counts + fixed-point value sums per event type. */
+  def tumblingHourly(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           (sum(round(col("value") * 100).cast("long")) / 100.0)
+             .cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** 2-hour windows sliding hourly (each event lands in two windows). */
+  def slidingTwoHour(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+              col("n"))
+  }
+
+  /** Per-user session windows with a 2-hour inactivity gap. */
+  def userSessions(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(session_window(col("ts"), "2 hours").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .as("session_start"),
+              col("n_events"))
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state via flatMapGroupsWithState: a per-user running
+    * (count, value-sum) emitted on every update — the
+    * KeyValueGroupedDataset custom-state shape for logic windows can't
+    * express. State is two numbers per user: bounded regardless of stream
+    * length. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var cents = math.round(prev.total_value * 100)
+          batch.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          val next = UserRunning(userId, n, cents / 100.0)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Streaming source over a parquet events directory (same schema as the
+    * corpus `events` table post ns→µs conversion). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

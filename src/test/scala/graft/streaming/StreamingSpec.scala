@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  import EventStreams.{Event, UserRunning}
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window agg runs incrementally under a watermark") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[Event]
+    val counts = EventStreams.tumblingHourly(input.toDF(), withWatermark = true)
+    val q = counts.writeStream
+      .format("memory").queryName("tumbling").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+        Event(2, ts("2024-01-01 10:55:00"), 1, "view", 2.0),
+        Event(3, ts("2024-01-01 11:10:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      // Watermark = 11:10 - 2h: the 10:00 window is still open -> nothing
+      // emitted in append mode yet.
+      assert(session.sql("SELECT * FROM tumbling").count() == 0)
+
+      // Advance event time far enough to close the 10:00 and 11:00 windows.
+      input.addData(Event(4, ts("2024-01-01 14:00:00"), 3, "view", 4.0))
+      q.processAllAvailable()
+      val rows = session.sql(
+        "SELECT window_start, event_type, n, sum_value FROM tumbling ORDER BY window_start")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 10:00:00", "view", 2L, 3.0),
+        ("2024-01-01 11:00:00", "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[Event]
+    val totals = EventStreams.runningUserTotals(input.toDS())
+    val q = totals.writeStream
+      .format("memory").queryName("running").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "view", 1.25),
+        Event(2, ts("2024-01-01 10:01:00"), 7, "click", 2.50))
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2024-01-01 10:02:00"), 7, "view", 0.25))
+      q.processAllAvailable()
+      val rows = session.sql("SELECT * FROM running").as[UserRunning].collect()
+      // Two emissions for user 7: (2, 3.75) then the carried-forward (3, 4.0).
+      assert(rows.map(r => (r.n_events, r.total_value)).toSet ==
+        Set((2L, 3.75), (3L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling aggregations agree on the same data") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 09:10:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 09:20:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 10:40:00"), 1, "click", 3.0),
+      Event(4, ts("2024-01-01 23:59:59"), 3, "view", 4.0))
+    val batch = EventStreams.tumblingHourly(events.toDF())
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingHourly(input.toDF(), withWatermark = true)
+      .writeStream.format("memory").queryName("agree")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = session.sql(
+        "SELECT window_start, event_type, n, sum_value FROM agree")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
