@@ -1,0 +1,99 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+class MultimodalSpec extends SparkSpec {
+
+  /** A REAL minimal PNG (8-bit RGB, raw deflate IDAT) built with JDK-only
+    * tools — so metadata parsing is tested against a genuine container. */
+  private def png(width: Int, height: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(kind: String, data: Array[Byte]): Unit = {
+      val len = ByteBufferBE(data.length)
+      out.write(len); out.write(kind.getBytes); out.write(data)
+      val crc = new CRC32()
+      crc.update(kind.getBytes); crc.update(data)
+      out.write(ByteBufferBE(crc.getValue.toInt))
+    }
+    def ByteBufferBE(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val ihdr = ByteBufferBE(width) ++ ByteBufferBE(height) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    chunk("IHDR", ihdr)
+    val raw = new Array[Byte](height * (1 + width * 3))
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf)
+    chunk("IDAT", java.util.Arrays.copyOf(buf, n))
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  private def wav(channels: Int, rate: Int, dataBytes: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    bos.write("RIFF".getBytes); bos.write(le32(36 + dataBytes)); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); bos.write(le32(16)); bos.write(le16(1)); bos.write(le16(channels))
+    val byteRate = rate * channels * 2
+    bos.write(le32(rate)); bos.write(le32(byteRate)); bos.write(le16(channels * 2)); bos.write(le16(16))
+    bos.write("data".getBytes); bos.write(le32(dataBytes)); bos.write(new Array[Byte](dataBytes))
+    bos.toByteArray
+  }
+
+  test("PNG metadata parses from real container bytes") {
+    val m = Multimodal.parseMeta(png(320, 200))
+    assert(m.format == "png" && m.width == 320 && m.height == 200)
+  }
+
+  test("WAV metadata: channels, rate, duration from header") {
+    val m = Multimodal.parseMeta(wav(channels = 2, rate = 8000, dataBytes = 32000))
+    assert(m.format == "wav" && m.channels == 2 && m.sampleRateHz == 8000)
+    assert(m.durationMs == 1000L) // 32000 bytes / (8000*2*2 B/s) = 1 s
+  }
+
+  test("unknown bytes degrade to format=unknown, never throw") {
+    assert(Multimodal.parseMeta("garbage".getBytes).format == "unknown")
+    assert(Multimodal.parseMeta(Array.empty[Byte]).format == "unknown")
+  }
+
+  test("distributed feature extraction: per-partition map, deterministic stub") {
+    val session = spark
+    import session.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1, "image", png(4, 2)),
+      Multimodal.MediaRow(2, "audio", wav(1, 16000, 16000)),
+      Multimodal.MediaRow(3, "blob", "xyz".getBytes)).toDS().repartition(3)
+    val features = Multimodal.extractFeatures(media).collect()
+      .sortBy(_.media_id)
+    assert(features.map(_.format).toSeq == Seq("png", "wav", "unknown"))
+    assert(features.forall(_.features.length == 8))
+    // Deterministic: same bytes, same vector, regardless of partitioning.
+    val again = Multimodal.extractFeatures(media.repartition(1)).collect()
+      .sortBy(_.media_id)
+    assert(again.map(_.features.toSeq).toSeq == features.map(_.features.toSeq).toSeq)
+  }
+
+  test("frame sampling fans one blob out into bounded frame rows") {
+    val session = spark
+    import session.implicits._
+    val blob = Multimodal.MediaRow(7, "video", new Array[Byte](10 * 1024))
+    val frames = Multimodal.frameSampleStub(Seq(blob).toDS(), everyK = 2).collect()
+    assert(frames.length == 5)                      // frames 0,2,4,6,8
+    assert(frames.forall(_.content.length == 1024))
+    assert(frames.map(_.kind).forall(_.startsWith("video#frame")))
+  }
+
+  test("metadata surfaces as a SQL-queryable struct column") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, png(10, 20))).toDF("id", "content")
+    val row = Multimodal.withMeta(df, "content")
+      .selectExpr("meta.format", "meta.width", "meta.height").collect().head
+    assert((row.getString(0), row.getInt(1), row.getInt(2)) == ("png", 10, 20))
+  }
+}
