@@ -31,13 +31,29 @@ object TextFns {
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
-  /** One MinHash value (lexicographic-min md5) for a shingle array. */
-  def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => md5(concat(s, lit(s"#$seed")))))
+  /** First 32 bits of md5 as a long (0..2^32-1) — the base hash for the
+    * MinHash permutation family. One md5 per shingle, total; the per-seed
+    * permutations below are integer arithmetic. Mirrors the oracle's
+    * strpos-arithmetic over the same 8 hex characters. */
+  def hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature as an array of `num` independent min-hashes. */
-  def minhashSignature(shingles: Column, num: Int): Column =
-    array((0 until num).map(i => minhash(shingles, i)): _*)
+  /** Universal-hash permutation of a base hash: (a·h + b) mod p with p =
+    * 2^31-1 and small odd multipliers, so products stay well inside Long.
+    * Identical integer arithmetic on both engines. */
+  def permute(h: Column, seed: Int): Column =
+    (h * lit(2L * seed + 1) + lit(seed.toLong * seed + 7L)) % lit(2147483647L)
+
+  /** One MinHash value over a pre-hashed shingle array (see hash32). */
+  def minhash(hashes: Column, seed: Int): Column =
+    array_min(transform(hashes, h => permute(h, seed)))
+
+  /** MinHash signature as an array of `num` independent min-hashes over a
+    * pre-hashed shingle array. Callers bind `hashes =
+    * transform(shingles, hash32)` ONCE (e.g. as a materialized column) so
+    * the md5 pass is not repeated per seed. */
+  def minhashSignature(hashes: Column, num: Int): Column =
+    array((0 until num).map(i => minhash(hashes, i)): _*)
 
   /** LSH band key: hash of `rows` consecutive signature positions.
     * Signature array is 1-indexed for `slice`. */

@@ -28,16 +28,19 @@ object TextPipelineQueries extends QueryPack {
   private val RowsPerBand = 2
   private val JaccThreshold = 0.5
 
-  /** doc_id + distinct word-3-gram shingle set. */
+  /** doc_id + distinct word-3-gram shingle set + its 32-bit hashes (the
+    * md5 pass happens HERE, once; the per-seed MinHash permutations are
+    * integer arithmetic over `hs`). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
-      col("doc_id"),
-      array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("sh"))
+        col("doc_id"),
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("sh"))
+      .withColumn("hs", transform(col("sh"), x => TextFns.hash32(x)))
 
   /** Exploded (doc_id, band index, band key) — the LSH bucketing. */
   private def bands(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"),
-      TextFns.minhashSignature(col("sh"), NumHashes).as("mh"))
+      TextFns.minhashSignature(col("hs"), NumHashes).as("mh"))
     sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         TextFns.lshBand(col("mh"), b, RowsPerBand)): _*)).as(Seq("b", "key")))
@@ -54,7 +57,10 @@ object TextPipelineQueries extends QueryPack {
     * ~1% the width of the corpus. */
   private def confirmedPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).persist()
+    sh.count() // materialize BEFORE the self-join: otherwise both join
+               // sides race to populate the cache and compute it twice
     val bd = bands(sh).persist()
+    bd.count()
     val cand = bd.as("x").join(bd.as("y"),
         col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -69,9 +75,16 @@ object TextPipelineQueries extends QueryPack {
       .filter(col("jacc") >= JaccThreshold)
   }
 
+  /** 8-hex-char md5 prefix → 32-bit int via strpos arithmetic (mirrors
+    * TextFns.hash32 exactly). */
+  private val hex32: String = (1 to 8).map { p =>
+    s"(strpos('0123456789abcdef', substr(md5(x), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+  }.mkString(" + ")
+
   /** Oracle CTE prefix shared by the MinHash queries (q34/q35): tokens →
-    * distinct 3-gram shingles → 8-hash signature → 4×2 LSH bands →
-    * bucket-joined candidates → Jaccard-confirmed pairs. */
+    * distinct 3-gram shingles → one md5-derived 32-bit hash per shingle →
+    * 8 affine-permutation min-hashes → 4×2 LSH bands → bucket-joined
+    * candidates → Jaccard-confirmed pairs. */
   private val pairsCtes: String = s"""
       WITH t AS (
         SELECT doc_id,
@@ -83,11 +96,15 @@ object TextPipelineQueries extends QueryPack {
                  generate_series(1, greatest(len(toks) - 2, 1)),
                  i -> array_to_string(toks[i:i+2], ' '))) AS sh
         FROM t),
+      hashed AS (
+        SELECT doc_id, sh,
+               list_transform(sh, x -> CAST($hex32 AS BIGINT)) AS hs
+        FROM s),
       sig AS (
         SELECT doc_id, sh,
-               [list_min(list_transform(sh, x -> md5(x || '#' || j)))
+               [list_min(list_transform(hs, h -> (h * (2*j + 1) + j*j + 7) % 2147483647))
                 for j in generate_series(0, ${NumHashes - 1})] AS mh
-        FROM s),
+        FROM hashed),
       bands AS (
         SELECT doc_id, b, md5(mh[2*b+1] || '|' || mh[2*b+2]) AS key
         FROM sig, generate_series(0, ${Bands - 1}) g(b)),
