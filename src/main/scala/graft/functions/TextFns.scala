@@ -66,6 +66,14 @@ object TextFns {
   def md5Bits16(s: Column): Column =
     conv(substring(md5(s), 1, 4), 16, 10).cast("long")
 
+  /** Injective int encoding of an ASCII ≤3-gram: c1·2^16 + c2·2^8 + c3
+    * (missing tail chars encode as 0 — `ascii('')` is 0 on both engines).
+    * Pure arithmetic, no hash: packed-set Jaccard IS trigram Jaccard. */
+  def packTrigram(x: Column): Column =
+    (ascii(substring(x, 1, 1)) * 65536 +
+     ascii(substring(x, 2, 1)) * 256 +
+     ascii(substring(x, 3, 1))).cast("long")
+
   /** BPE-ish token count: word / number / single-other-symbol pieces. */
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))

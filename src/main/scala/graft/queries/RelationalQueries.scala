@@ -325,8 +325,10 @@ object RelationalQueries extends QueryPack {
       ORDER BY c_custkey""",
 
     "q07_window_rank" -> """
-      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
-        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+      SELECT o_custkey, rn, o_orderkey,
+             ROUND(base_totalprice, 2) AS o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice AS base_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders)
       WHERE rn <= 3

@@ -218,10 +218,16 @@ object TextPipelineQueries extends QueryPack {
     // each other) prunes the remaining non-starters before the expensive
     // set intersection.
     "q37_trigram_jaccard" -> ((s, d) => {
+      // Trigrams are packed to ints (c1·2^16 + c2·2^8 + c3 over the char
+      // codes — injective for ASCII text, so Jaccard over the packed sets
+      // IS trigram Jaccard): integer set intersection is several times
+      // cheaper than string set intersection at 30k+ candidate pairs, and
+      // the packing is pure codegen'd arithmetic, no hashing.
       val docs = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / 100).as("lb"),
-        array_distinct(TextFns.charShingles(col("text"), 3)).as("gr"))
+        array_distinct(transform(TextFns.charShingles(col("text"), 3),
+          x => TextFns.packTrigram(x))).as("gr"))
         .withColumn("ng", size(col("gr")))
         .persist()
       docs.as("x").join(docs.as("y"),
@@ -328,13 +334,17 @@ object TextPipelineQueries extends QueryPack {
         FROM b
         ORDER BY doc_id""",
 
-      "q37_trigram_jaccard" -> """
+      "q37_trigram_jaccard" -> s"""
         WITH g AS (
           SELECT doc_id, lang, source,
                  CAST(floor(n_chars / 100) AS BIGINT) AS lb,
                  list_distinct(list_transform(
-                   generate_series(1, greatest(length(text) - 2, 1)),
-                   i -> substr(text, i, 3))) AS gr
+                   list_transform(
+                     generate_series(1, greatest(length(text) - 2, 1)),
+                     i -> substr(text, i, 3)),
+                   x -> CAST(ascii(substr(x, 1, 1)) * 65536
+                           + ascii(substr(x, 2, 1)) * 256
+                           + ascii(substr(x, 3, 1)) AS BIGINT))) AS gr
           FROM documents)
         SELECT x.lang, x.source, x.doc_id AS doc_a, y.doc_id AS doc_b,
                CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE)
