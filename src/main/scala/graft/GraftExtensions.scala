@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+import graft.expressions.MinHashSignatureExpr
+
+/** Engine extension point (SparkSessionExtensions): registers the native
+  * expressions as SQL functions so both the DataFrame surface
+  * (`expr("graft_minhash(sh, 8)")`) and plain `spark.sql` can use them.
+  * Activated via `spark.sql.extensions=graft.GraftExtensions`
+  * (GraftSession sets it). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, IntegerLiteral(num)) => MinHashSignatureExpr(arr, num)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(shingles ARRAY<STRING>, numHashes INT literal)")
+      }))
+  }
+}

@@ -28,19 +28,20 @@ object TextPipelineQueries extends QueryPack {
   private val RowsPerBand = 2
   private val JaccThreshold = 0.5
 
-  /** doc_id + distinct word-3-gram shingle set + its 32-bit hashes (the
-    * md5 pass happens HERE, once; the per-seed MinHash permutations are
-    * integer arithmetic over `hs`). */
+  /** doc_id + distinct word-3-gram shingle set. */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
-        col("doc_id"),
-        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("sh"))
-      .withColumn("hs", transform(col("sh"), x => TextFns.hash32(x)))
+      col("doc_id"),
+      array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("sh"))
 
-  /** Exploded (doc_id, band index, band key) — the LSH bucketing. */
+  /** Exploded (doc_id, band index, band key) — the LSH bucketing. The
+    * signature uses the native fused expression (graft_minhash, see
+    * graft.expressions.MinHashSignatureExpr): one codegen'd pass instead
+    * of NumHashes interpreted HOF passes; identical values to
+    * TextFns.hash32 + minhashSignature and to the oracle arithmetic. */
   private def bands(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"),
-      TextFns.minhashSignature(col("hs"), NumHashes).as("mh"))
+      expr(s"graft_minhash(sh, $NumHashes)").as("mh"))
     sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         TextFns.lshBand(col("mh"), b, RowsPerBand)): _*)).as(Seq("b", "key")))
