@@ -261,6 +261,18 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // CUBE: all grouping-set combinations (complements q15's ROLLUP).
+    "q43_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), fixedSum(col("o_totalprice"), 2).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
     // Lenient numeric cast parity (SURVEY §2.2 P2 toNum): strip junk chars,
     // cast, NULL on malformed — applied to customer names ("Customer#0001"
     // → 1.0) exactly as both engines' regexp_replace+cast evaluate it.
@@ -444,6 +456,15 @@ object RelationalQueries extends QueryPack {
             FROM customer)
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+
+    "q43_cube" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
 
     "q20_tonum" -> """
       SELECT c_custkey,
