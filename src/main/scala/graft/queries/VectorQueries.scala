@@ -26,6 +26,8 @@ object VectorQueries extends QueryPack {
   private val K = 10
   private val NumPlanes = 4
   private val Dim = 64
+  private val NumCentroids = 16
+  private val NProbe = 2
 
   /** Deterministic hyperplanes shared by the Spark plan and the generated
     * oracle SQL (same literals on both sides). */
@@ -60,6 +62,45 @@ object VectorQueries extends QueryPack {
                 col("bucket").as("q_bucket"))
       val scored = emb.join(broadcast(qs),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+                Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
+      TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+          K, col("vec_id"))
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF-style ANN: coarse quantization into 16 clusters (centroids =
+    // the first 16 vectors — a deterministic "init"; a production build
+    // would k-means-iterate, the query shape is identical), assignment by
+    // max cosine with id tiebreak, then each query probes only its 2
+    // nearest clusters. Candidate generation is a cluster equi-join —
+    // O(nprobe/k of the corpus) per query, the inverted-file scale shape.
+    "q44_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // Cluster assignment: best centroid per vector (cosine, id tiebreak).
+      val assigned = emb.join(broadcast(cents), expr("true"))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+                Vectors.cosine(col("embedding"), col("c_emb")).as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("embedding"), col("c_id")),
+                    struct(col("sim"), -col("c_id"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+                col("best.c_id").as("cluster"))
+      // Each query probes its NProbe nearest clusters.
+      val qs = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probes = qs.join(broadcast(cents), expr("true"))
+        .select(col("q_id"), col("q_emb"), col("c_id"),
+                Vectors.cosine(col("q_emb"), col("c_emb")).as("sim"))
+      val probed = TopK.perKey(probes, Seq("q_id"),
+          Seq(col("sim").desc, col("c_id")), NProbe, col("c_id"), salt = 4)
+        .select(col("q_id"), col("q_emb"), col("c_id").as("probe_cluster"))
+      // Search only the probed clusters.
+      val scored = assigned.join(broadcast(probed),
+          col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
                 Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
       TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
@@ -112,6 +153,42 @@ object VectorQueries extends QueryPack {
         scored AS (
           SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
           FROM q JOIN b e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id, cos
+        FROM ranked
+        WHERE rank <= $K
+        ORDER BY q_id, rank""",
+
+      "q44_ann_ivf" -> s"""
+        WITH c AS (
+          SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NumCentroids),
+        a0 AS (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ${cosSql("e.embedding", "c.c_emb")} AS sim
+          FROM embeddings e, c),
+        assigned AS (
+          SELECT vec_id, embedding, c_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+            FROM a0)
+          WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+        p0 AS (
+          SELECT q.q_id, q.q_emb, c.c_id,
+                 ${cosSql("q.q_emb", "c.c_emb")} AS sim
+          FROM q, c),
+        probed AS (
+          SELECT q_id, q_emb, c_id AS probe_cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+            FROM p0)
+          WHERE rn <= $NProbe),
+        scored AS (
+          SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS cos
+          FROM probed p JOIN assigned a
+            ON a.cluster = p.probe_cluster AND a.vec_id <> p.q_id),
         ranked AS (
           SELECT q_id, vec_id, cos,
                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
