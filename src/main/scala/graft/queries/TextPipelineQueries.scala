@@ -28,20 +28,24 @@ object TextPipelineQueries extends QueryPack {
   private val RowsPerBand = 2
   private val JaccThreshold = 0.5
 
-  /** doc_id + distinct word-3-gram shingle set. */
+  /** doc_id + the distinct word-3-gram shingle set hashed to 32-bit ints
+    * (ONE md5 per shingle; everything downstream — MinHash permutations,
+    * band keys, Jaccard confirm — is integer work over this array, and
+    * the persisted relation carries no strings). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("sh"))
+      transform(
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)),
+        x => TextFns.hash32(x)).as("hs"))
 
   /** Exploded (doc_id, band index, band key) — the LSH bucketing. The
-    * signature uses the native fused expression (graft_minhash, see
-    * graft.expressions.MinHashSignatureExpr): one codegen'd pass instead
-    * of NumHashes interpreted HOF passes; identical values to
-    * TextFns.hash32 + minhashSignature and to the oracle arithmetic. */
+    * signature is the affine permutation family over the pre-hashed
+    * shingles (integer arithmetic only; graft_minhash is the fused
+    * from-strings alternative, spec-verified bit-identical). */
   private def bands(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"),
-      expr(s"graft_minhash(sh, $NumHashes)").as("mh"))
+      TextFns.minhashSignature(col("hs"), NumHashes).as("mh"))
     sig.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
         TextFns.lshBand(col("mh"), b, RowsPerBand)): _*)).as(Seq("b", "key")))
@@ -68,11 +72,11 @@ object TextPipelineQueries extends QueryPack {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), col("doc_a") === col("ida"))
-      .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), col("doc_b") === col("idb"))
+      .join(sh.select(col("doc_id").as("ida"), col("hs").as("ha")), col("doc_a") === col("ida"))
+      .join(sh.select(col("doc_id").as("idb"), col("hs").as("hb")), col("doc_b") === col("idb"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-         size(array_union(col("sha"), col("shb")))).as("jacc"))
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+         size(array_union(col("ha"), col("hb")))).as("jacc"))
       .filter(col("jacc") >= JaccThreshold)
   }
 
@@ -98,11 +102,11 @@ object TextPipelineQueries extends QueryPack {
                  i -> array_to_string(toks[i:i+2], ' '))) AS sh
         FROM t),
       hashed AS (
-        SELECT doc_id, sh,
+        SELECT doc_id,
                list_transform(sh, x -> CAST($hex32 AS BIGINT)) AS hs
         FROM s),
       sig AS (
-        SELECT doc_id, sh,
+        SELECT doc_id, hs,
                [list_min(list_transform(hs, h -> (h * (2*j + 1) + j*j + 7) % 2147483647))
                 for j in generate_series(0, ${NumHashes - 1})] AS mh
         FROM hashed),
@@ -115,11 +119,11 @@ object TextPipelineQueries extends QueryPack {
           ON a.key = bb.key AND a.b = bb.b AND a.doc_id < bb.doc_id),
       pairs AS (
         SELECT c.doc_a, c.doc_b,
-               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jacc
+               CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jacc
         FROM cand c
-        JOIN s sa ON c.doc_a = sa.doc_id
-        JOIN s sb ON c.doc_b = sb.doc_id)"""
+        JOIN hashed sa ON c.doc_a = sa.doc_id
+        JOIN hashed sb ON c.doc_b = sb.doc_id)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text stats + quality scoring: token count, BPE-ish subword count,
