@@ -58,6 +58,22 @@ object AuditPipeline {
   /** Columnar result surface (for parquet/SQL over many audits). */
   def toFrame(rows: Dataset[AuditRow]): DataFrame = rows.toDF()
 
+  /** Typed scores surface: one row per successful audit with the scalar
+    * score fields lifted out of scores.json — the cross-client analytics
+    * the one-archive-at-a-time reference cannot express (rank clients by
+    * OSS, coverage distributions, score-over-time joins...). */
+  def scoresFrame(rows: Dataset[AuditRow]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "oss DOUBLE, oss_coverage DOUBLE, oss_weight_used DOUBLE, " +
+      "oss_weight_total DOUBLE, lss DOUBLE, lss_coverage DOUBLE, " +
+      "lss_weight_used DOUBLE, lss_weight_total DOUBLE")
+    rows.toDF()
+      .filter(col("ok"))
+      .select(col("client"), col("domain"), col("runDate"),
+        from_json(col("scoresJson"), schema).as("s"))
+      .select(col("client"), col("domain"), col("runDate"), col("s.*"))
+  }
+
   /** KV-store-style sink (reference parity: main.js:30-32 writes
     * normalized_audit.json / scores.json / etl_manifest.json): one
     * directory per audit. Driver-side utility for single audits and tests;
