@@ -189,9 +189,9 @@ object AuditKitQueries extends QueryPack {
              CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / den END AS pass_rate
       FROM (
         SELECT l_partkey,
-               SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS den,
-               SUM(CASE WHEN l_quantity >= 40 AND l_discount <= 0.05 AND l_tax <= 0.05
-                        THEN 1 ELSE 0 END) AS num
+               CAST(SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS den,
+               CAST(SUM(CASE WHEN l_quantity >= 40 AND l_discount <= 0.05 AND l_tax <= 0.05
+                        THEN 1 ELSE 0 END) AS BIGINT) AS num
         FROM lineitem
         GROUP BY l_partkey)
       ORDER BY l_partkey""",
@@ -221,19 +221,19 @@ object AuditKitQueries extends QueryPack {
         FROM customer)
       SELECT c_mktsegment,
              CAST(SUM(CAST(ROUND(COALESCE(a, b, 0.0) * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_resolved,
-             SUM(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) AS n_primary,
-             SUM(CASE WHEN a IS NULL AND b IS NOT NULL THEN 1 ELSE 0 END) AS n_fallback,
-             SUM(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END) AS n_default
+             CAST(SUM(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_primary,
+             CAST(SUM(CASE WHEN a IS NULL AND b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback,
+             CAST(SUM(CASE WHEN a IS NULL AND b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_default
       FROM t
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
 
     "q26_contains" -> """
       SELECT p_brand,
-             SUM(CASE WHEN p_name LIKE '%ring%' THEN 1 ELSE 0 END) AS n_ring,
-             SUM(CASE WHEN p_name LIKE '%blue%' THEN 1 ELSE 0 END) AS n_blue,
-             SUM(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END) AS n_small,
-             SUM(CASE WHEN p_name LIKE '%bolt' THEN 1 ELSE 0 END) AS n_bolt,
+             CAST(SUM(CASE WHEN p_name LIKE '%ring%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ring,
+             CAST(SUM(CASE WHEN p_name LIKE '%blue%' THEN 1 ELSE 0 END) AS BIGINT) AS n_blue,
+             CAST(SUM(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+             CAST(SUM(CASE WHEN p_name LIKE '%bolt' THEN 1 ELSE 0 END) AS BIGINT) AS n_bolt,
              COUNT(*) AS n
       FROM part
       GROUP BY p_brand
@@ -248,7 +248,7 @@ object AuditKitQueries extends QueryPack {
 
     "q28_truthiness" -> """
       SELECT lang,
-             SUM(CASE WHEN s IS NOT NULL AND s <> '' THEN 1 ELSE 0 END) AS n_truthy,
+             CAST(SUM(CASE WHEN s IS NOT NULL AND s <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_truthy,
              COUNT(*) AS n_rows
       FROM (
         SELECT lang,
@@ -273,8 +273,8 @@ object AuditKitQueries extends QueryPack {
 
     "q30_any_present" -> """
       SELECT source,
-             SUM(CASE WHEN status IS NOT NULL OR message IS NOT NULL OR link IS NOT NULL
-                      THEN 1 ELSE 0 END) AS n_any,
+             CAST(SUM(CASE WHEN status IS NOT NULL OR message IS NOT NULL OR link IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
              COUNT(*) AS n_rows
       FROM (
         SELECT source,

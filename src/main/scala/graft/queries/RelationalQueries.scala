@@ -382,11 +382,11 @@ object RelationalQueries extends QueryPack {
 
     "q12_cond_buckets" -> """
       SELECT l_linestatus,
-             SUM(CASE WHEN l_quantity <= 3 THEN 1 ELSE 0 END) AS qty_le3,
-             SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS qty_le10,
-             SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS qty_le25,
-             SUM(CASE WHEN l_quantity BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS qty_40s,
-             SUM(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END) AS qty_ge50
+             CAST(SUM(CASE WHEN l_quantity <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS qty_le3,
+             CAST(SUM(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS qty_le10,
+             CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS qty_le25,
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 40 AND 49 THEN 1 ELSE 0 END) AS BIGINT) AS qty_40s,
+             CAST(SUM(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_ge50
       FROM lineitem
       GROUP BY l_linestatus
       ORDER BY l_linestatus""",

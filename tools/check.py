@@ -36,6 +36,17 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+def canon_type(t):
+    """Canonical Arrow dtype string. Keeps genuinely different physical types
+    distinct (int64 vs int128/double) — the driver's hasher is typed, so
+    HUGEINT-vs-BIGINT must FAIL here even though Python coerces both to int."""
+    s = str(t)
+    return {"large_string": "string", "large_binary": "binary"}.get(s, s)
+
+def arrow_types(sql):
+    sch = con.execute(sql).arrow().schema
+    return {f.name: canon_type(f.type) for f in sch}
+
 def canon(v):
     if v is None: return None
     if isinstance(v, float):
@@ -72,6 +83,19 @@ for name in names:
     ec, er = norm(ecols, erows)
     if gc != ec:
         print(f"FAIL {name}: columns {gc} != {ec}"); fails += 1; continue
+    # Typed comparison via Arrow: Python fetchall coerces e.g. DuckDB HUGEINT
+    # and BIGINT both to int, but the driver hashes typed values — so compare
+    # Arrow dtypes explicitly (this is what caught the r2 38/44-vs-44/44 gap).
+    try:
+        gtypes = arrow_types(f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
+        etypes = arrow_types(sql)
+        badt = {c: (gtypes.get(c), etypes.get(c)) for c in gc
+                if gtypes.get(c) != etypes.get(c)}
+        if badt:
+            print(f"FAIL {name}: dtype mismatch (spark,oracle): {badt}")
+            fails += 1; continue
+    except Exception as e:
+        print(f"WARN {name}: dtype check skipped: {e}")
     if len(gr) != len(er):
         print(f"FAIL {name}: rowcount {len(gr)} != {len(er)}"); fails += 1; continue
     if gr != er:  # exact order-sensitive compare first
