@@ -47,11 +47,19 @@ object AuditEtl {
 
   private def jsRound(x: Double): Double = math.floor(x + 0.5)
 
+  /** @param artifact debug-artifact sink (the reference's `Actor.setValue`
+    *   calls inside processZip: ZIP_DEBUG.bin on magic-byte failure,
+    *   etl.js:102-108; ahrefs_keywords_headers.json header dump,
+    *   etl.js:119-121). Defaults to a no-op for callers that only need the
+    *   three result documents. */
   def processZip(zipBytes: Array[Byte], client: String, domain: String,
-                 runDate: String): Result = {
-    if (!Zips.isZip(zipBytes))
+                 runDate: String,
+                 artifact: (String, Array[Byte]) => Unit = (_, _) => ()): Result = {
+    if (!Zips.isZip(zipBytes)) {
+      artifact("ZIP_DEBUG.bin", zipBytes)
       throw new IllegalArgumentException(
         "Downloaded file is not a ZIP. Use a direct-download link (Drive: uc?export=download&id=FILE_ID).")
+    }
 
     val zip = Zips.entries(zipBytes)
     val manifest = new JObj
@@ -79,6 +87,10 @@ object AuditEtl {
       val rows = SmartCsv.parse(buf)
       if (rows.nonEmpty) {
         val headers = rows.head.keys.toSeq
+        // Header dump so a mis-resolved position column is debuggable from
+        // the KV store (etl.js:119-121).
+        artifact("ahrefs_keywords_headers.json",
+          JArr(headers.map(str)).toJson.getBytes("UTF-8"))
         val posCol = PickCol.pick(headers, Seq("Current position"))
           .orElse(PickCol.pick(headers, Seq("Previous position")))
         posCol.foreach { pc =>

@@ -44,6 +44,7 @@ object J {
     private val fields = mutable.LinkedHashMap.empty[String, V]
     def set(key: String, v: V): JObj = { fields(key) = v; this }
     def get(key: String): V = fields(key)
+    def opt(key: String): Option[V] = fields.get(key)
     def obj(key: String): JObj = fields(key).asInstanceOf[JObj]
     def num(key: String): Option[Double] = fields(key) match {
       case JNum(d) => Some(d); case _ => None

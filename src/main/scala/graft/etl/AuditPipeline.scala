@@ -84,4 +84,67 @@ object AuditPipeline {
     Files.writeString(Paths.get(s"$outDir/scores.json"), r.scores.toJson)
     Files.writeString(Paths.get(s"$outDir/etl_manifest.json"), r.manifest.toJson)
   }
+
+  /** The reference's key-value store surface (`Actor.setValue`). */
+  trait KvStore {
+    def set(name: String, bytes: Array[Byte]): Unit
+    final def set(name: String, json: String): Unit =
+      set(name, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** One directory = one store; each key is a file. */
+  final class DirKvStore(dir: String) extends KvStore {
+    Files.createDirectories(Paths.get(dir))
+    def set(name: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(dir, name), bytes)
+  }
+
+  /** JS truthiness of an input field (main.js:17 `!client || ...`):
+    * absent, null, "", 0, NaN and false all fail validation. */
+  private def truthyInput(in: J.JObj, key: String): Option[String] =
+    in.opt(key).flatMap {
+      case J.JStr(s) if s.nonEmpty => Some(s)
+      case J.JNum(d) if d != 0 && !d.isNaN => Some(J.JNum(d).toJson)
+      case J.JBool(true) => Some("true")
+      case _ => None
+    }
+
+  /** The full actor entry contract (reference parity: main.js:4-41):
+    *
+    *   1. echo the raw input to INPUT_ECHO.json BEFORE validating
+    *      (main.js:15 — a bad run must still show what it received);
+    *   2. validate the four required fields with the reference's exact
+    *      message (main.js:17-22);
+    *   3. fetch the ZIP; a non-ZIP body dumps ZIP_DEBUG.bin (etl.js:102-108)
+    *      and the keywords extractor dumps ahrefs_keywords_headers.json
+    *      (etl.js:119-121) — both through the same KV store;
+    *   4. write the three result documents plus the OUTPUT pointer record
+    *      that downstream consumers read first (main.js:30-38).
+    *
+    * @param input the raw input document, or None for a missing input
+    *   (`Actor.getInput()` returning null — echoed as `{}`).
+    * @param fetch URL → bytes; injectable so tests run offline.
+    */
+  def runActor(input: Option[J.JObj], kv: KvStore,
+               fetch: String => Array[Byte] = ZipFetch.fetch): AuditEtl.Result = {
+    val in = input.getOrElse(J.JObj())
+    kv.set("INPUT_ECHO.json", in.toJson)
+    val fields = Seq("client", "domain", "runDate", "zipUrl").map(truthyInput(in, _))
+    if (fields.exists(_.isEmpty))
+      throw new IllegalArgumentException(
+        "Missing required input: client, domain, runDate, zipUrl. " +
+        "Paste JSON under the Input tab (not only Run options).")
+    val Seq(client, domain, runDate, zipUrl) = fields.map(_.get)
+    val bytes = fetch(zipUrl)
+    val r = AuditEtl.processZip(bytes, client, domain, runDate,
+      artifact = (name, data) => kv.set(name, data))
+    kv.set("normalized_audit.json", r.normalized.toJson)
+    kv.set("scores.json", r.scores.toJson)
+    kv.set("etl_manifest.json", r.manifest.toJson)
+    kv.set("OUTPUT", J.JObj(
+      "normalized" -> J.str("normalized_audit.json"),
+      "scores" -> J.str("scores.json"),
+      "etl_manifest" -> J.str("etl_manifest.json")).toJson)
+    r
+  }
 }

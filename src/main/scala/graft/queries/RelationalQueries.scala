@@ -349,7 +349,7 @@ object RelationalQueries extends QueryPack {
       ORDER BY c_custkey""",
 
     "q07_window_rank" -> """
-      SELECT o_custkey, rn, o_orderkey,
+      SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey,
              ROUND(base_totalprice, 2) AS o_totalprice
       FROM (
         SELECT o_custkey, o_orderkey, o_totalprice AS base_totalprice,
@@ -436,7 +436,7 @@ object RelationalQueries extends QueryPack {
              CAST(LENGTH(p_name) AS INTEGER) AS name_len,
              CONCAT_WS('|', p_brand, p_type) AS brand_type,
              REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
-             GREATEST(p_size, 10) AS size_floor10,
+             CAST(GREATEST(p_size, 10) AS INTEGER) AS size_floor10,
              CAST(ROUND(p_retailprice * 1100) AS BIGINT) / 1000.0 AS price_bump
       FROM part
       ORDER BY p_partkey""",

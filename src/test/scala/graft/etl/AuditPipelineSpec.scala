@@ -27,6 +27,69 @@ class AuditPipelineSpec extends SparkSpec {
     assert(byClient("acme").scoresJson == local.scores.toJson)
   }
 
+  private def store(): (AuditPipeline.DirKvStore, String) = {
+    val dir = Files.createTempDirectory("kv").toString
+    (new AuditPipeline.DirKvStore(dir), dir)
+  }
+  private def read(dir: String, name: String): String =
+    Files.readString(Paths.get(dir, name))
+
+  test("runActor echoes input then rejects missing fields with the reference message") {
+    val (kv, dir) = store()
+    val partial = J.JObj("client" -> J.str("acme"), "domain" -> J.str("ex.com"))
+    val e = intercept[IllegalArgumentException] {
+      AuditPipeline.runActor(Some(partial), kv, fetch = _ => fail("must not fetch"))
+    }
+    assert(e.getMessage ==
+      "Missing required input: client, domain, runDate, zipUrl. " +
+      "Paste JSON under the Input tab (not only Run options).")
+    // Echo happens BEFORE validation (main.js:15) and carries the raw input.
+    assert(read(dir, "INPUT_ECHO.json") == """{"client":"acme","domain":"ex.com"}""")
+    assert(!Files.exists(Paths.get(dir, "OUTPUT")))
+  }
+
+  test("runActor treats empty strings as missing (JS truthiness) and null input as {}") {
+    val (kv, dir) = store()
+    intercept[IllegalArgumentException] {
+      AuditPipeline.runActor(Some(J.JObj("client" -> J.str(""), "domain" -> J.str("d"),
+        "runDate" -> J.str("r"), "zipUrl" -> J.str("u"))), kv, fetch = _ => Array.empty)
+    }
+    val (kv2, dir2) = store()
+    intercept[IllegalArgumentException] { AuditPipeline.runActor(None, kv2) }
+    assert(read(dir2, "INPUT_ECHO.json") == "{}")
+  }
+
+  test("runActor dumps ZIP_DEBUG.bin when the body is not a ZIP") {
+    val (kv, dir) = store()
+    val input = J.JObj("client" -> J.str("acme"), "domain" -> J.str("ex.com"),
+      "runDate" -> J.str("2026-08-12"), "zipUrl" -> J.str("http://x/bad.zip"))
+    val e = intercept[IllegalArgumentException] {
+      AuditPipeline.runActor(Some(input), kv, fetch = _ => Fixtures.notAZip)
+    }
+    assert(e.getMessage.contains("not a ZIP"))
+    assert(Files.readAllBytes(Paths.get(dir, "ZIP_DEBUG.bin"))
+      .sameElements(Fixtures.notAZip))
+    assert(!Files.exists(Paths.get(dir, "normalized_audit.json")))
+  }
+
+  test("runActor success path writes the three documents, OUTPUT pointer and header dump") {
+    val (kv, dir) = store()
+    val input = J.JObj("client" -> J.str("acme"), "domain" -> J.str("ex.com"),
+      "runDate" -> J.str("2026-08-12"), "zipUrl" -> J.str("file:///audit.zip"))
+    val r = AuditPipeline.runActor(Some(input), kv, fetch = _ => Fixtures.fullZip)
+    assert(read(dir, "normalized_audit.json") == r.normalized.toJson)
+    assert(read(dir, "scores.json") == r.scores.toJson)
+    assert(read(dir, "etl_manifest.json") == r.manifest.toJson)
+    assert(read(dir, "OUTPUT") ==
+      """{"normalized":"normalized_audit.json","scores":"scores.json","etl_manifest":"etl_manifest.json"}""")
+    // The keywords header dump (etl.js:119-121): the RAW headers actually
+    // seen — including the fixture's deliberate NBSP, which is the whole
+    // point of the dump (you can see why pickCol had to normalize).
+    assert(read(dir, "ahrefs_keywords_headers.json") ==
+      "[\"Keyword\",\"Current Position\",\"Volume\"]")
+    assert(read(dir, "INPUT_ECHO.json").contains("\"zipUrl\""))
+  }
+
   test("scoresFrame lifts score scalars into SQL-queryable columns") {
     val dir = Files.createTempDirectory("audits2").toString
     Files.write(Paths.get(s"$dir/acme__example.com__2026-08-12.zip"),
