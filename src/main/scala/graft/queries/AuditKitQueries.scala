@@ -160,6 +160,72 @@ object AuditKitQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // SC3-SC7 scoring kit as one per-group relational query (the last
+    // spec-only operator family gets a gate row). Each nation plays the
+    // role of one audited "site"; the component formulas are the
+    // reference's scorecard verbatim (/root/reference/src/scoring.js):
+    //   SC3 ratio-with-cap        kw_top10 = min(top10/max(top100,1), 1)   (:17-21)
+    //   SC4 errors-per-page       health = clamp01(1 - (err/pages)/0.5)    (:26-33)
+    //   SC5 rescale+clamp + the `avgPos || 20` falsy-ZERO trap             (:60-61,65-67)
+    //   SC6 passthrough defaults  pct_top3 || 0, availability-gated inputs (:23,62-64)
+    //   SC7 coverage-weighted mean, JS half-up rounding to 1dp/2dp         (:38-48)
+    // Availability masks are deterministic functions of the group key so
+    // both engines derive identical coverage without fixture tables.
+    "q45_scoring" -> ((s, d) => {
+      def clamp01(x: Column): Column = greatest(lit(0.0), least(lit(1.0), x))
+      def jsRound(x: Column): Column = floor(x + 0.5) // JS Math.round: half-up
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+        .agg(
+          sum(when(col("o_totalprice") > 250000, 1).otherwise(0)).as("top10"),
+          sum(when(col("o_totalprice") > 50000, 1).otherwise(0)).as("top100"),
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("err"),
+          countDistinct(col("o_custkey")).as("pages"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+          sum(when(col("o_totalprice") > 400000, 1).otherwise(0)).as("n_top3"),
+          sum(col("o_orderkey") % 20 + 1).as("pos_sum"),
+          sum(when(col("o_orderpriority").startsWith("1"), 1).otherwise(0)).as("n_urgent"),
+          count(lit(1)).as("n"))
+      val kwTop10 = least(col("top10").cast("double") /
+        greatest(col("top100"), lit(1L)).cast("double"), lit(1.0))
+      val pagesEff = when(col("pages") === 0, lit(100L)).otherwise(col("pages"))
+      val health = clamp01(lit(1.0) -
+        (col("err").cast("double") / pagesEff.cast("double")) / lit(0.5))
+      val cwvAvail = col("nationkey") % 3 =!= 0
+      val cwvRaw = col("n_open").cast("double") / col("n").cast("double")
+      val ossAcc = lit(20.0) * kwTop10 + lit(20.0) * health +
+        when(cwvAvail, lit(15.0) * cwvRaw).otherwise(lit(0.0))
+      val ossUsed = lit(40.0) + when(cwvAvail, lit(15.0)).otherwise(lit(0.0))
+      // SC5: jsRound(avg*10)/10 like the reference's avg_pos (etl.js:320),
+      // zeroed for some groups to spring the `|| 20` falsy trap.
+      val avgPos0 = jsRound(col("pos_sum").cast("double") / col("n").cast("double") * 10) / 10.0
+      val avgPos = when(col("nationkey") % 7 === 0, lit(0.0)).otherwise(avgPos0)
+      val avgPosEff = when(avgPos === 0.0, lit(20.0)).otherwise(avgPos)
+      val avgLocalRank = clamp01(lit(1.0) - (avgPosEff - lit(1.0)) / lit(19.0))
+      val pctTop3 = col("n_top3").cast("double") / col("n").cast("double")
+      val citAvail = col("nationkey") % 5 =!= 0
+      val citRaw = col("n_urgent").cast("double") / col("n").cast("double")
+      val rating = lit(3.0) + (col("nationkey") % 3).cast("double")
+      val reviews = clamp01((rating - lit(3.5)) / lit(1.5))
+      val lssAcc = lit(40.0) * avgLocalRank + lit(25.0) * pctTop3 +
+        when(citAvail, lit(15.0) * citRaw).otherwise(lit(0.0)) + lit(10.0) * reviews
+      val lssUsed = lit(75.0) + when(citAvail, lit(15.0)).otherwise(lit(0.0))
+      base.select(
+        col("nationkey"),
+        (jsRound(ossAcc / ossUsed * 1000) / 10.0).as("oss"),
+        (jsRound(ossUsed / 100.0 * 100) / 100.0).as("oss_coverage"),
+        ossUsed.as("oss_weight_used"),
+        (jsRound(lssAcc / lssUsed * 1000) / 10.0).as("lss"),
+        (jsRound(lssUsed / 100.0 * 100) / 100.0).as("lss_coverage"),
+        lssUsed.as("lss_weight_used"),
+        kwTop10.as("kw_top10"),
+        health.as("site_health"),
+        avgLocalRank.as("avg_local_rank"),
+        reviews.as("reviews"))
+        .orderBy(col("nationkey"))
+    }),
+
     // F10 any-field-present predicate (/root/reference/src/etl.js:354:
     // count a row when ANY of several probe fields is present).
     "q30_any_present" -> ((s, d) => {
@@ -270,6 +336,64 @@ object AuditKitQueries extends QueryPack {
              (d.status IS NOT NULL AND d.message IS NOT NULL) AS is_placeholder
       FROM docs d JOIN firsts f ON d.source = f.src AND d.doc_id = f.first_id
       ORDER BY d.source""",
+
+    "q45_scoring" -> """
+      WITH base AS (
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+               CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS top10,
+               CAST(SUM(CASE WHEN o_totalprice > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS top100,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+               COUNT(DISTINCT o_custkey) AS pages,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_top3,
+               CAST(SUM(o_orderkey % 20 + 1) AS BIGINT) AS pos_sum,
+               CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+      comp AS (
+        SELECT nationkey,
+               LEAST(CAST(top10 AS DOUBLE) / CAST(GREATEST(top100, 1) AS DOUBLE), 1.0) AS kw_top10,
+               GREATEST(0.0, LEAST(1.0,
+                 1.0 - (CAST(err AS DOUBLE) /
+                        CAST(CASE WHEN pages = 0 THEN 100 ELSE pages END AS DOUBLE)) / 0.5)) AS site_health,
+               nationkey % 3 <> 0 AS cwv_avail,
+               CAST(n_open AS DOUBLE) / CAST(n AS DOUBLE) AS cwv_raw,
+               CASE WHEN nationkey % 7 = 0 THEN 0.0
+                    ELSE FLOOR(CAST(pos_sum AS DOUBLE) / CAST(n AS DOUBLE) * 10 + 0.5) / 10.0
+               END AS avg_pos,
+               CAST(n_top3 AS DOUBLE) / CAST(n AS DOUBLE) AS pct_top3,
+               nationkey % 5 <> 0 AS cit_avail,
+               CAST(n_urgent AS DOUBLE) / CAST(n AS DOUBLE) AS cit_raw,
+               GREATEST(0.0, LEAST(1.0, ((3.0 + nationkey % 3) - 3.5) / 1.5)) AS reviews
+        FROM base),
+      ranked AS (
+        SELECT *,
+               GREATEST(0.0, LEAST(1.0,
+                 1.0 - ((CASE WHEN avg_pos = 0.0 THEN 20.0 ELSE avg_pos END) - 1.0) / 19.0)) AS avg_local_rank
+        FROM comp),
+      agg AS (
+        -- Addition order mirrors the Spark expression tree left-to-right
+        -- (floating-point + is not associative; the gate hashes raw doubles).
+        SELECT nationkey, kw_top10, site_health, reviews, avg_local_rank,
+               20.0 * kw_top10 + 20.0 * site_health +
+                 (CASE WHEN cwv_avail THEN 15.0 * cwv_raw ELSE 0.0 END) AS oss_acc,
+               40.0 + (CASE WHEN cwv_avail THEN 15.0 ELSE 0.0 END) AS oss_used,
+               40.0 * avg_local_rank + 25.0 * pct_top3 +
+                 (CASE WHEN cit_avail THEN 15.0 * cit_raw ELSE 0.0 END) +
+                 10.0 * reviews AS lss_acc,
+               75.0 + (CASE WHEN cit_avail THEN 15.0 ELSE 0.0 END) AS lss_used
+        FROM ranked)
+      SELECT nationkey,
+             FLOOR(oss_acc / oss_used * 1000 + 0.5) / 10.0 AS oss,
+             FLOOR(oss_used / 100.0 * 100 + 0.5) / 100.0 AS oss_coverage,
+             CAST(oss_used AS DOUBLE) AS oss_weight_used,
+             FLOOR(lss_acc / lss_used * 1000 + 0.5) / 10.0 AS lss,
+             FLOOR(lss_used / 100.0 * 100 + 0.5) / 100.0 AS lss_coverage,
+             CAST(lss_used AS DOUBLE) AS lss_weight_used,
+             kw_top10, site_health, avg_local_rank, reviews
+      FROM agg
+      ORDER BY nationkey""",
 
     "q30_any_present" -> """
       SELECT source,

@@ -28,6 +28,22 @@ object StreamingQueries extends QueryPack {
     "q42_sliding_window" -> ((s, d) => {
       EventStreams.slidingTwoHour(Tables.events(s, d))
         .orderBy(col("window_start"))
+    }),
+
+    // The custom-state operator (flatMapGroupsWithState) executed in BATCH
+    // mode: Spark runs the same state function over each complete group
+    // with empty initial state, so the emitted row per user IS the final
+    // running total — the batch gate twin for the one streaming surface
+    // previously verified by spec alone.
+    "q46_running_totals" -> ((s, d) => {
+      import s.implicits._
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      EventStreams.runningUserTotals(events)
+        .toDF()
+        .orderBy(col("user_id"))
     })
   )
 
@@ -63,6 +79,17 @@ object StreamingQueries extends QueryPack {
       FROM sessions
       GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
+
+    // Per-event cents rounding mirrors the state kernel's
+    // `cents += math.round(value * 100)` exactly (all values positive, so
+    // JS/Scala half-up and DuckDB half-away-from-zero agree).
+    "q46_running_totals" -> """
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     // Each event belongs to the two hour-aligned 2h windows covering it.
     "q42_sliding_window" -> """
