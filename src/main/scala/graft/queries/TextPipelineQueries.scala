@@ -307,20 +307,49 @@ object TextPipelineQueries extends QueryPack {
             x => TextFns.packTrigram(x))).as("gr"))
           .withColumn("ng", size(col("gr")))
       }
-      docs.as("x").join(docs.as("y"),
-          col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
-          col("x.lb") === col("y.lb") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          col("x.ng").cast("double") >= lit(0.5) * col("y.ng") &&
-          col("y.ng").cast("double") >= lit(0.5) * col("x.ng"))
-        .select(col("x.lang").as("lang"), col("x.source").as("source"),
-          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          (size(array_intersect(col("x.gr"), col("y.gr"))).cast("double") /
-           size(array_union(col("x.gr"), col("y.gr")))).as("jacc"))
+      blockedJaccardPairs(docs, MaxBlock)
         .filter(col("jacc") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
+
+  /** Hot-block guard threshold: blocks larger than this are sub-split so no
+    * single task owns a whole block's n² comparison. */
+  private val MaxBlock = 1000
+
+  /** All within-block pairs with their trigram Jaccard, with oversized
+    * blocks SALTED: a block of size n > maxBlock is split into
+    * g = ceil(n/maxBlock) sub-groups (deterministic doc_id % g) and the
+    * self-join runs over the triangle of sub-group pairs — the x side
+    * explodes to every sub-group ≥ its own, the y side keys on its
+    * sub-group, so each unordered doc pair is produced exactly once
+    * (same-sub pairs by the id order, cross-sub pairs by the sub order)
+    * while no join bucket ever holds more than ~maxBlock² candidate pairs.
+    * Result-identical to the unsalted all-pairs join; bounded per-task
+    * work under skew (the one plan that could go quadratic at 100×).
+    *
+    * Expects a docs relation with (doc_id, lang, source, lb, gr, ng). */
+  private[queries] def blockedJaccardPairs(docs: DataFrame, maxBlock: Int): DataFrame = {
+    val sizes = docs.groupBy(col("lang"), col("source"), col("lb"))
+      .agg(count(lit(1)).as("bs"))
+    val dd = docs.join(sizes, Seq("lang", "source", "lb"))
+      .withColumn("g", ceil(col("bs").cast("double") / maxBlock).cast("int"))
+      .withColumn("sub", pmod(col("doc_id"), col("g")).cast("int"))
+    val x = dd.withColumn("j", explode(sequence(col("sub"), col("g") - 1)))
+    x.as("x").join(dd.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+        col("x.lb") === col("y.lb") &&
+        col("x.j") === col("y.sub") &&
+        (col("x.sub") =!= col("y.sub") || col("x.doc_id") < col("y.doc_id")) &&
+        // Size-ratio prefilter: Jaccard >= 0.5 needs |A| and |B| within 2x.
+        col("x.ng").cast("double") >= lit(0.5) * col("y.ng") &&
+        col("y.ng").cast("double") >= lit(0.5) * col("x.ng"))
+      .select(col("x.lang").as("lang"), col("x.source").as("source"),
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        (size(array_intersect(col("x.gr"), col("y.gr"))).cast("double") /
+         size(array_union(col("x.gr"), col("y.gr")))).as("jacc"))
+  }
 
   val oracles: Map[String, String] = {
     val langs = Seq("en", "es", "de", "fr", "zh")
