@@ -33,6 +33,38 @@ object VectorQueries extends QueryPack {
     * oracle SQL (same literals on both sides). */
   private val planes: Seq[Seq[Double]] = Vectors.hyperplanes(NumPlanes, Dim, seed = 42L)
 
+  /** Nearest-centroid assignment: best centroid per vector by (cosine desc,
+    * c_id asc). Centroids are broadcast — provably bounded (≤ NumCentroids
+    * rows) at any corpus scale. */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.join(broadcast(cents), expr("true"))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+              Vectors.cosine(col("embedding"), col("c_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("c_id")),
+                  struct(col("sim"), -col("c_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+              col("best.c_id").as("cluster"))
+
+  /** One Lloyd update: per-cluster, per-dimension mean of the member
+    * vectors. The mean goes through FIXED-POINT longs (round(v·1e6), exact
+    * order-independent integer sums) so the result is bit-identical across
+    * engines and shuffle orders — the same determinism rule as
+    * Num.fixedSum. Shape: explode to (cluster, dim) — 64·n rows, one
+    * shuffle agg keyed (cluster, dim), then re-assembled in dim order. */
+  private def lloydStep(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cluster"), col("pos"),
+              round(col("v").cast("double") * 1000000.0).cast("long").as("fx"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("fx")).as("s"), count(lit(1)).as("cnt"))
+      .withColumn("m", col("s").cast("double") / col("cnt") / 1000000.0)
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                     x => x.getField("m")).as("c_emb"))
+      .select(col("cluster").as("c_id"), col("c_emb"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: every (query, corpus) pair scored, exact
     // ranking. The query side (vec_id < 5) is broadcast; the corpus side is
@@ -70,25 +102,19 @@ object VectorQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // IVF-style ANN: coarse quantization into 16 clusters (centroids =
-    // the first 16 vectors — a deterministic "init"; a production build
-    // would k-means-iterate, the query shape is identical), assignment by
-    // max cosine with id tiebreak, then each query probes only its 2
-    // nearest clusters. Candidate generation is a cluster equi-join —
-    // O(nprobe/k of the corpus) per query, the inverted-file scale shape.
+    // IVF-style ANN: coarse quantization into 16 clusters — deterministic
+    // init (the first 16 vectors) then TWO Lloyd iterations (assignment by
+    // max cosine with id tiebreak; fixed-point per-dimension means), then
+    // each query probes only its 2 nearest trained clusters. Candidate
+    // generation is a cluster equi-join — O(nprobe/k of the corpus) per
+    // query, the inverted-file scale shape; training is 2 shuffle aggs.
     "q44_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = emb.filter(col("vec_id") < NumCentroids)
+      val cents0 = emb.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // Cluster assignment: best centroid per vector (cosine, id tiebreak).
-      val assigned = emb.join(broadcast(cents), expr("true"))
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-                Vectors.cosine(col("embedding"), col("c_emb")).as("sim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("embedding"), col("c_id")),
-                    struct(col("sim"), -col("c_id"))).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-                col("best.c_id").as("cluster"))
+      val cents = lloydStep(assignTo(emb, lloydStep(assignTo(emb, cents0))))
+      // Final cluster assignment against the trained centroids.
+      val assigned = assignTo(emb, cents)
       // Each query probes its NProbe nearest clusters.
       val qs = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -162,17 +188,45 @@ object VectorQueries extends QueryPack {
         WHERE rank <= $K
         ORDER BY q_id, rank""",
 
-      "q44_ann_ivf" -> s"""
-        WITH c AS (
+      "q44_ann_ivf" -> {
+        // One Lloyd round as CTEs: assignment against centroid relation
+        // `prev` -> fixed-point per-dimension means -> centroid relation
+        // `next`. Mean expression order mirrors the Spark side exactly:
+        // CAST(sum AS DOUBLE) / count / 1e6.
+        def lloyd(i: Int, prev: String, next: String): String = s"""
+        a$i AS (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ${cosSql("e.embedding", "c.c_emb")} AS sim
+          FROM embeddings e, $prev c),
+        s$i AS (
+          SELECT vec_id, embedding, c_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+            FROM a$i)
+          WHERE rn = 1),
+        m$i AS (
+          SELECT cluster, i,
+                 SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+                 COUNT(*) AS cnt
+          FROM s$i, generate_series(1, $Dim) t(i)
+          GROUP BY cluster, i),
+        $next AS (
+          SELECT cluster AS c_id,
+                 list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS c_emb
+          FROM m$i
+          GROUP BY cluster)"""
+        s"""
+        WITH c0 AS (
           SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NumCentroids),
-        a0 AS (
+        ${lloyd(1, "c0", "c1")},
+        ${lloyd(2, "c1", "c")},
+        aF AS (
           SELECT e.vec_id, e.embedding, c.c_id,
                  ${cosSql("e.embedding", "c.c_emb")} AS sim
           FROM embeddings e, c),
         assigned AS (
           SELECT vec_id, embedding, c_id AS cluster FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
-            FROM a0)
+            FROM aF)
           WHERE rn = 1),
         q AS (
           SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
@@ -197,6 +251,7 @@ object VectorQueries extends QueryPack {
         FROM ranked
         WHERE rank <= $K
         ORDER BY q_id, rank"""
+      }
     )
   }
 }
