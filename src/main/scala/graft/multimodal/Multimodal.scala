@@ -9,13 +9,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * for decode / feature-extract / resize / frame-sample.
   *
   * What is REAL here: the schema contract, the container-format sniffing,
-  * PNG/JPEG/WAV header parsing (pure JVM byte inspection — no codec
-  * libraries), the mapPartitions batch shape, and the partitioning
-  * behavior. What is STUBBED: pixel/sample decoding (`decodeStub`), which
-  * derives a deterministic fake feature vector from the bytes — the
-  * container has no imaging/audio libraries; swap `decodeStub` for a real
-  * codec to productionize. The Spark plumbing (signatures, batching,
-  * distribution) does not change when that swap happens.
+  * PNG/JPEG/WAV header parsing (pure JVM byte inspection), TRUE pixel
+  * decode for PNG/JPEG via `javax.imageio` (in the JDK — no external
+  * codec), TRUE sample decode for PCM16 WAV (pure byte math), the
+  * mapPartitions batch shape, and the partitioning behavior. What remains
+  * STUBBED: compressed-audio / video / unknown formats fall back to
+  * `decodeStub`, a deterministic byte-derived vector — swap in a codec to
+  * productionize; the Spark plumbing (signatures, batching, distribution)
+  * does not change when that swap happens.
   *
   * Scale notes: media blobs ride in parquet binary columns; operators are
   * embarrassingly parallel per-partition maps with NO shuffle. Metadata
@@ -71,9 +72,85 @@ object Multimodal {
     } else MediaMeta("unknown", 0, 0, 0, 0, 0L)
   }
 
-  /** STUB decode: a deterministic 8-dim "feature vector" derived from byte
-    * content (FNV-1a rolling). Replace with a real codec; the signature —
-    * bytes in, fixed-width float vector out — is the production contract. */
+  /** REAL pixel decode for PNG/JPEG (javax.imageio is in the JDK): 8-dim
+    * feature vector [meanR, meanG, meanB, meanLuma, stdLuma (all 0..1),
+    * log1p(width), log1p(height), aspect]. None when ImageIO cannot decode
+    * the bytes (corrupt container). */
+  def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    val img = try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: Exception => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = im.getRGB(x, y)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val meanL = sl / n
+      val varL = math.max(sl2 / n - meanL * meanL, 0.0)
+      Array[Float](
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+        (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+        math.log1p(w.toDouble).toFloat, math.log1p(h.toDouble).toFloat,
+        (w.toDouble / h).toFloat)
+    }
+  }
+
+  /** REAL sample decode for PCM16 WAV (pure byte math — PCM is just LE
+    * int16s): [rms, meanAbs, zeroCrossRatio, peak (all 0..1),
+    * log1p(durationMs), sampleRate/48k, channels, 0]. None for non-PCM16
+    * or truncated containers. */
+  def decodeWavFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 44) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val audioFormat = bb.getShort(20).toInt
+    val bits = bb.getShort(34).toInt
+    if (audioFormat != 1 || bits != 16) return None
+    val dataSize = math.min(bb.getInt(40).toLong, (bytes.length - 44).toLong).toInt
+    val nSamples = dataSize / 2
+    if (nSamples <= 0) return Some(Array[Float](0, 0, 0, 0, 0,
+      bb.getInt(24) / 48000.0f, bb.getShort(22).toFloat, 0f))
+    var s2 = 0.0; var sa = 0.0; var peak = 0.0; var zc = 0
+    var prev = 0
+    var i = 0
+    while (i < nSamples) {
+      val v = bb.getShort(44 + 2 * i).toInt
+      val a = math.abs(v) / 32768.0
+      s2 += a * a; sa += a; if (a > peak) peak = a
+      if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+      prev = v
+      i += 1
+    }
+    val meta = parseMeta(bytes)
+    Some(Array[Float](
+      math.sqrt(s2 / nSamples).toFloat, (sa / nSamples).toFloat,
+      (zc.toDouble / nSamples).toFloat, peak.toFloat,
+      math.log1p(meta.durationMs.toDouble).toFloat,
+      meta.sampleRateHz / 48000.0f, meta.channels.toFloat, 0f))
+  }
+
+  /** Decode dispatch: real codecs where the JDK can decode, deterministic
+    * stub fallback elsewhere. */
+  def decodeFeatures(format: String, bytes: Array[Byte]): Array[Float] = format match {
+    case "png" | "jpeg" => decodeImageFeatures(bytes).getOrElse(decodeStub(bytes))
+    case "wav" => decodeWavFeatures(bytes).getOrElse(decodeStub(bytes))
+    case _ => decodeStub(bytes)
+  }
+
+  /** STUB decode (fallback for undecodable/unknown formats): a
+    * deterministic 8-dim "feature vector" derived from byte content
+    * (FNV-1a rolling). The signature — bytes in, fixed-width float vector
+    * out — is the production contract. */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val out = new Array[Float](8)
     var h = 0x811C9DC5
@@ -92,8 +169,9 @@ object Multimodal {
                                  durationMs: Long, features: Array[Float])
 
   /** The batch decode operator: per-partition map (no shuffle), one
-    * metadata parse + one stub decode per blob. This is the Scala analogue
-    * of a pandas mapInPandas decode stage — batch-at-a-time over Arrow-ish
+    * metadata parse + one decode per blob (real for PNG/JPEG/PCM-WAV,
+    * stub fallback elsewhere). This is the Scala analogue of a pandas
+    * mapInPandas decode stage — batch-at-a-time over Arrow-ish
     * partitions. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -101,7 +179,7 @@ object Multimodal {
       val meta = parseMeta(row.content)
       MediaFeatures(row.media_id, meta.format, meta.width, meta.height,
         meta.channels, meta.sampleRateHz, meta.durationMs,
-        decodeStub(row.content))
+        decodeFeatures(meta.format, row.content))
     })
   }
 

@@ -56,6 +56,52 @@ class MultimodalSpec extends SparkSpec {
     assert(m.durationMs == 1000L) // 32000 bytes / (8000*2*2 B/s) = 1 s
   }
 
+  /** A solid-color image encoded with the JDK's own writer — the decode
+    * test then asserts TRUE pixel-derived features, not byte hashes. */
+  private def solidImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("PNG pixels decode to true color features via javax.imageio") {
+    val bytes = solidImage(8, 4, 0xC86432, "png") // R=200 G=100 B=50
+    val f = Multimodal.decodeImageFeatures(bytes).get
+    assert(math.abs(f(0) - 200 / 255.0f) < 1e-6)
+    assert(math.abs(f(1) - 100 / 255.0f) < 1e-6)
+    assert(math.abs(f(2) - 50 / 255.0f) < 1e-6)
+    assert(f(4) < 1e-6f)                 // solid color: ~zero luma variance
+    assert(math.abs(f(7) - 2.0f) < 1e-6) // aspect 8/4
+    // And the dispatch uses the real decode for PNG, not the stub.
+    assert(Multimodal.decodeFeatures("png", bytes).toSeq == f.toSeq)
+    assert(Multimodal.decodeFeatures("png", bytes).toSeq !=
+      Multimodal.decodeStub(bytes).toSeq)
+  }
+
+  test("JPEG pixels decode within lossy tolerance") {
+    val f = Multimodal.decodeImageFeatures(solidImage(16, 16, 0xC86432, "jpg")).get
+    assert(math.abs(f(0) - 200 / 255.0) < 0.05)
+    assert(math.abs(f(1) - 100 / 255.0) < 0.05)
+    assert(math.abs(f(2) - 50 / 255.0) < 0.05)
+  }
+
+  test("PCM16 WAV samples decode to true signal features") {
+    // Square wave at half amplitude: rms = meanAbs = peak = 0.5.
+    val base = wav(channels = 1, rate = 8000, dataBytes = 400)
+    val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 200) bb.putShort(44 + 2 * i, (if (i % 2 == 0) 16384 else -16384).toShort)
+    val f = Multimodal.decodeWavFeatures(base).get
+    assert(math.abs(f(0) - 0.5f) < 1e-4 && math.abs(f(1) - 0.5f) < 1e-4)
+    assert(math.abs(f(3) - 0.5f) < 1e-4)
+    assert(f(2) > 0.9f) // alternating signs: zero-cross ratio ~= 1
+    assert(f(6) == 1.0f)
+    // Corrupt/short containers degrade to None, not an exception.
+    assert(Multimodal.decodeWavFeatures("RIFFxxxx".getBytes).isEmpty)
+  }
+
   test("unknown bytes degrade to format=unknown, never throw") {
     assert(Multimodal.parseMeta("garbage".getBytes).format == "unknown")
     assert(Multimodal.parseMeta(Array.empty[Byte]).format == "unknown")
