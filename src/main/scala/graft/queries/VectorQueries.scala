@@ -28,6 +28,7 @@ object VectorQueries extends QueryPack {
   private val Dim = 64
   private val NumCentroids = 16
   private val NProbe = 2
+  private val DupCos = 0.4
 
   /** Deterministic hyperplanes shared by the Spark plan and the generated
     * oracle SQL (same literals on both sides). */
@@ -133,6 +134,27 @@ object VectorQueries extends QueryPack {
           K, col("vec_id"))
         .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup DEDUP (the vector member of the dedup
+    // family — q38/q39/q44 are search): LSH-bucketed candidate pairs
+    // (bucket equi-join on the hyperplane sign pattern, never all-pairs),
+    // confirmed by exact cosine >= threshold, resolved greedily
+    // keep-lowest-id; reported as per-bucket kept/dropped counts. The
+    // same one-keyed-join shape as MinHash dedup, over vectors.
+    "q47_embed_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("bucket", Vectors.lshBucket(col("embedding"), planes))
+      val dropped = emb.as("x").join(emb.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .filter(Vectors.cosine(col("x.embedding"), col("y.embedding")) >= DupCos)
+        .select(col("y.vec_id").as("vec_b")).distinct()
+        .withColumn("is_dropped", lit(1))
+      emb.join(dropped, col("vec_id") === col("vec_b"), "left_outer")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(coalesce(col("is_dropped"), lit(0))).as("n_dropped"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -187,6 +209,20 @@ object VectorQueries extends QueryPack {
         FROM ranked
         WHERE rank <= $K
         ORDER BY q_id, rank""",
+
+      "q47_embed_dedup" -> s"""
+        WITH b AS (
+          SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+        dropped AS (
+          SELECT DISTINCT y.vec_id AS vec_b
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE ${cosSql("x.embedding", "y.embedding")} >= $DupCos)
+        SELECT b.bucket,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN d.vec_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_b
+        GROUP BY b.bucket
+        ORDER BY b.bucket""",
 
       "q44_ann_ivf" -> {
         // One Lloyd round as CTEs: assignment against centroid relation
