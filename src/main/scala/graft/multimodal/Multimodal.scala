@@ -183,8 +183,42 @@ object Multimodal {
     })
   }
 
-  /** Resize contract (stub): production would decode, resample, re-encode;
-    * the stub tags the metadata so the plumbing is testable end-to-end. */
+  /** REAL image resize for PNG/JPEG: decode via javax.imageio, scale the
+    * longest side down to `maxDim` (bilinear, aspect-preserving; images
+    * already within bounds pass through untouched), re-encode as PNG.
+    * Per-partition map — no shuffle; non-image blobs pass through. */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val fmt = parseMeta(r.content).format
+      if (fmt != "png" && fmt != "jpeg") r
+      else {
+        val img = try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content)))
+        } catch { case _: Exception => None }
+        img match {
+          case Some(im) if math.max(im.getWidth, im.getHeight) > maxDim =>
+            val scale = maxDim.toDouble / math.max(im.getWidth, im.getHeight)
+            val nw = math.max((im.getWidth * scale).round.toInt, 1)
+            val nh = math.max((im.getHeight * scale).round.toInt, 1)
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(im, 0, 0, nw, nh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            r.copy(content = bos.toByteArray)
+          case _ => r
+        }
+      }
+    })
+  }
+
+  /** Resize contract (stub, retained for non-decodable media): tags the
+    * metadata so the plumbing is testable end-to-end. */
   def resizeStub(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => r.copy(kind = s"${r.kind}@resized:$maxDim")))

@@ -124,6 +124,24 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.features.toSeq).toSeq == features.map(_.features.toSeq).toSeq)
   }
 
+  test("resizeImages scales oversized images down, preserves aspect, passes others through") {
+    val session = spark
+    import session.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1, "image", solidImage(64, 32, 0xC86432, "png")),
+      Multimodal.MediaRow(2, "image", solidImage(8, 8, 0xC86432, "png")),
+      Multimodal.MediaRow(3, "audio", wav(1, 8000, 1000))).toDS()
+    val out = Multimodal.resizeImages(media, maxDim = 16).collect().sortBy(_.media_id)
+    val m1 = Multimodal.parseMeta(out(0).content)
+    assert(m1.format == "png" && m1.width == 16 && m1.height == 8) // 64x32 -> 16x8
+    // Pixels survive the resize: still the same solid color.
+    val f = Multimodal.decodeImageFeatures(out(0).content).get
+    assert(math.abs(f(0) - 200 / 255.0) < 0.02)
+    // Within-bounds image and non-image blob pass through byte-identical.
+    assert(out(1).content.sameElements(solidImage(8, 8, 0xC86432, "png")))
+    assert(out(2).content.sameElements(wav(1, 8000, 1000)))
+  }
+
   test("frame sampling fans one blob out into bounded frame rows") {
     val session = spark
     import session.implicits._
