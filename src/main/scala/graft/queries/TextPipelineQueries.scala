@@ -51,83 +51,17 @@ object TextPipelineQueries extends QueryPack {
         TextFns.lshBand(col("mh"), b, RowsPerBand)): _*)).as(Seq("b", "key")))
   }
 
-  /** Materialize-once store: relation key → temp parquet path. This is the
-    * cluster-scale move ("write signatures to a table before pairing")
-    * done locally: nothing is pinned in executor memory (the r2 persist()
-    * leak), every consumer — both sides of a self-join, q34 AND q35 —
-    * reads the same on-disk relation, and the md5 shingle pipeline runs
-    * exactly once per scale factor.
-    *
-    * Lifecycle: the root lives under `spark.local.dir` (same filesystem
-    * contract Spark's own shuffle/spill files use — on a cluster deploy
-    * this must be pointed at a shared path, asserted below) and the whole
-    * root is deleted by a JVM shutdown hook, so repeated bench/test runs
-    * don't accumulate orphaned graft_mat_* directories. Keys carry a data
-    * fingerprint (max mtime + file count of the source dir) so a corpus
-    * regenerated at the same path within one JVM is re-materialized rather
-    * than served stale. The map stores memoized futures — the write job
-    * runs OUTSIDE any map lock (a long-running job inside computeIfAbsent
-    * would block unrelated keys and deadlock on reentry). */
-  private val materialized =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
-  @volatile private var matRootCache: java.nio.file.Path = _
-  private def matRoot(s: SparkSession): java.nio.file.Path = synchronized {
-    if (matRootCache == null) {
-      // On a distributed deploy a driver-local temp path would silently
-      // produce partial relations (executors write part files to their own
-      // disks): require an explicitly configured shared root there.
-      val configured = s.conf.getOption("spark.graft.materializeDir")
-      require(s.sparkContext.isLocal || configured.isDefined,
-        "materialize() needs spark.graft.materializeDir (a shared filesystem path) on a non-local master")
-      val base = java.nio.file.Paths.get(configured.getOrElse(
-        s.conf.getOption("spark.local.dir").getOrElse(sys.props("java.io.tmpdir"))))
-      val root = java.nio.file.Files.createTempDirectory(base, "graft_mat_")
-      sys.addShutdownHook {
-        import java.nio.file.Files
-        import scala.jdk.CollectionConverters._
-        if (Files.exists(root)) {
-          val all = Files.walk(root).iterator().asScala.toSeq
-          all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-        }
-      }
-      matRootCache = root
-    }
-    matRootCache
-  }
+  /** Materialize-once (graft.operators.MaterializeOnce): the cluster-scale
+    * move ("write signatures to a table before pairing") done locally —
+    * nothing pinned in executor memory (the r2 persist() leak), every
+    * consumer (both sides of a self-join, q34 AND q35) reads the same
+    * on-disk relation, and the md5 shingle pipeline runs exactly once per
+    * (scale factor, source fingerprint). */
+  private def materialize(key: String, s: SparkSession)(df: => DataFrame): DataFrame =
+    graft.operators.MaterializeOnce(key, s)(df)
 
-  /** Source-data fingerprint: max mtime + count of the files under the
-    * table path (a file or a parquet directory). Cheap driver-side listing;
-    * changes whenever the corpus at `d` is regenerated. */
-  private def fingerprint(d: String, table: String): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val p = Paths.get(d, table)
-    if (!Files.exists(p)) "absent"
-    else {
-      val files = Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-      val maxM = if (files.isEmpty) 0L else files.map(Files.getLastModifiedTime(_).toMillis).max
-      s"${files.size}:$maxM"
-    }
-  }
-
-  private def materialize(key: String, s: SparkSession)(df: => DataFrame): DataFrame = {
-    val fut = new java.util.concurrent.CompletableFuture[String]()
-    val prior = materialized.putIfAbsent(key, fut)
-    val path =
-      if (prior != null) prior.join()
-      else
-        try {
-          val p = java.nio.file.Files.createTempDirectory(matRoot(s), "t_").toString
-          df.write.mode("overwrite").parquet(p)
-          fut.complete(p)
-          p
-        } catch { case e: Throwable =>
-          fut.completeExceptionally(e)
-          materialized.remove(key, fut)
-          throw e
-        }
-    s.read.parquet(path)
-  }
+  private def fingerprint(d: String, table: String): String =
+    graft.operators.MaterializeOnce.fingerprint(d, table)
 
   /** Candidate pairs from shared LSH buckets, confirmed by exact Jaccard on
     * the shingle sets. The join is keyed on (band, key) — no all-pairs.

