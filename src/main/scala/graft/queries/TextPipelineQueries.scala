@@ -244,6 +244,24 @@ object TextPipelineQueries extends QueryPack {
       blockedJaccardPairs(docs, MaxBlock)
         .filter(col("jacc") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Rolling-hash document fingerprint (Rabin-Karp style): fold
+    // h = (h*31 + tokenHash) mod 1e9+7 over the token sequence — ORDER
+    // SENSITIVE, unlike SimHash (q36), so reordered-token documents get
+    // different fingerprints. Pure HOF fold, one pass per doc; exact
+    // grouped dup-counts on the fingerprint demonstrate the dedup use.
+    "q48_rolling_fp" -> ((s, d) => {
+      val M = 1000000007L
+      val base = Tables.documents(s, d)
+        .withColumn("hs", transform(TextFns.tokens(col("text")),
+          t => TextFns.hash32(t)))
+        .withColumn("fp", aggregate(col("hs"), lit(0L),
+          (acc, h) => (acc * 31 + h) % M))
+      base.select(col("doc_id"), col("fp"),
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp"))).as("n_same_fp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -372,6 +390,22 @@ object TextPipelineQueries extends QueryPack {
         SELECT doc_id,
                CAST(${(0 until 16).map(i => s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")} AS BIGINT) AS simhash
         FROM b
+        ORDER BY doc_id""",
+
+      "q48_rolling_fp" -> s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(toks, x -> CAST($hex32 AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+          FROM t)
+        SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same_fp
+        FROM h
         ORDER BY doc_id""",
 
       "q37_trigram_jaccard" -> s"""
