@@ -65,6 +65,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-to-file: parquet source -> watermarked agg -> parquet sink across checkpointed restarts") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("evt_src").toString
+    val out = java.nio.file.Files.createTempDirectory("evt_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("evt_chk").toString
+
+    def append(events: Seq[Event]): Unit =
+      events.toDF().withColumn("props", lit("{}"))
+        .write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = EventStreams.tumblingHourly(
+          EventStreams.readEventStream(session, src), withWatermark = true)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val original = Seq(
+      Event(1, ts("2024-01-01 09:10:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 09:20:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 10:40:00"), 1, "click", 3.0),
+      Event(4, ts("2024-01-01 11:59:59"), 3, "view", 4.0))
+    val sentinelA = Event(90, ts("2024-01-11 00:00:00"), 9, "sentinel_a", 0.5)
+    val sentinelB = Event(91, ts("2024-01-21 00:00:00"), 9, "sentinel_b", 0.5)
+
+    append(original)
+    runOnce() // establishes the watermark in the checkpoint
+    append(Seq(sentinelA))
+    runOnce() // emits windows closed under the previous watermark
+    append(Seq(sentinelB))
+    runOnce() // watermark now far past every original + sentinel-A window
+
+    val streamed = session.read.parquet(out)
+      .collect().map(_.toSeq).toSet
+    val batchOriginal = EventStreams.tumblingHourly(original.toDF())
+      .collect().map(_.toSeq).toSet
+    val batchWithA = EventStreams.tumblingHourly((original :+ sentinelA).toDF())
+      .collect().map(_.toSeq).toSet
+    // Every original window must reach the file sink exactly once across
+    // the three restarts; sentinel B's own window is still open.
+    assert(batchOriginal.subsetOf(streamed),
+      s"missing windows: ${batchOriginal.diff(streamed)}")
+    assert(streamed.subsetOf(batchWithA),
+      s"unexpected rows: ${streamed.diff(batchWithA)}")
+  }
+
   test("batch and streaming tumbling aggregations agree on the same data") {
     val session = spark
     import session.implicits._
