@@ -299,8 +299,13 @@ object TextPipelineQueries extends QueryPack {
       .select(col("x.lang").as("lang"), col("x.source").as("source"),
         least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
-        (size(array_intersect(col("x.gr"), col("y.gr"))).cast("double") /
-         size(array_union(col("x.gr"), col("y.gr")))).as("jacc"))
+        size(array_intersect(col("x.gr"), col("y.gr"))).as("isz"),
+        (col("x.ng") + col("y.ng")).as("nsum"))
+      // gr holds DISTINCT ints (injective trigram packing), so
+      // |A ∪ B| = |A| + |B| - |A ∩ B| — one set operation per pair
+      // instead of two (array_union was ~half the join's work).
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+        (col("isz").cast("double") / (col("nsum") - col("isz"))).as("jacc"))
   }
 
   val oracles: Map[String, String] = {
@@ -420,14 +425,14 @@ object TextPipelineQueries extends QueryPack {
                            + ascii(substr(x, 2, 1)) * 256
                            + ascii(substr(x, 3, 1)) AS BIGINT))) AS gr
           FROM documents)
-        SELECT x.lang, x.source, x.doc_id AS doc_a, y.doc_id AS doc_b,
-               CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.gr, y.gr))) AS jacc
-        FROM g x JOIN g y
-          ON x.lang = y.lang AND x.source = y.source AND x.lb = y.lb
-             AND x.doc_id < y.doc_id
-        WHERE CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.gr, y.gr))) >= 0.5
+        SELECT lang, source, doc_a, doc_b, jacc FROM (
+          SELECT x.lang, x.source, x.doc_id AS doc_a, y.doc_id AS doc_b,
+                 CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE)
+                   / (len(x.gr) + len(y.gr) - len(list_intersect(x.gr, y.gr))) AS jacc
+          FROM g x JOIN g y
+            ON x.lang = y.lang AND x.source = y.source AND x.lb = y.lb
+               AND x.doc_id < y.doc_id)
+        WHERE jacc >= 0.5
         ORDER BY doc_a, doc_b"""
     )
   }
