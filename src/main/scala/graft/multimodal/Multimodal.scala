@@ -60,6 +60,10 @@ object Multimodal {
         } else i += 1
       }
       MediaMeta("jpeg", w, h, 0, 0, 0L)
+    } else if (bytes.length >= 10 &&
+               (bytes.startsWith("GIF87a".getBytes) || bytes.startsWith("GIF89a".getBytes))) {
+      // GIF: logical screen width/height as LE u16 at offsets 6/8.
+      MediaMeta("gif", u16le(6), u16le(8), 0, 0, 0L)
     } else if (bytes.length >= 44 && bytes.startsWith("RIFF".getBytes) &&
                new String(bytes, 8, 4) == "WAVE") {
       // WAV: fmt chunk at the canonical offset.
@@ -224,20 +228,54 @@ object Multimodal {
     media.mapPartitions(_.map(r => r.copy(kind = s"${r.kind}@resized:$maxDim")))
   }
 
-  /** Frame-sample contract (stub): every k-th "frame" boundary of a video
-    * blob; here frames are fixed 1 KiB byte windows so the fan-out shape
-    * (one row in, n rows out) is real. */
-  def frameSampleStub(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
+  /** REAL frame sampling for multi-frame GIF (the one video-ish container
+    * the JDK can decode): every k-th frame decoded via the ImageIO GIF
+    * reader and re-encoded as PNG — one row in, n/k rows out, each a
+    * standalone image ready for the PNG feature path. Non-GIF blobs fall
+    * back to the byte-window stub so the fan-out contract holds for every
+    * format. Per-partition flatMap, no shuffle. */
+  def frameSample(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val frames = math.max(r.content.length / 1024, 1)
-      (0 until frames by everyK).map { f =>
-        val from = f * 1024
-        val until = math.min(from + 1024, r.content.length)
-        MediaRow(r.media_id * 1000 + f, s"${r.kind}#frame$f",
-          java.util.Arrays.copyOfRange(r.content, from, until))
+      if (parseMeta(r.content).format != "gif") frameWindows(r, everyK)
+      else {
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) frameWindows(r, everyK)
+          else {
+            val reader = readers.next()
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val out = (0 until n by everyK).map { f =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(reader.read(f), "png", bos)
+              MediaRow(r.media_id * 1000 + f, s"${r.kind}#frame$f", bos.toByteArray)
+            }
+            reader.dispose()
+            out
+          }
+        } catch { case _: Exception => frameWindows(r, everyK) }
       }
     }
+  }
+
+  private def frameWindows(r: MediaRow, everyK: Int): Seq[MediaRow] = {
+    val frames = math.max(r.content.length / 1024, 1)
+    (0 until frames by everyK).map { f =>
+      val from = f * 1024
+      val until = math.min(from + 1024, r.content.length)
+      MediaRow(r.media_id * 1000 + f, s"${r.kind}#frame$f",
+        java.util.Arrays.copyOfRange(r.content, from, until))
+    }
+  }
+
+  /** Frame-sample contract (stub): every k-th fixed 1 KiB byte window of
+    * a blob — the fan-out shape (one row in, n rows out) without a codec. */
+  def frameSampleStub(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => frameWindows(r, everyK))
   }
 
   /** Metadata as columns over a binary DataFrame — usable from SQL. */

@@ -142,6 +142,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).content.sameElements(wav(1, 8000, 1000)))
   }
 
+  /** A real multi-frame GIF written with the JDK's own sequence writer:
+    * four solid-color frames. */
+  private def animatedGif(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("GIF frame sampling decodes real frames and re-encodes each as PNG") {
+    val session = spark
+    import session.implicits._
+    val gif = animatedGif(Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF), 6, 4)
+    assert(Multimodal.parseMeta(gif).format == "gif")
+    assert(Multimodal.parseMeta(gif).width == 6 && Multimodal.parseMeta(gif).height == 4)
+    val frames = Multimodal.frameSample(
+      Seq(Multimodal.MediaRow(5, "anim", gif)).toDS(), everyK = 2)
+      .collect().sortBy(_.media_id)
+    assert(frames.length == 2) // frames 0 and 2 of 4
+    assert(frames.map(_.kind).toSeq == Seq("anim#frame0", "anim#frame2"))
+    // Each sampled frame is a standalone PNG carrying the TRUE frame color.
+    val f0 = Multimodal.decodeImageFeatures(frames(0).content).get
+    val f2 = Multimodal.decodeImageFeatures(frames(1).content).get
+    assert(f0(0) > 0.9 && f0(1) < 0.1 && f0(2) < 0.1) // frame 0: red
+    assert(f2(2) > 0.9 && f2(0) < 0.1 && f2(1) < 0.1) // frame 2: blue
+    // Non-GIF blobs still fan out via the byte-window fallback.
+    val blob = Multimodal.MediaRow(7, "video", new Array[Byte](4 * 1024))
+    assert(Multimodal.frameSample(Seq(blob).toDS(), everyK = 2).collect().length == 2)
+  }
+
   test("frame sampling fans one blob out into bounded frame rows") {
     val session = spark
     import session.implicits._
