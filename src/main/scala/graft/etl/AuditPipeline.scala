@@ -100,12 +100,16 @@ object AuditPipeline {
   }
 
   /** JS truthiness of an input field (main.js:17 `!client || ...`):
-    * absent, null, "", 0, NaN and false all fail validation. */
+    * absent, null, "", 0, NaN and false fail validation; non-empty
+    * strings, non-zero numbers, true, and ANY object or array are truthy
+    * (the reference would proceed with them and stringify downstream). */
   private def truthyInput(in: J.JObj, key: String): Option[String] =
     in.opt(key).flatMap {
       case J.JStr(s) if s.nonEmpty => Some(s)
       case J.JNum(d) if d != 0 && !d.isNaN => Some(J.JNum(d).toJson)
       case J.JBool(true) => Some("true")
+      case o: J.JObj => Some(o.toJson)
+      case a: J.JArr => Some(a.toJson)
       case _ => None
     }
 

@@ -87,11 +87,16 @@ object Multimodal {
     img.map { im =>
       val w = im.getWidth; val h = im.getHeight
       var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      // Bulk scanline reads: per-pixel getRGB(x, y) pays a ColorModel
+      // conversion + bounds check per call, which dominates the decode
+      // hot loop on megapixel images.
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        im.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val p = im.getRGB(x, y)
+          val p = row(x)
           val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
           val l = 0.299 * r + 0.587 * g + 0.114 * b
           sr += r; sg += g; sb += b; sl += l; sl2 += l * l
@@ -120,7 +125,11 @@ object Multimodal {
     val audioFormat = bb.getShort(20).toInt
     val bits = bb.getShort(34).toInt
     if (audioFormat != 1 || bits != 16) return None
-    val dataSize = math.min(bb.getInt(40).toLong, (bytes.length - 44).toLong).toInt
+    // The data-chunk size is an UNSIGNED u32 (streaming encoders write
+    // 0xFFFFFFFF placeholders); a signed read would go negative and
+    // silently decode zero samples.
+    val declared = bb.getInt(40).toLong & 0xFFFFFFFFL
+    val dataSize = math.min(declared, (bytes.length - 44).toLong).toInt
     val nSamples = dataSize / 2
     if (nSamples <= 0) return Some(Array[Float](0, 0, 0, 0, 0,
       bb.getInt(24) / 48000.0f, bb.getShort(22).toFloat, 0f))
@@ -205,8 +214,11 @@ object Multimodal {
             val scale = maxDim.toDouble / math.max(im.getWidth, im.getHeight)
             val nw = math.max((im.getWidth * scale).round.toInt, 1)
             val nh = math.max((im.getHeight * scale).round.toInt, 1)
+            // ARGB output: drawing transparency onto an RGB canvas would
+            // composite it to black and drop the alpha channel; PNG
+            // round-trips alpha losslessly.
             val out = new java.awt.image.BufferedImage(nw, nh,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
             val g = out.createGraphics()
             g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
@@ -239,24 +251,30 @@ object Multimodal {
     media.flatMap { r =>
       if (parseMeta(r.content).format != "gif") frameWindows(r, everyK)
       else {
+        // Close the ImageInputStream and dispose the reader on EVERY path:
+        // with ImageIO's default file cache each leaked stream pins a temp
+        // file + file descriptor on the executor.
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        var reader: javax.imageio.ImageReader = null
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.content))
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext) frameWindows(r, everyK)
           else {
-            val reader = readers.next()
+            reader = readers.next()
             reader.setInput(iis)
             val n = reader.getNumImages(true)
-            val out = (0 until n by everyK).map { f =>
+            (0 until n by everyK).map { f =>
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(reader.read(f), "png", bos)
               MediaRow(r.media_id * 1000 + f, s"${r.kind}#frame$f", bos.toByteArray)
             }
-            reader.dispose()
-            out
           }
         } catch { case _: Exception => frameWindows(r, everyK) }
+        finally {
+          if (reader != null) reader.dispose()
+          iis.close()
+        }
       }
     }
   }

@@ -38,8 +38,11 @@ object MaterializeOnce {
       val configured = s.conf.getOption("spark.graft.materializeDir")
       require(s.sparkContext.isLocal || configured.isDefined,
         "MaterializeOnce needs spark.graft.materializeDir (a shared filesystem path) on a non-local master")
+      // spark.local.dir may be a comma-separated list (Spark's documented
+      // multi-disk form) — take the first entry for the local store root.
       val base = java.nio.file.Paths.get(configured.getOrElse(
-        s.conf.getOption("spark.local.dir").getOrElse(sys.props("java.io.tmpdir"))))
+        s.conf.getOption("spark.local.dir").getOrElse(sys.props("java.io.tmpdir")))
+        .split(',').head.trim)
       val root = java.nio.file.Files.createTempDirectory(base, "graft_mat_")
       sys.addShutdownHook {
         import java.nio.file.Files
@@ -54,9 +57,14 @@ object MaterializeOnce {
     matRootCache
   }
 
-  /** Source-data fingerprint: max mtime + count of the files under the
-    * table path (a file or a parquet directory). Cheap driver-side
-    * listing; changes whenever the corpus at `dir` is regenerated. */
+  /** Source-data fingerprint: file count + max mtime + total byte size of
+    * the files under the table path (a file or a parquet directory). Cheap
+    * driver-side listing; changes whenever the corpus at `dir` is
+    * regenerated. The byte-size component guards the window where a
+    * rewrite lands within the filesystem's mtime granularity with the
+    * same file count — only an identically-sized same-second rewrite can
+    * alias, which parquet's non-deterministic encoding makes vanishingly
+    * unlikely. */
   def fingerprint(dir: String, table: String): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -65,7 +73,8 @@ object MaterializeOnce {
     else {
       val files = Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
       val maxM = if (files.isEmpty) 0L else files.map(Files.getLastModifiedTime(_).toMillis).max
-      s"${files.size}:$maxM"
+      val bytes = files.map(Files.size(_)).sum
+      s"${files.size}:$maxM:$bytes"
     }
   }
 

@@ -145,9 +145,11 @@ object VectorQueries extends QueryPack {
     // Embedding-cosine near-dup DEDUP (the vector member of the dedup
     // family — q38/q39/q44 are search): LSH-bucketed candidate pairs
     // (bucket equi-join on the hyperplane sign pattern, never all-pairs),
-    // confirmed by exact cosine >= threshold, resolved greedily
-    // keep-lowest-id; reported as per-bucket kept/dropped counts. The
-    // same one-keyed-join shape as MinHash dedup, over vectors.
+    // confirmed by exact cosine >= threshold. Resolution drops every
+    // vector that has ANY lower-id near-duplicate (the same one-pass rule
+    // as q35 — note this is NOT transitive greedy clustering: in a chain
+    // a~b~c with a!~c, both b and c are dropped); reported as per-bucket
+    // kept/dropped counts. One keyed join, same shape as MinHash dedup.
     "q47_embed_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .withColumn("bucket", Vectors.lshBucket(col("embedding"), planes))

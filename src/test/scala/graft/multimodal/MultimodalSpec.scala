@@ -100,6 +100,14 @@ class MultimodalSpec extends SparkSpec {
     assert(f(6) == 1.0f)
     // Corrupt/short containers degrade to None, not an exception.
     assert(Multimodal.decodeWavFeatures("RIFFxxxx".getBytes).isEmpty)
+    // Streaming-encoder 0xFFFFFFFF placeholder size: unsigned read must
+    // clamp to the actual byte count, not go negative and decode nothing.
+    val placeholder = wav(channels = 1, rate = 8000, dataBytes = 400)
+    val pb = java.nio.ByteBuffer.wrap(placeholder).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 200) pb.putShort(44 + 2 * i, 16384.toShort)
+    pb.putInt(40, 0xFFFFFFFF)
+    val pf = Multimodal.decodeWavFeatures(placeholder).get
+    assert(math.abs(pf(0) - 0.5f) < 1e-4, s"placeholder-size wav decoded rms ${pf(0)}")
   }
 
   test("unknown bytes degrade to format=unknown, never throw") {
