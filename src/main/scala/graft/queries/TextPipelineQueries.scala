@@ -246,6 +246,26 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Deterministic stratified sampling: per-language keep rates applied
+    // via a content-independent hash gate (md5 of the doc id mod 100 <
+    // rate) — the reproducible downsampling a training-data pipeline
+    // needs for over-represented languages, with NO RNG (every engine,
+    // every run, every partitioning draws the same sample; Spark's
+    // sampleBy cannot be mirrored cross-engine). Pure map + one agg.
+    "q49_stratified_sample" -> ((s, d) => {
+      val rates: Column = map(
+        lit("en"), lit(30), lit("es"), lit(60), lit("de"), lit(60),
+        lit("fr"), lit(80), lit("zh"), lit(100))
+      Tables.documents(s, d)
+        .withColumn("gate", pmod(TextFns.hash32(concat(lit("samp|"),
+          col("doc_id").cast("string"))), lit(100)))
+        .withColumn("keep", col("gate") < coalesce(rates(col("lang")), lit(100)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // Rolling-hash document fingerprint (Rabin-Karp style): fold
     // h = (h*31 + tokenHash) mod 1e9+7 over the token sequence — ORDER
     // SENSITIVE, unlike SimHash (q36), so reordered-token documents get
@@ -396,6 +416,22 @@ object TextPipelineQueries extends QueryPack {
                CAST(${(0 until 16).map(i => s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")} AS BIGINT) AS simhash
         FROM b
         ORDER BY doc_id""",
+
+      "q49_stratified_sample" -> {
+        val sampHash = hex32.replace("md5(x)", "md5('samp|' || CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH g AS (
+          SELECT lang, CAST($sampHash AS BIGINT) % 100 AS gate
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN gate < (CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 60
+                                               WHEN 'de' THEN 60 WHEN 'fr' THEN 80
+                                               WHEN 'zh' THEN 100 ELSE 100 END)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM g
+        GROUP BY lang
+        ORDER BY lang"""
+      },
 
       "q48_rolling_fp" -> s"""
         WITH t AS (
