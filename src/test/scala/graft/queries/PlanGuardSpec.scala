@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan linting across the ENTIRE gate surface: no query may plan a
+  * scale-killer. Catches regressions the value-level gate cannot see —
+  * a query can stay hash-correct while silently degrading to a
+  * cartesian product or an unbounded nested-loop join.
+  *
+  * BroadcastNestedLoopJoin is allowed only where one side is provably
+  * bounded by a query constant (the ANN query/centroid sides, ≤ 16
+  * rows at any corpus scale) — those are the documented intent, not an
+  * accident. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries where a nested-loop join against a constant-bounded
+    * broadcast side is the intended design. */
+  private val nestedLoopAllowed = Set(
+    "q38_cosine_topk",   // query vectors (< 5 rows) cross corpus
+    "q39_ann_lsh",       // bucket-joined, query side broadcast
+    "q44_ann_ivf",       // centroids (<= 16) and probes (<= 10)
+    "q47_embed_dedup")   // bucket self-join, bounded bucket count
+
+  test("no gate query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      plan.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin appears only where a side is constant-bounded") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(nestedLoopAllowed)
+      .filter { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        plan.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"unintended nested-loop joins in: $offenders")
+  }
+}
