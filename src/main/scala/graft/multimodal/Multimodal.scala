@@ -64,16 +64,43 @@ object Multimodal {
                (bytes.startsWith("GIF87a".getBytes) || bytes.startsWith("GIF89a".getBytes))) {
       // GIF: logical screen width/height as LE u16 at offsets 6/8.
       MediaMeta("gif", u16le(6), u16le(8), 0, 0, 0L)
-    } else if (bytes.length >= 44 && bytes.startsWith("RIFF".getBytes) &&
+    } else if (bytes.length >= 12 && bytes.startsWith("RIFF".getBytes) &&
                new String(bytes, 8, 4) == "WAVE") {
-      // WAV: fmt chunk at the canonical offset.
-      val channels = u16le(22)
-      val rate = u32le(24).toInt
-      val byteRate = u32le(28)
-      val dataSize = u32le(40)
-      val durMs = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
-      MediaMeta("wav", 0, 0, channels, rate, durMs)
+      // WAV: walk the RIFF chunk list — extra chunks (LIST, fact, …) may
+      // precede fmt/data, so canonical offsets cannot be assumed.
+      (riffChunk(bytes, "fmt "), riffChunk(bytes, "data")) match {
+        case (Some((fmtOff, fmtLen)), dataOpt) if fmtLen >= 16 =>
+          val channels = u16le(fmtOff + 2)
+          val rate = u32le(fmtOff + 4).toInt
+          val byteRate = u32le(fmtOff + 8)
+          val dataSize = dataOpt.map(_._2.toLong).getOrElse(0L)
+          val durMs = if (byteRate > 0) dataSize * 1000L / byteRate else 0L
+          MediaMeta("wav", 0, 0, channels, rate, durMs)
+        case _ => MediaMeta("wav", 0, 0, 0, 0, 0L)
+      }
     } else MediaMeta("unknown", 0, 0, 0, 0, 0L)
+  }
+
+  /** RIFF chunk walk: (payload offset, payload size clamped to the buffer)
+    * of the first chunk with the given 4-char id, or None. Sizes are
+    * unsigned u32 and chunks are word-aligned (odd sizes carry a pad
+    * byte). */
+  private def riffChunk(bytes: Array[Byte], id: String): Option[(Int, Int)] = {
+    def u32le(off: Int): Long =
+      ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val cid = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val declared = u32le(off + 4)
+      val avail = math.min(declared, (bytes.length - off - 8).toLong).toInt
+      if (cid == id) return Some((off + 8, avail))
+      // Advance in Long: a corrupt 0xFFFFFFFF size must terminate the
+      // walk, not overflow Int into an infinite loop.
+      val next = off.toLong + 8L + declared + (declared & 1L)
+      if (next > Int.MaxValue) return None
+      off = next.toInt
+    }
+    None
   }
 
   /** REAL pixel decode for PNG/JPEG (javax.imageio is in the JDK): 8-dim
@@ -120,24 +147,35 @@ object Multimodal {
     * log1p(durationMs), sampleRate/48k, channels, 0]. None for non-PCM16
     * or truncated containers. */
   def decodeWavFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
-    if (bytes.length < 44) return None
+    if (bytes.length < 12 || !bytes.startsWith("RIFF".getBytes) ||
+        new String(bytes, 8, 4) != "WAVE") return None
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val audioFormat = bb.getShort(20).toInt
-    val bits = bb.getShort(34).toInt
+    // Chunk-walked offsets, NOT canonical ones: a valid WAV may carry
+    // LIST/fact chunks before fmt/data, and fixed offsets would silently
+    // read garbage sample values there.
+    val fmt = riffChunk(bytes, "fmt ") match {
+      case Some((off, len)) if len >= 16 => off
+      case _ => return None
+    }
+    val audioFormat = bb.getShort(fmt).toInt
+    val bits = bb.getShort(fmt + 14).toInt
     if (audioFormat != 1 || bits != 16) return None
+    val sampleRate = bb.getInt(fmt + 4)
+    val channels = bb.getShort(fmt + 2).toInt
     // The data-chunk size is an UNSIGNED u32 (streaming encoders write
-    // 0xFFFFFFFF placeholders); a signed read would go negative and
-    // silently decode zero samples.
-    val declared = bb.getInt(40).toLong & 0xFFFFFFFFL
-    val dataSize = math.min(declared, (bytes.length - 44).toLong).toInt
+    // 0xFFFFFFFF placeholders) and riffChunk clamps it to the buffer.
+    val (dataOff, dataSize) = riffChunk(bytes, "data") match {
+      case Some(c) => c
+      case None => return None
+    }
     val nSamples = dataSize / 2
     if (nSamples <= 0) return Some(Array[Float](0, 0, 0, 0, 0,
-      bb.getInt(24) / 48000.0f, bb.getShort(22).toFloat, 0f))
+      sampleRate / 48000.0f, channels.toFloat, 0f))
     var s2 = 0.0; var sa = 0.0; var peak = 0.0; var zc = 0
     var prev = 0
     var i = 0
     while (i < nSamples) {
-      val v = bb.getShort(44 + 2 * i).toInt
+      val v = bb.getShort(dataOff + 2 * i).toInt
       val a = math.abs(v) / 32768.0
       s2 += a * a; sa += a; if (a > peak) peak = a
       if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
@@ -241,11 +279,14 @@ object Multimodal {
   }
 
   /** REAL frame sampling for multi-frame GIF (the one video-ish container
-    * the JDK can decode): every k-th frame decoded via the ImageIO GIF
-    * reader and re-encoded as PNG — one row in, n/k rows out, each a
-    * standalone image ready for the PNG feature path. Non-GIF blobs fall
-    * back to the byte-window stub so the fan-out contract holds for every
-    * format. Per-partition flatMap, no shuffle. */
+    * the JDK can decode): frames are COMPOSITED onto a logical-screen-sized
+    * canvas in sequence (honoring per-frame offsets and disposal methods —
+    * optimized GIFs store delta sub-rectangles, so `reader.read(f)` alone
+    * is not the logical frame), and every k-th composited frame is
+    * re-encoded as PNG — one row in, n/k rows out, each a standalone image
+    * ready for the PNG feature path. Non-GIF blobs fall back to the
+    * byte-window stub so the fan-out contract holds for every format.
+    * Per-partition flatMap, no shuffle. */
   def frameSample(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
@@ -264,11 +305,44 @@ object Multimodal {
             reader = readers.next()
             reader.setInput(iis)
             val n = reader.getNumImages(true)
-            (0 until n by everyK).map { f =>
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(reader.read(f), "png", bos)
-              MediaRow(r.media_id * 1000 + f, s"${r.kind}#frame$f", bos.toByteArray)
+            val first = reader.read(0)
+            val screen = parseMeta(r.content)
+            val lw = if (screen.width > 0) screen.width else first.getWidth
+            val lh = if (screen.height > 0) screen.height else first.getHeight
+            var canvas = new java.awt.image.BufferedImage(lw, lh,
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            var saved: java.awt.image.BufferedImage = null
+            val out = scala.collection.mutable.ArrayBuffer[MediaRow]()
+            var f = 0
+            while (f < n) {
+              val frame = if (f == 0) first else reader.read(f)
+              val (left, top, disposal) = gifFrameGeometry(reader.getImageMetadata(f))
+              if (disposal == "restoreToPrevious") {
+                saved = new java.awt.image.BufferedImage(lw, lh,
+                  java.awt.image.BufferedImage.TYPE_INT_ARGB)
+                val gs = saved.createGraphics(); gs.drawImage(canvas, 0, 0, null); gs.dispose()
+              }
+              val g = canvas.createGraphics()
+              g.drawImage(frame, left, top, null)
+              g.dispose()
+              if (f % everyK == 0) {
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(canvas, "png", bos)
+                out += MediaRow(r.media_id * 1000 + f, s"${r.kind}#frame$f", bos.toByteArray)
+              }
+              disposal match {
+                case "restoreToBackgroundColor" =>
+                  val gc = canvas.createGraphics()
+                  gc.setComposite(java.awt.AlphaComposite.Clear)
+                  gc.fillRect(left, top, frame.getWidth, frame.getHeight)
+                  gc.dispose()
+                case "restoreToPrevious" if saved != null =>
+                  canvas = saved
+                case _ => ()
+              }
+              f += 1
             }
+            out.toSeq
           }
         } catch { case _: Exception => frameWindows(r, everyK) }
         finally {
@@ -278,6 +352,32 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-frame GIF geometry from the ImageIO native metadata tree:
+    * (leftOffset, topOffset, disposalMethod). Defaults cover streams with
+    * no GraphicControlExtension. */
+  private def gifFrameGeometry(m: javax.imageio.metadata.IIOMetadata): (Int, Int, String) =
+    try {
+      val root = m.getAsTree("javax_imageio_gif_image_1.0")
+      var left = 0; var top = 0; var disposal = "none"
+      val kids = root.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        val node = kids.item(i)
+        node.getNodeName match {
+          case "ImageDescriptor" =>
+            val at = node.getAttributes
+            left = Option(at.getNamedItem("imageLeftPosition")).map(_.getNodeValue.toInt).getOrElse(0)
+            top = Option(at.getNamedItem("imageTopPosition")).map(_.getNodeValue.toInt).getOrElse(0)
+          case "GraphicControlExtension" =>
+            disposal = Option(node.getAttributes.getNamedItem("disposalMethod"))
+              .map(_.getNodeValue).getOrElse("none")
+          case _ => ()
+        }
+        i += 1
+      }
+      (left, top, disposal)
+    } catch { case _: Exception => (0, 0, "none") }
 
   private def frameWindows(r: MediaRow, everyK: Int): Seq[MediaRow] = {
     val frames = math.max(r.content.length / 1024, 1)

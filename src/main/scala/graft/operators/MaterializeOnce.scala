@@ -82,7 +82,15 @@ object MaterializeOnce {
     val fut = new java.util.concurrent.CompletableFuture[String]()
     val prior = materialized.putIfAbsent(key, fut)
     val path =
-      if (prior != null) prior.join()
+      if (prior != null) {
+        // join() wraps the computing thread's failure in a
+        // CompletionException — unwrap so every caller sees the same
+        // error surface regardless of which thread ran the write.
+        try prior.join()
+        catch { case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+        }
+      }
       else
         try {
           val p = java.nio.file.Files.createTempDirectory(matRoot(s), "t_").toString

@@ -110,6 +110,29 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(pf(0) - 0.5f) < 1e-4, s"placeholder-size wav decoded rms ${pf(0)}")
   }
 
+  test("WAV with extra RIFF chunks before fmt/data still decodes correctly") {
+    // LIST chunk ahead of fmt/data: canonical-offset reads would see
+    // garbage; the chunk walk must find the real fmt and data payloads.
+    val base = wav(channels = 1, rate = 8000, dataBytes = 400)
+    val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 200) bb.putShort(44 + 2 * i, (if (i % 2 == 0) 16384 else -16384).toShort)
+    val bos = new ByteArrayOutputStream()
+    bos.write(base, 0, 12)                     // RIFF size WAVE
+    bos.write("LIST".getBytes); bos.write(Array[Byte](10, 0, 0, 0))
+    bos.write("INFOabcdef".getBytes)           // 10-byte payload (even, no pad)
+    bos.write(base, 12, base.length - 12)      // fmt + data as-is
+    val shifted = bos.toByteArray
+    val m = Multimodal.parseMeta(shifted)
+    assert(m.format == "wav" && m.channels == 1 && m.sampleRateHz == 8000)
+    val f = Multimodal.decodeWavFeatures(shifted).get
+    assert(math.abs(f(0) - 0.5f) < 1e-4, s"chunk-shifted wav decoded rms ${f(0)}")
+    // A WAV missing its data chunk is None, not garbage.
+    val noData = java.util.Arrays.copyOf(base, 44)
+    val nb = java.nio.ByteBuffer.wrap(noData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nb.put(36, 'j'.toByte) // corrupt the data chunk id
+    assert(Multimodal.decodeWavFeatures(noData).isEmpty)
+  }
+
   test("unknown bytes degrade to format=unknown, never throw") {
     assert(Multimodal.parseMeta("garbage".getBytes).format == "unknown")
     assert(Multimodal.parseMeta(Array.empty[Byte]).format == "unknown")
@@ -189,6 +212,59 @@ class MultimodalSpec extends SparkSpec {
     // Non-GIF blobs still fan out via the byte-window fallback.
     val blob = Multimodal.MediaRow(7, "video", new Array[Byte](4 * 1024))
     assert(Multimodal.frameSample(Seq(blob).toDS(), everyK = 2).collect().length == 2)
+  }
+
+  test("delta-encoded GIF frames composite onto the logical screen") {
+    // Frame 0: full 8x4 red. Frame 1: a 4x4 green sub-rectangle at
+    // left=4 — an optimized (delta) frame. The sampled logical frame 1
+    // must be the COMPOSITE (red left half, green right half), not the
+    // bare 4x4 stored rectangle.
+    val w = 8; val h = 4
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    def frame(fw: Int, fh: Int, rgb: Int, left: Int): javax.imageio.IIOImage = {
+      val img = new java.awt.image.BufferedImage(fw, fh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until fh; x <- 0 until fw) img.setRGB(x, y, rgb)
+      val ts = javax.imageio.ImageTypeSpecifier.createFromBufferedImageType(
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val md = writer.getDefaultImageMetadata(ts, writer.getDefaultWriteParam)
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = tree.getChildNodes
+      for (i <- 0 until kids.getLength) {
+        val n = kids.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        if (n.getNodeName == "ImageDescriptor") {
+          n.setAttribute("imageLeftPosition", left.toString)
+          n.setAttribute("imageTopPosition", "0")
+        }
+      }
+      md.setFromTree("javax_imageio_gif_image_1.0", tree)
+      new javax.imageio.IIOImage(img, null, md)
+    }
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(frame(w, h, 0xFF0000, 0), null)
+    writer.writeToSequence(frame(4, h, 0x00FF00, 4), null)
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+    assert(Multimodal.parseMeta(gif).format == "gif")
+
+    val session = spark
+    import session.implicits._
+    val frames = Multimodal.frameSample(
+      Seq(Multimodal.MediaRow(9, "anim", gif)).toDS(), everyK = 1)
+      .collect().sortBy(_.media_id)
+    assert(frames.length == 2)
+    // Composited frame 1 keeps the logical-screen dimensions...
+    val m1 = Multimodal.parseMeta(frames(1).content)
+    assert(m1.width == w && m1.height == h,
+      s"frame 1 is ${m1.width}x${m1.height}, expected logical $w x $h")
+    // ...and carries half red + half green pixels (means ~0.5 each).
+    val f1 = Multimodal.decodeImageFeatures(frames(1).content).get
+    assert(math.abs(f1(0) - 0.5f) < 0.05 && math.abs(f1(1) - 0.5f) < 0.05 && f1(2) < 0.05,
+      s"composited means ${f1.take(3).toSeq}")
   }
 
   test("frame sampling fans one blob out into bounded frame rows") {
