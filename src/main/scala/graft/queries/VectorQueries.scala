@@ -4,39 +4,85 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Vectors
-import graft.operators.TopK
+import graft.operators.{SaltedSelfPairs, TopK}
 
-/** Similarity search over the `embeddings` table (builder-prompt ANN
-  * family): brute-force cosine top-k as the exactness baseline, and a
-  * random-hyperplane LSH-bucketed variant as the scale path.
+/** Similarity search + embedding dedup over the `embeddings` table
+  * (builder-prompt ANN family): brute-force cosine top-k as the exactness
+  * baseline (q38), hyperplane-LSH (q39) and IVF (q44) as the scale paths,
+  * banded-LSH near-dup dedup (q47), and a recall gate (q50) that scores
+  * the approximate indexes against the exact ranking.
   *
   * All vector math is HOF-based (zip_with/transform/aggregate folding in
   * index order, elements cast to double first) so the identical IEEE
   * sequence is expressible in DuckDB (`list_transform` + `list_reduce`) and
   * cosine scores hash-match bit-for-bit — see graft.functions.Vectors.
   *
-  * Scale design: the query set is tiny and explicitly broadcast; the corpus
-  * side streams through a nested-loop (q38) or a bucket-equi-join (q39).
-  * Top-k uses the two-level salted select (graft.operators.TopK) so no task
-  * ever sorts the whole corpus for one query key.
+  * INDEX GEOMETRY SCALES WITH THE CORPUS (not compile-time constants): the
+  * number of hash planes per LSH band and the IVF centroid count are
+  * derived from the corpus row count at build time —
+  * planes = ceil(log2(n / targetBucket)) keeps expected bucket size near
+  * `TargetBucket` as n grows, centroids = floor(sqrt(n)) keeps per-probe
+  * scan cost ~sqrt(n). The SAME derivations run inside the oracle SQL
+  * (a params CTE over COUNT(*)), in pure integer arithmetic
+  * (ceil-log2 via the binary-string length of m-1) so both engines derive
+  * identical constants with no float-edge risk. The plane POOL is fixed
+  * (seeded, NumBands × MaxPlanesPerBand) and each band uses a prefix of
+  * its slice, so a derived plane count selects from identical literals on
+  * both sides.
   */
 object VectorQueries extends QueryPack {
 
   private val NumQueries = 5
   private val K = 10
-  private val NumPlanes = 4
   private val Dim = 64
-  private val NumCentroids = 16
   private val NProbe = 2
   private val DupCos = 0.4
 
-  /** Deterministic hyperplanes shared by the Spark plan and the generated
-    * oracle SQL (same literals on both sides). */
-  private val planes: Seq[Seq[Double]] = Vectors.hyperplanes(NumPlanes, Dim, seed = 42L)
+  /** LSH bands for the dedup family; band COUNT is a recall knob (fixed),
+    * band key CARDINALITY is the scale knob (derived from n). */
+  private val NumBands = 4
+
+  /** Cap on derived planes per band — 2^16 bucket ids per band. Beyond
+    * n ≈ TargetBucket·2^16 vectors the key space stops growing and the
+    * oversized-bucket salting guard (SaltedSelfPairs) is what bounds
+    * per-task work; raising the cap is a one-constant change (the plane
+    * pool and oracle SQL are generated from it). */
+  private val MaxPlanesPerBand = 16
+
+  /** Intended vectors per LSH bucket: planes are derived so expected
+    * bucket size stays near this as the corpus grows. */
+  private val TargetBucket = 32
+
+  /** Hot-bucket guard: no self-join bucket may own more than ~MaxBucket²
+    * candidate pairs (same guard as q37's trigram blocks). */
+  private val MaxBucket = 1000
+
+  /** Deterministic hyperplane pool shared by the Spark plan and the
+    * generated oracle SQL (same literals on both sides). Band b uses
+    * slots [b·MaxPlanesPerBand, b·MaxPlanesPerBand + planesPerBand(n));
+    * slot→plane never shifts when the derived count changes. */
+  private val pool: Seq[Seq[Double]] =
+    Vectors.hyperplanes(NumBands * MaxPlanesPerBand, Dim, seed = 42L)
+
+  /** ceil(log2(m)) in exact integer arithmetic (0 for m ≤ 1) — the SQL
+    * twin is `length(bin(m - 1))`, also exact. */
+  private def ceilLog2(m: Long): Int =
+    if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+
+  /** Derived planes per band: smallest p with n/2^p ≤ TargetBucket,
+    * floored at 2, capped at MaxPlanesPerBand. */
+  private[queries] def planesPerBand(n: Long): Int =
+    math.min(MaxPlanesPerBand,
+      math.max(2, ceilLog2((n + TargetBucket - 1) / TargetBucket)))
+
+  /** Derived IVF centroid count: ~sqrt(n), floored at 16 (sqrt of an
+    * integer is correctly rounded in IEEE, so floor is engine-stable). */
+  private[queries] def numCentroids(n: Long): Long =
+    math.max(16L, math.floor(math.sqrt(n.toDouble)).toLong)
 
   /** Nearest-centroid assignment: best centroid per vector by (cosine desc,
-    * c_id asc). Centroids are broadcast — provably bounded (≤ NumCentroids
-    * rows) at any corpus scale. */
+    * c_id asc). Centroids are broadcast — bounded (~sqrt(n) rows) at any
+    * corpus scale. */
   private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.join(broadcast(cents), expr("true"))
       .select(col("vec_id"), col("embedding"), col("c_id"),
@@ -66,103 +112,146 @@ object VectorQueries extends QueryPack {
                      x => x.getField("m")).as("c_emb"))
       .select(col("cluster").as("c_id"), col("c_emb"))
 
+  // ---- query bodies (named so q50 can compose the other three) ----
+
+  /** Brute-force cosine top-k: every (query, corpus) pair scored, exact
+    * ranking. The query side (vec_id < 5) is broadcast; the corpus side is
+    * never shuffled — only the k·salt level-1 survivors move. */
+  private def exactTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+        K, col("vec_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: sign-pattern of planesPerBand(n) hyperplanes (a
+    * derived count — bucket cardinality grows with the corpus so expected
+    * bucket size stays ~TargetBucket) buckets the corpus; each query
+    * compares only within its bucket. The join is a bucket equi-join —
+    * candidate generation is O(targetBucket) per query at any scale. */
+  private def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val emb0 = Tables.embeddings(s, d)
+    val np = planesPerBand(emb0.count())
+    val emb = emb0.withColumn("bucket",
+      Vectors.lshBucket(col("embedding"), pool.take(np)))
+    val qs = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("bucket").as("q_bucket"))
+    val scored = emb.join(broadcast(qs),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+        K, col("vec_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF-style ANN: coarse quantization into numCentroids(n) ≈ sqrt(n)
+    * clusters — deterministic init (the first ncent vectors) then TWO
+    * Lloyd iterations (assignment by max cosine with id tiebreak;
+    * fixed-point per-dimension means), then each query probes only its 2
+    * nearest trained clusters. Candidate generation is a cluster
+    * equi-join — O(nprobe·sqrt(n)) of the corpus per query, the
+    * inverted-file scale shape; training is 2 shuffle aggs per
+    * iteration and the trained index is persisted per corpus
+    * fingerprint (real index-build/serve split). */
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val ncent = numCentroids(emb.count())
+    val cents0 = emb.filter(col("vec_id") < ncent)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cents = graft.operators.MaterializeOnce(
+      s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+      lloydStep(assignTo(emb, lloydStep(assignTo(emb, cents0))))
+    }
+    val assigned = assignTo(emb, cents)
+    val qs = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = qs.join(broadcast(cents), expr("true"))
+      .select(col("q_id"), col("q_emb"), col("c_id"),
+              Vectors.cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val probed = TopK.perKey(probes, Seq("q_id"),
+        Seq(col("sim").desc, col("c_id")), NProbe, col("c_id"), salt = 4)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("probe_cluster"))
+    val scored = assigned.join(broadcast(probed),
+        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+        K, col("vec_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force cosine top-k: every (query, corpus) pair scored, exact
-    // ranking. The query side (vec_id < 5) is broadcast; the corpus side is
-    // never shuffled — only the k·salt level-1 survivors move.
-    "q38_cosine_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val qs = emb.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val scored = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-                Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
-      TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
-          K, col("vec_id"))
-        .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-        .orderBy(col("q_id"), col("rank"))
-    }),
-
-    // LSH-bucketed ANN: sign-pattern of 4 fixed random hyperplanes buckets
-    // the corpus (16 buckets); each query compares only within its bucket.
-    // The join is a bucket equi-join — candidate generation is O(n/buckets)
-    // per query, the 100 TB shape for ANN shortlists.
-    "q39_ann_lsh" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .withColumn("bucket", Vectors.lshBucket(col("embedding"), planes))
-      val qs = emb.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                col("bucket").as("q_bucket"))
-      val scored = emb.join(broadcast(qs),
-          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-                Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
-      TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
-          K, col("vec_id"))
-        .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-        .orderBy(col("q_id"), col("rank"))
-    }),
-
-    // IVF-style ANN: coarse quantization into 16 clusters — deterministic
-    // init (the first 16 vectors) then TWO Lloyd iterations (assignment by
-    // max cosine with id tiebreak; fixed-point per-dimension means), then
-    // each query probes only its 2 nearest trained clusters. Candidate
-    // generation is a cluster equi-join — O(nprobe/k of the corpus) per
-    // query, the inverted-file scale shape; training is 2 shuffle aggs.
-    "q44_ann_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cents0 = emb.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // The trained coarse quantizer IS the IVF index artifact: build it
-      // once per (corpus, fingerprint) and persist it as a table — exactly
-      // how a production IVF separates index build from query serving.
-      val cents = graft.operators.MaterializeOnce(
-        s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
-        lloydStep(assignTo(emb, lloydStep(assignTo(emb, cents0))))
-      }
-      // Final cluster assignment against the trained centroids.
-      val assigned = assignTo(emb, cents)
-      // Each query probes its NProbe nearest clusters.
-      val qs = emb.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val probes = qs.join(broadcast(cents), expr("true"))
-        .select(col("q_id"), col("q_emb"), col("c_id"),
-                Vectors.cosine(col("q_emb"), col("c_emb")).as("sim"))
-      val probed = TopK.perKey(probes, Seq("q_id"),
-          Seq(col("sim").desc, col("c_id")), NProbe, col("c_id"), salt = 4)
-        .select(col("q_id"), col("q_emb"), col("c_id").as("probe_cluster"))
-      // Search only the probed clusters.
-      val scored = assigned.join(broadcast(probed),
-          col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-                Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
-      TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
-          K, col("vec_id"))
-        .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-        .orderBy(col("q_id"), col("rank"))
-    }),
+    "q38_cosine_topk" -> (exactTopK _),
+    "q39_ann_lsh" -> (lshTopK _),
+    "q44_ann_ivf" -> (ivfTopK _),
 
     // Embedding-cosine near-dup DEDUP (the vector member of the dedup
-    // family — q38/q39/q44 are search): LSH-bucketed candidate pairs
-    // (bucket equi-join on the hyperplane sign pattern, never all-pairs),
-    // confirmed by exact cosine >= threshold. Resolution drops every
-    // vector that has ANY lower-id near-duplicate (the same one-pass rule
-    // as q35 — note this is NOT transitive greedy clustering: in a chain
-    // a~b~c with a!~c, both b and c are dropped); reported as per-bucket
-    // kept/dropped counts. One keyed join, same shape as MinHash dedup.
+    // family — q38/q39/q44 are search): BANDED multi-hash LSH candidate
+    // pairs — NumBands independent bands, each keyed by planesPerBand(n)
+    // sign bits, so key cardinality GROWS with the corpus (expected bucket
+    // ~TargetBucket at any n; the round-4 fixed-16-bucket scheme was
+    // quadratic within buckets at scale). Pairs sharing ANY band key are
+    // candidates (SaltedSelfPairs: oversized buckets are sub-split so no
+    // join task owns a whole hot bucket), then confirmed by exact
+    // cosine ≥ threshold against the source relation — the band stream
+    // itself stays (id, band, key)-narrow. Resolution drops every vector
+    // with ANY lower-id near-duplicate (same one-pass rule as q35);
+    // reported per vector as (vec_id, is_dropped).
     "q47_embed_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-        .withColumn("bucket", Vectors.lshBucket(col("embedding"), planes))
-      val dropped = emb.as("x").join(emb.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-        .filter(Vectors.cosine(col("x.embedding"), col("y.embedding")) >= DupCos)
-        .select(col("y.vec_id").as("vec_b")).distinct()
-        .withColumn("is_dropped", lit(1))
+      val np = planesPerBand(emb.count())
+      val bandKeys = (0 until NumBands).map { b =>
+        Vectors.lshBucket(col("embedding"),
+          (0 until np).map(j => pool(b * MaxPlanesPerBand + j)))
+      }
+      val bd = emb.select(col("vec_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      val cand = SaltedSelfPairs.pairs(bd, Seq("band", "key"), "vec_id", MaxBucket)
+        .distinct()
+      val dropped = cand
+        .join(emb.select(col("vec_id").as("ia"), col("embedding").as("ea")),
+              col("id_a") === col("ia"))
+        .join(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+              col("id_b") === col("ib"))
+        .filter(Vectors.cosine(col("ea"), col("eb")) >= DupCos)
+        .select(col("id_b").as("vec_b")).distinct()
       emb.join(dropped, col("vec_id") === col("vec_b"), "left_outer")
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_total"),
-             sum(coalesce(col("is_dropped"), lit(0))).as("n_dropped"))
-        .orderBy(col("bucket"))
+        .select(col("vec_id"),
+                when(col("vec_b").isNotNull, 1).otherwise(0).as("is_dropped"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ANN recall gate: recall@K of the LSH (q39) and IVF (q44) indexes
+    // against the exact ranking (q38), per query — the number that proves
+    // the derived index geometry still retrieves. All three inputs are
+    // deterministic gate queries; the composition is two keyed joins over
+    // K·NumQueries rows.
+    "q50_ann_recall" -> ((s, d) => {
+      val e = exactTopK(s, d).select(col("q_id"), col("vec_id"))
+      def hits(ann: DataFrame, name: String): DataFrame =
+        e.as("e").join(ann.select(col("q_id"), col("vec_id")).as("a"),
+            col("e.q_id") === col("a.q_id") && col("e.vec_id") === col("a.vec_id"))
+          .groupBy(col("e.q_id").as("q_id"))
+          .agg(count(lit(1)).as(name))
+      val lh = hits(lshTopK(s, d), "lh")
+      val ih = hits(ivfTopK(s, d), "ih")
+      e.select(col("q_id")).distinct()
+        .join(lh, Seq("q_id"), "left_outer")
+        .join(ih, Seq("q_id"), "left_outer")
+        .select(col("q_id"),
+          (coalesce(col("lh"), lit(0L)).cast("double") / K).as("recall_lsh"),
+          (coalesce(col("ih"), lit(0L)).cast("double") / K).as("recall_ivf"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -177,14 +266,24 @@ object VectorQueries extends QueryPack {
 
     def planeLit(p: Seq[Double]): String =
       p.map(_.toString).mkString("[", ",", "]") + "::DOUBLE[]"
-    // Bucket id: bit i set when embedding · plane_i > 0 (mirrors
-    // Vectors.lshBucket; plane literals generated from the same seed).
-    val bucketSql = planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_reduce(list_transform(generate_series(1, ${Dim}), i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)})[i]), (x,y) -> x + y) > 0 THEN ${1L << i} ELSE 0 END)"
+    def dotPlane(p: Seq[Double]): String =
+      s"list_reduce(list_transform(generate_series(1, $Dim), i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)})[i]), (x,y) -> x + y)"
+    // Band key for band b: bit j set when embedding · pool[b·Max+j] > 0,
+    // for the first `np` (derived) planes of the band's pool slice —
+    // j ≥ np contributes 0, mirroring Vectors.lshBucket over pool.take(np).
+    def bandKeySql(b: Int): String = (0 until MaxPlanesPerBand).map { j =>
+      s"(CASE WHEN $j < p.np THEN (CASE WHEN ${dotPlane(pool(b * MaxPlanesPerBand + j))} > 0 THEN ${1L << j} ELSE 0 END) ELSE 0 END)"
     }.mkString(" + ")
 
-    Map(
-      "q38_cosine_topk" -> s"""
+    // The same build-time derivations as planesPerBand/numCentroids, in
+    // exact integer SQL: ceil-log2 via binary-string length of m-1.
+    val paramsCte = s"""params AS (
+          SELECT GREATEST(2, LEAST($MaxPlanesPerBand,
+                   length(bin((COUNT(*) + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np,
+                 GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS ncent
+          FROM embeddings)"""
+
+    val q38Sql = s"""
         WITH q AS (
           SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
         scored AS (
@@ -198,11 +297,13 @@ object VectorQueries extends QueryPack {
         SELECT q_id, rank, vec_id, cos
         FROM ranked
         WHERE rank <= $K
-        ORDER BY q_id, rank""",
+        ORDER BY q_id, rank"""
 
-      "q39_ann_lsh" -> s"""
-        WITH b AS (
-          SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+    val q39Sql = s"""
+        WITH $paramsCte,
+        b AS (
+          SELECT vec_id, embedding, CAST(${bandKeySql(0)} AS BIGINT) AS bucket
+          FROM embeddings, params p),
         q AS (
           SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
           FROM b WHERE vec_id < $NumQueries),
@@ -216,28 +317,34 @@ object VectorQueries extends QueryPack {
         SELECT q_id, rank, vec_id, cos
         FROM ranked
         WHERE rank <= $K
-        ORDER BY q_id, rank""",
+        ORDER BY q_id, rank"""
 
-      "q47_embed_dedup" -> s"""
-        WITH b AS (
-          SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings),
+    val q47Sql = s"""
+        WITH $paramsCte,
+        b AS (
+          ${(0 until NumBands).map(b =>
+            s"SELECT vec_id, $b AS band, CAST(${bandKeySql(b)} AS BIGINT) AS key FROM embeddings, params p")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+          FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
         dropped AS (
-          SELECT DISTINCT y.vec_id AS vec_b
-          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-          WHERE ${cosSql("x.embedding", "y.embedding")} >= $DupCos)
-        SELECT b.bucket,
-               COUNT(*) AS n_total,
-               CAST(SUM(CASE WHEN d.vec_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-        FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_b
-        GROUP BY b.bucket
-        ORDER BY b.bucket""",
+          SELECT DISTINCT c.vb
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.va
+          JOIN embeddings eb ON eb.vec_id = c.vb
+          WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $DupCos)
+        SELECT e.vec_id,
+               CASE WHEN d.vb IS NOT NULL THEN 1 ELSE 0 END AS is_dropped
+        FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vb
+        ORDER BY e.vec_id"""
 
-      "q44_ann_ivf" -> {
-        // One Lloyd round as CTEs: assignment against centroid relation
-        // `prev` -> fixed-point per-dimension means -> centroid relation
-        // `next`. Mean expression order mirrors the Spark side exactly:
-        // CAST(sum AS DOUBLE) / count / 1e6.
-        def lloyd(i: Int, prev: String, next: String): String = s"""
+    val q44Sql = {
+      // One Lloyd round as CTEs: assignment against centroid relation
+      // `prev` -> fixed-point per-dimension means -> centroid relation
+      // `next`. Mean expression order mirrors the Spark side exactly:
+      // CAST(sum AS DOUBLE) / count / 1e6.
+      def lloyd(i: Int, prev: String, next: String): String = s"""
         a$i AS (
           SELECT e.vec_id, e.embedding, c.c_id,
                  ${cosSql("e.embedding", "c.c_emb")} AS sim
@@ -258,9 +365,11 @@ object VectorQueries extends QueryPack {
                  list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS c_emb
           FROM m$i
           GROUP BY cluster)"""
-        s"""
-        WITH c0 AS (
-          SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NumCentroids),
+      s"""
+        WITH $paramsCte,
+        c0 AS (
+          SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings, params p
+          WHERE vec_id < p.ncent),
         ${lloyd(1, "c0", "c1")},
         ${lloyd(2, "c1", "c")},
         aF AS (
@@ -295,7 +404,38 @@ object VectorQueries extends QueryPack {
         FROM ranked
         WHERE rank <= $K
         ORDER BY q_id, rank"""
-      }
+    }
+
+    // Recall@K of each approximate index against the exact ranking —
+    // the three inputs are the gate queries above, composed as subqueries
+    // (DuckDB scopes each subquery's WITH independently).
+    val q50Sql = s"""
+        WITH exact AS (SELECT q_id, vec_id FROM ($q38Sql)),
+        lshr AS (SELECT q_id, vec_id FROM ($q39Sql)),
+        ivfr AS (SELECT q_id, vec_id FROM ($q44Sql)),
+        lh AS (
+          SELECT e.q_id, COUNT(*) AS h FROM exact e
+          JOIN lshr a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+          GROUP BY e.q_id),
+        ih AS (
+          SELECT e.q_id, COUNT(*) AS h FROM exact e
+          JOIN ivfr a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+          GROUP BY e.q_id),
+        qs AS (SELECT DISTINCT q_id FROM exact)
+        SELECT q.q_id,
+               COALESCE(lh.h, 0) / CAST($K AS DOUBLE) AS recall_lsh,
+               COALESCE(ih.h, 0) / CAST($K AS DOUBLE) AS recall_ivf
+        FROM qs q
+        LEFT JOIN lh ON lh.q_id = q.q_id
+        LEFT JOIN ih ON ih.q_id = q.q_id
+        ORDER BY q.q_id"""
+
+    Map(
+      "q38_cosine_topk" -> q38Sql,
+      "q39_ann_lsh" -> q39Sql,
+      "q47_embed_dedup" -> q47Sql,
+      "q44_ann_ivf" -> q44Sql,
+      "q50_ann_recall" -> q50Sql
     )
   }
 }

@@ -20,8 +20,10 @@ class PlanGuardSpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     "q38_cosine_topk",   // query vectors (< 5 rows) cross corpus
     "q39_ann_lsh",       // bucket-joined, query side broadcast
-    "q44_ann_ivf",       // centroids (<= 16) and probes (<= 10)
-    "q47_embed_dedup")   // bucket self-join, bounded bucket count
+    "q44_ann_ivf",       // centroids (~sqrt(n), broadcast) and probes (<= 10)
+    "q50_ann_recall")    // composes q38/q44, inheriting their bounded sides
+    // q47_embed_dedup left OUT deliberately: since round 5 its candidate
+    // generation is a fully keyed (band, key, sub) equi-join.
 
   test("no gate query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
