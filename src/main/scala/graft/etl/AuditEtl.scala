@@ -51,10 +51,14 @@ object AuditEtl {
     *   calls inside processZip: ZIP_DEBUG.bin on magic-byte failure,
     *   etl.js:102-108; ahrefs_keywords_headers.json header dump,
     *   etl.js:119-121). Defaults to a no-op for callers that only need the
-    *   three result documents. */
+    *   three result documents.
+    * @param log structured breadcrumb sink (the reference's `log.info`
+    *   resolved-column lines, etl.js:128,158,315). Quiet by default — see
+    *   EtlLog. */
   def processZip(zipBytes: Array[Byte], client: String, domain: String,
                  runDate: String,
-                 artifact: (String, Array[Byte]) => Unit = (_, _) => ()): Result = {
+                 artifact: (String, Array[Byte]) => Unit = (_, _) => (),
+                 log: EtlLog = EtlLog()): Result = {
     if (!Zips.isZip(zipBytes)) {
       artifact("ZIP_DEBUG.bin", zipBytes)
       throw new IllegalArgumentException(
@@ -93,6 +97,8 @@ object AuditEtl {
           JArr(headers.map(str)).toJson.getBytes("UTF-8"))
         val posCol = PickCol.pick(headers, Seq("Current position"))
           .orElse(PickCol.pick(headers, Seq("Previous position")))
+        log.info("Ahrefs keywords: position column",
+          "posCol" -> posCol.getOrElse("null"))
         posCol.foreach { pc =>
           val pos = rows.map(r => jsToNum(r.get(pc)))
             .filter(n => !n.isNaN && !n.isInfinite && n > 0)
@@ -114,6 +120,8 @@ object AuditEtl {
       if (rows.nonEmpty) {
         val urlCol = PickCol.pick(rows.head.keys.toSeq,
           Seq("Current URL", "url", "page url", "address"))
+        log.info("Ahrefs top pages: URL column",
+          "urlCol" -> urlCol.getOrElse("null"))
         val content = onsite.obj("content")
         if (content.get("pages_total") == JNull) {
           val total = urlCol match {
@@ -252,6 +260,8 @@ object AuditEtl {
         mEntry("brightlocal_ranks.csv").set("rows", int(rows.length))
         val posCol = PickCol.pick(rows.head.keys.toSeq,
           Seq("position", "rank", "serp position", "pos"))
+        log.info("BL ranks: position column",
+          "posCol" -> posCol.getOrElse("null"))
         posCol.foreach { pc =>
           val posVals = rows.map(r => jsToNum(r.get(pc)))
             .filter(n => !n.isNaN && !n.isInfinite && n > 0)

@@ -130,9 +130,17 @@ object AuditPipeline {
     * @param fetch URL → bytes; injectable so tests run offline.
     */
   def runActor(input: Option[J.JObj], kv: KvStore,
-               fetch: String => Array[Byte] = ZipFetch.fetch): AuditEtl.Result = {
+               fetch: String => Array[Byte] = ZipFetch.fetch,
+               log: EtlLog = EtlLog()): AuditEtl.Result = {
     val in = input.getOrElse(J.JObj())
     kv.set("INPUT_ECHO.json", in.toJson)
+    // Input echo breadcrumb BEFORE validation (main.js:9-14): a bad run
+    // must still show what it received.
+    log.info("Input received",
+      "client" -> in.opt("client").map(_.toJson).getOrElse("null"),
+      "domain" -> in.opt("domain").map(_.toJson).getOrElse("null"),
+      "runDate" -> in.opt("runDate").map(_.toJson).getOrElse("null"),
+      "hasZipUrl" -> truthyInput(in, "zipUrl").isDefined.toString)
     val fields = Seq("client", "domain", "runDate", "zipUrl").map(truthyInput(in, _))
     if (fields.exists(_.isEmpty))
       throw new IllegalArgumentException(
@@ -141,7 +149,7 @@ object AuditPipeline {
     val Seq(client, domain, runDate, zipUrl) = fields.map(_.get)
     val bytes = fetch(zipUrl)
     val r = AuditEtl.processZip(bytes, client, domain, runDate,
-      artifact = (name, data) => kv.set(name, data))
+      artifact = (name, data) => kv.set(name, data), log = log)
     kv.set("normalized_audit.json", r.normalized.toJson)
     kv.set("scores.json", r.scores.toJson)
     kv.set("etl_manifest.json", r.manifest.toJson)

@@ -1,0 +1,57 @@
+package graft.multimodal
+
+/** Pluggable media decode codec: bytes of a sniffed container format →
+  * fixed-width feature vector, or None when the bytes cannot be decoded
+  * (corrupt container, unsupported profile). The deployment seam for the
+  * formats the JDK cannot decode — compressed audio, video codecs — whose
+  * fallback today is Multimodal.decodeStub: implement this trait, register
+  * it, and the Spark plumbing (schema, batching, partitioning) is
+  * untouched.
+  */
+trait MediaCodec extends Serializable {
+  /** The parseMeta format strings this codec claims (e.g. "png", "wav"). */
+  def formats: Set[String]
+  def decode(bytes: Array[Byte]): Option[Array[Float]]
+}
+
+/** Built-in: true pixel decode for PNG/JPEG via javax.imageio (JDK-only). */
+object ImageIOCodec extends MediaCodec {
+  val formats: Set[String] = Set("png", "jpeg")
+  def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    Multimodal.decodeImageFeatures(bytes)
+}
+
+/** Built-in: true sample decode for PCM16 WAV (pure byte math). */
+object Pcm16WavCodec extends MediaCodec {
+  val formats: Set[String] = Set("wav")
+  def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    Multimodal.decodeWavFeatures(bytes)
+}
+
+/** The codec registry behind Multimodal.decodeFeatures. Format-keyed; last
+  * registration wins, so a deployment can override a built-in (or claim a
+  * format that currently stubs).
+  *
+  * Distribution contract: lookups happen EXECUTOR-side (inside
+  * mapPartitions), and this registry is per-JVM static state — driver-side
+  * `register` calls do not propagate to executors on a real cluster.
+  * Custom codecs must be registered from a static initializer in a jar on
+  * the executor classpath (the same rule as any JVM-static Spark
+  * extension); the built-ins below follow it by registering at class-init.
+  */
+object Codecs {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MediaCodec]()
+
+  def register(codec: MediaCodec): Unit =
+    codec.formats.foreach(f => registry.put(f, codec))
+
+  /** Remove the binding for one format (reverts it to the stub fallback). */
+  def unregister(format: String): Unit = registry.remove(format)
+
+  def forFormat(format: String): Option[MediaCodec] =
+    Option(registry.get(format))
+
+  register(ImageIOCodec)
+  register(Pcm16WavCodec)
+}

@@ -14,9 +14,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * codec), TRUE sample decode for PCM16 WAV (pure byte math), the
   * mapPartitions batch shape, and the partitioning behavior. What remains
   * STUBBED: compressed-audio / video / unknown formats fall back to
-  * `decodeStub`, a deterministic byte-derived vector — swap in a codec to
-  * productionize; the Spark plumbing (signatures, batching, distribution)
-  * does not change when that swap happens.
+  * `decodeStub`, a deterministic byte-derived vector — register a
+  * [[MediaCodec]] in [[Codecs]] to productionize; the Spark plumbing
+  * (signatures, batching, distribution) does not change when that swap
+  * happens.
   *
   * Scale notes: media blobs ride in parquet binary columns; operators are
   * embarrassingly parallel per-partition maps with NO shuffle. Metadata
@@ -190,13 +191,13 @@ object Multimodal {
       meta.sampleRateHz / 48000.0f, meta.channels.toFloat, 0f))
   }
 
-  /** Decode dispatch: real codecs where the JDK can decode, deterministic
-    * stub fallback elsewhere. */
-  def decodeFeatures(format: String, bytes: Array[Byte]): Array[Float] = format match {
-    case "png" | "jpeg" => decodeImageFeatures(bytes).getOrElse(decodeStub(bytes))
-    case "wav" => decodeWavFeatures(bytes).getOrElse(decodeStub(bytes))
-    case _ => decodeStub(bytes)
-  }
+  /** Decode dispatch through the Codecs registry: the codec claiming the
+    * sniffed format decodes; registry miss OR decode failure (corrupt
+    * container) falls back to the deterministic stub. Built-ins cover
+    * PNG/JPEG (javax.imageio) and PCM16 WAV; register a MediaCodec to
+    * claim more formats without touching the Spark plumbing. */
+  def decodeFeatures(format: String, bytes: Array[Byte]): Array[Float] =
+    Codecs.forFormat(format).flatMap(_.decode(bytes)).getOrElse(decodeStub(bytes))
 
   /** STUB decode (fallback for undecodable/unknown formats): a
     * deterministic 8-dim "feature vector" derived from byte content
@@ -307,8 +308,18 @@ object Multimodal {
             val n = reader.getNumImages(true)
             val first = reader.read(0)
             val screen = parseMeta(r.content)
-            val lw = if (screen.width > 0) screen.width else first.getWidth
-            val lh = if (screen.height > 0) screen.height else first.getHeight
+            // The logical-screen dims come from UNTRUSTED header bytes (u16le
+            // up to 65535 each → a ~17 GB ARGB canvas, and OutOfMemoryError
+            // is an Error that would escape the Exception fallback below and
+            // kill the task). Clamp to a sane cap; real frames larger than
+            // the cap don't exist in practice (the cap still allows 1 GiB
+            // canvases), and a lying header degrades to a cropped composite
+            // instead of an executor OOM.
+            val MaxCanvasDim = 16384
+            val lw = math.min(MaxCanvasDim,
+              if (screen.width > 0) screen.width else first.getWidth)
+            val lh = math.min(MaxCanvasDim,
+              if (screen.height > 0) screen.height else first.getHeight)
             var canvas = new java.awt.image.BufferedImage(lw, lh,
               java.awt.image.BufferedImage.TYPE_INT_ARGB)
             var saved: java.awt.image.BufferedImage = null

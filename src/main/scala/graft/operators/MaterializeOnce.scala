@@ -78,6 +78,11 @@ object MaterializeOnce {
     }
   }
 
+  /** Number of relations materialized so far this JVM — lets the bench
+    * attribute a cold run's one-time index-build cost to the query that
+    * paid it (the `materializes` annotation). */
+  def relationCount: Int = materialized.size
+
   def apply(key: String, s: SparkSession)(df: => DataFrame): DataFrame = {
     val fut = new java.util.concurrent.CompletableFuture[String]()
     val prior = materialized.putIfAbsent(key, fut)

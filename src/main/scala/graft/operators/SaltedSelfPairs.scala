@@ -12,13 +12,24 @@ import org.apache.spark.sql.functions._
   * key group into one join bucket: a group of size m generates m²/2
   * candidate pairs in a single task, which under skew (one hot key) is the
   * classic quadratic scale-killer. Here a group of size m > maxGroup is
-  * split into g = ceil(m/maxGroup) sub-groups (deterministic `id % g`) and
-  * the join runs over the TRIANGLE of sub-group pairs: the x side explodes
-  * each row to every sub-group index ≥ its own, the y side keys on its own
-  * sub-group, so each unordered pair is produced exactly once (same-sub
-  * pairs by the id order, cross-sub pairs by the sub order) while no join
-  * bucket ever holds more than ~maxGroup² candidate pairs.
-  * Result-identical to the unsalted join at any maxGroup.
+  * split into g = ceil(m/maxGroup) sub-groups (deterministic
+  * `hash(id) % g` — hashing, not `id % g`, because structured id layouts
+  * collapse plain modulo onto few residues whenever gcd(id-stride, g) > 1,
+  * recreating the very skew the split exists to remove) and
+  * the join runs over the TRIANGLE of sub-group pairs, keyed on the PAIR
+  * (i, j): the x side explodes each row of sub-group i to every target
+  * index j ≥ i, the y side explodes each row of sub-group j to every
+  * source index i ≤ j, and the join matches x.__sub = y.__i AND
+  * x.__j = y.__sub — so each unordered pair is produced exactly once
+  * (same-sub pairs by the id order, cross-sub pairs by the (i,j)
+  * triangle) and each join bucket holds ONE (i, j) sub-group pair:
+  * ~(m/g)² ≈ maxGroup² candidate pairs, even for j = g-1. (Keying only on
+  * j — one-sided explode — would put ALL x-rows with __sub ≤ j into
+  * bucket j, an O(m·maxGroup) straggler on exactly the hot
+  * near-duplicate clusters this operator exists for.)
+  * Result-identical to the unsalted join at any maxGroup; explode cost is
+  * ~g/2 copies per row on each side, i.e. linear in m·(m/maxGroup)/m = the
+  * sub-group count, not in the pair count.
   */
 object SaltedSelfPairs {
 
@@ -33,13 +44,15 @@ object SaltedSelfPairs {
     val sizes = df.groupBy(keys: _*).agg(count(lit(1)).as("__gs"))
     val dd = df.join(sizes, keyCols)
       .withColumn("__g", ceil(col("__gs").cast("double") / maxGroup).cast("int"))
-      .withColumn("__sub", pmod(col(idCol), col("__g")).cast("int"))
+      .withColumn("__sub", pmod(hash(col(idCol)), col("__g")).cast("int"))
     val x = dd.withColumn("__j", explode(sequence(col("__sub"), col("__g") - 1)))
+    val y = dd.withColumn("__i", explode(sequence(lit(0), col("__sub"))))
     val cond = keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col("x.__j") === col("y.__sub") &&
+      col("x.__sub") === col("y.__i") &&
       (col("x.__sub") =!= col("y.__sub") ||
         col(s"x.$idCol") < col(s"y.$idCol"))
-    x.as("x").join(dd.as("y"), cond)
+    x.as("x").join(y.as("y"), cond)
       .select(
         least(col(s"x.$idCol"), col(s"y.$idCol")).as("id_a"),
         greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("id_b"))

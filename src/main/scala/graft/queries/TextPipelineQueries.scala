@@ -63,13 +63,16 @@ object TextPipelineQueries extends QueryPack {
   private def fingerprint(d: String, table: String): String =
     graft.operators.MaterializeOnce.fingerprint(d, table)
 
-  /** Candidate pairs from shared LSH buckets, confirmed by exact Jaccard on
-    * the shingle sets. The join is keyed on (band, key) — no all-pairs.
-    * The shingle relation (~1% the width of the corpus) is materialized to
-    * a table; the band relation is re-derived per consumer from that table
-    * (pure integer arithmetic — cheaper than pinning it in memory). */
-  private def confirmedPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = materialize(s"shingles|$d|${fingerprint(d, "documents.parquet")}", s)(shingled(s, d))
+  /** The materialized (doc_id, hs) shingle-signature relation for a corpus
+    * — the thing a production deployment would keep as a living table and
+    * dedup new batches against (see dedupAgainstDropped). */
+  private def materializedShingles(s: SparkSession, d: String): DataFrame =
+    materialize(s"shingles|$d|${fingerprint(d, "documents.parquet")}", s)(shingled(s, d))
+
+  /** Confirmed near-dup pairs WITHIN one shingle relation: candidates from
+    * shared LSH buckets (keyed on (band, key) — no all-pairs), confirmed
+    * by exact Jaccard >= threshold on the shingle sets. */
+  private[queries] def pairsFromShingles(sh: DataFrame): DataFrame = {
     val bd = bands(sh)
     val cand = bd.as("x").join(bd.as("y"),
         col("x.key") === col("y.key") && col("x.b") === col("y.b") &&
@@ -83,6 +86,46 @@ object TextPipelineQueries extends QueryPack {
         (size(array_intersect(col("ha"), col("hb"))).cast("double") /
          size(array_union(col("ha"), col("hb")))).as("jacc"))
       .filter(col("jacc") >= JaccThreshold)
+  }
+
+  /** Candidate pairs from shared LSH buckets, confirmed by exact Jaccard on
+    * the shingle sets. The shingle relation (~1% the width of the corpus)
+    * is materialized to a table; the band relation is re-derived per
+    * consumer from that table (pure integer arithmetic — cheaper than
+    * pinning it in memory). */
+  private def confirmedPairs(s: SparkSession, d: String): DataFrame =
+    pairsFromShingles(materializedShingles(s, d))
+
+  /** INCREMENTAL near-dup dedup — the dominant production mode at 100 TB:
+    * never re-pair the whole corpus, dedup each arriving batch against the
+    * standing signature table. Returns the distinct batch doc_ids to DROP:
+    * a batch doc is dropped when it is a confirmed near-dup (shares an LSH
+    * band bucket AND shingle Jaccard >= threshold) of ANY corpus doc, or
+    * of a LOWER-ID doc within its own batch (the same keep-lowest-id rule
+    * as q35). When every corpus id precedes every batch id, the result is
+    * IDENTICAL to running the full-corpus dedup over corpus ∪ batch —
+    * pinned by the q51 gate, whose oracle is literally q35's SQL.
+    *
+    * Scale shape: the batch→corpus candidate join is a plain (band, key)
+    * equi-join — batch-sized on one side, AQE-splittable on hot buckets —
+    * and the within-batch pairs reuse the salted self-join. Nothing
+    * touches corpus×corpus. */
+  def dedupAgainstDropped(corpusSh: DataFrame, batchSh: DataFrame): DataFrame = {
+    val cb = bands(corpusSh).select(col("b"), col("key"), col("doc_id").as("cid"))
+    val nb = bands(batchSh).select(col("b"), col("key"), col("doc_id").as("nid"))
+    val cross = nb.join(cb, Seq("b", "key"))
+      .select(col("nid"), col("cid")).distinct()
+    val crossDropped = cross
+      .join(batchSh.select(col("doc_id").as("na"), col("hs").as("nh")),
+            col("nid") === col("na"))
+      .join(corpusSh.select(col("doc_id").as("ca"), col("hs").as("ch")),
+            col("cid") === col("ca"))
+      .filter((size(array_intersect(col("nh"), col("ch"))).cast("double") /
+               size(array_union(col("nh"), col("ch")))) >= JaccThreshold)
+      .select(col("nid").as("doc_id"))
+    val innerDropped = pairsFromShingles(batchSh)
+      .select(col("doc_b").as("doc_id"))
+    crossDropped.union(innerDropped).distinct()
   }
 
   /** 8-hex-char md5 prefix → 32-bit int via strpos arithmetic (mirrors
@@ -198,6 +241,28 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // INCREMENTAL dedup gate: split the corpus at the 80% point of the id
+    // space (standing corpus = ids below, arriving batch = ids at/above),
+    // dedup the corpus within itself and the batch via dedupAgainstDropped
+    // — and require the combined kept set to EQUAL the full-corpus dedup:
+    // the oracle for this query is q35's SQL, verbatim. The id-ordered
+    // split is what makes the keep-lowest-id rule decompose exactly
+    // (every corpus id < every batch id).
+    "q51_dedup_incremental" -> ((s, d) => {
+      val sh = materializedShingles(s, d)
+      val docs = Tables.documents(s, d)
+      val t = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+      val corpusSh = sh.filter(col("doc_id") < t)
+      val batchSh = sh.filter(col("doc_id") >= t)
+      val droppedOld = pairsFromShingles(corpusSh).select(col("doc_b").as("doc_id"))
+      val dropped = droppedOld
+        .union(dedupAgainstDropped(corpusSh, batchSh)).distinct()
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // 16-bit SimHash document fingerprint from per-token md5 hashes:
     // bit i of the fingerprint is the sign of Σ_tokens (±1 by token-hash
     // bit i). Pure HOF fold — one pass over each doc's token array.
@@ -291,12 +356,17 @@ object TextPipelineQueries extends QueryPack {
 
   /** All within-block pairs with their trigram Jaccard, with oversized
     * blocks SALTED: a block of size n > maxBlock is split into
-    * g = ceil(n/maxBlock) sub-groups (deterministic doc_id % g) and the
-    * self-join runs over the triangle of sub-group pairs — the x side
-    * explodes to every sub-group ≥ its own, the y side keys on its
-    * sub-group, so each unordered doc pair is produced exactly once
-    * (same-sub pairs by the id order, cross-sub pairs by the sub order)
-    * while no join bucket ever holds more than ~maxBlock² candidate pairs.
+    * g = ceil(n/maxBlock) sub-groups (deterministic hash(doc_id) % g; see
+    * SaltedSelfPairs for why hashing beats plain modulo) and the
+    * self-join runs over the triangle of sub-group pairs, keyed on the
+    * PAIR (i, j): the x side explodes each row of sub-group i to every
+    * target j ≥ i, the y side explodes each row of sub-group j to every
+    * source i ≤ j, and the join matches (x.sub, x.j) = (y.i, y.sub) — so
+    * each unordered doc pair is produced exactly once (same-sub pairs by
+    * the id order, cross-sub pairs by the (i,j) triangle) and each join
+    * bucket holds ONE sub-group pair: ~maxBlock² candidate pairs, not the
+    * O(n·maxBlock) a one-sided explode keyed only on j would give the
+    * hottest bucket (same shape as graft.operators.SaltedSelfPairs).
     * Result-identical to the unsalted all-pairs join; bounded per-task
     * work under skew (the one plan that could go quadratic at 100×).
     *
@@ -306,12 +376,14 @@ object TextPipelineQueries extends QueryPack {
       .agg(count(lit(1)).as("bs"))
     val dd = docs.join(sizes, Seq("lang", "source", "lb"))
       .withColumn("g", ceil(col("bs").cast("double") / maxBlock).cast("int"))
-      .withColumn("sub", pmod(col("doc_id"), col("g")).cast("int"))
+      .withColumn("sub", pmod(hash(col("doc_id")), col("g")).cast("int"))
     val x = dd.withColumn("j", explode(sequence(col("sub"), col("g") - 1)))
-    x.as("x").join(dd.as("y"),
+    val y = dd.withColumn("i", explode(sequence(lit(0), col("sub"))))
+    x.as("x").join(y.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
         col("x.lb") === col("y.lb") &&
         col("x.j") === col("y.sub") &&
+        col("x.sub") === col("y.i") &&
         (col("x.sub") =!= col("y.sub") || col("x.doc_id") < col("y.doc_id")) &&
         // Size-ratio prefilter: Jaccard >= 0.5 needs |A| and |B| within 2x.
         col("x.ng").cast("double") >= lit(0.5) * col("y.ng") &&
@@ -327,6 +399,17 @@ object TextPipelineQueries extends QueryPack {
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
         (col("isz").cast("double") / (col("nsum") - col("isz"))).as("jacc"))
   }
+
+  /** q35's oracle — also q51's: the incremental dedup's defining property
+    * is equality with the full-corpus result. */
+  private val minhashKeepSql: String = s"""
+        $pairsCtes,
+        dropped AS (SELECT DISTINCT doc_b FROM pairs WHERE jacc >= $JaccThreshold)
+        SELECT lang, COUNT(*) AS n_kept
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+        GROUP BY lang
+        ORDER BY lang"""
 
   val oracles: Map[String, String] = {
     val langs = Seq("en", "es", "de", "fr", "zh")
@@ -390,14 +473,11 @@ object TextPipelineQueries extends QueryPack {
         WHERE jacc >= $JaccThreshold
         ORDER BY doc_a, doc_b""",
 
-      "q35_minhash_keep" -> s"""
-        $pairsCtes,
-        dropped AS (SELECT DISTINCT doc_b FROM pairs WHERE jacc >= $JaccThreshold)
-        SELECT lang, COUNT(*) AS n_kept
-        FROM documents
-        WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
-        GROUP BY lang
-        ORDER BY lang""",
+      "q35_minhash_keep" -> minhashKeepSql,
+
+      // The incremental path must reproduce the full-corpus dedup exactly
+      // — same oracle as q35, and the gate's hash compare enforces it.
+      "q51_dedup_incremental" -> minhashKeepSql,
 
       "q36_simhash" -> s"""
         WITH t AS (

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Vectors
+import graft.functions.{TextFns, Vectors}
 import graft.operators.{SaltedSelfPairs, TopK}
 
 /** Similarity search + embedding dedup over the `embeddings` table
@@ -53,8 +53,10 @@ object VectorQueries extends QueryPack {
     * bucket size stays near this as the corpus grows. */
   private val TargetBucket = 32
 
-  /** Hot-bucket guard: no self-join bucket may own more than ~MaxBucket²
-    * candidate pairs (same guard as q37's trigram blocks). */
+  /** Hot-bucket guard: oversized LSH buckets are sub-split by
+    * SaltedSelfPairs so each join task owns one sub-group pair —
+    * ~MaxBucket² candidate pairs per task (same guard as q37's trigram
+    * blocks). */
   private val MaxBucket = 1000
 
   /** Deterministic hyperplane pool shared by the Spark plan and the
@@ -79,6 +81,19 @@ object VectorQueries extends QueryPack {
     * integer is correctly rounded in IEEE, so floor is engine-stable). */
   private[queries] def numCentroids(n: Long): Long =
     math.max(16L, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  /** Lloyd-training sample gate threshold (per-million): centroids are
+    * trained on ~10·numCentroids(n) rows selected by a deterministic,
+    * content-independent hash gate (same md5 gate family as q49's
+    * stratified sample — every engine, every partitioning draws the same
+    * rows), not the full corpus. Full-corpus training made index BUILD
+    * O(n·sqrt(n)·d) per Lloyd pass — the round-5 q44 regression; sampled
+    * training is O(sqrt(n)·sqrt(n)·d) = O(n·d) total while the centroids
+    * converge the same way (k-means quality depends on the sample
+    * covering the distribution, not on n). Pure integer derivation so the
+    * oracle's params CTE computes the identical threshold. */
+  private[queries] def sampleThreshPpm(n: Long): Long =
+    math.min(1000000L, 10L * numCentroids(n) * 1000000L / n)
 
   /** Nearest-centroid assignment: best centroid per vector by (cosine desc,
     * c_id asc). Centroids are broadcast — bounded (~sqrt(n) rows) at any
@@ -155,21 +170,28 @@ object VectorQueries extends QueryPack {
 
   /** IVF-style ANN: coarse quantization into numCentroids(n) ≈ sqrt(n)
     * clusters — deterministic init (the first ncent vectors) then TWO
-    * Lloyd iterations (assignment by max cosine with id tiebreak;
-    * fixed-point per-dimension means), then each query probes only its 2
-    * nearest trained clusters. Candidate generation is a cluster
-    * equi-join — O(nprobe·sqrt(n)) of the corpus per query, the
-    * inverted-file scale shape; training is 2 shuffle aggs per
-    * iteration and the trained index is persisted per corpus
-    * fingerprint (real index-build/serve split). */
+    * Lloyd iterations over a deterministic ~10·ncent-row SAMPLE (see
+    * sampleThreshPpm; assignment by max cosine with id tiebreak;
+    * fixed-point per-dimension means), then the FULL corpus is assigned
+    * once against the trained centroids and each query probes only its 2
+    * nearest clusters. Candidate generation is a cluster equi-join —
+    * O(nprobe·sqrt(n)) of the corpus per query, the inverted-file scale
+    * shape; training touches O(sqrt(n)) rows per pass and the trained
+    * index is persisted per corpus fingerprint (real index-build/serve
+    * split). */
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val ncent = numCentroids(emb.count())
+    val n = emb.count()
+    val ncent = numCentroids(n)
+    val sthresh = sampleThreshPpm(n)
+    val samp = emb.filter(
+      pmod(TextFns.hash32(concat(lit("ivfs|"), col("vec_id").cast("string"))),
+        lit(1000000L)) < sthresh)
     val cents0 = emb.filter(col("vec_id") < ncent)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val cents = graft.operators.MaterializeOnce(
       s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
-      lloydStep(assignTo(emb, lloydStep(assignTo(emb, cents0))))
+      lloydStep(assignTo(samp, lloydStep(assignTo(samp, cents0))))
     }
     val assigned = assignTo(emb, cents)
     val qs = emb.filter(col("vec_id") < NumQueries)
@@ -235,7 +257,10 @@ object VectorQueries extends QueryPack {
     // against the exact ranking (q38), per query — the number that proves
     // the derived index geometry still retrieves. All three inputs are
     // deterministic gate queries; the composition is two keyed joins over
-    // K·NumQueries rows.
+    // K·NumQueries rows. The denominator is the ACTUAL exact-result count
+    // per query (not the constant K): on a corpus with ≤ K rows per query
+    // the exact ranking is shorter than K and dividing by K would silently
+    // understate recall (it could never reach 1.0).
     "q50_ann_recall" -> ((s, d) => {
       val e = exactTopK(s, d).select(col("q_id"), col("vec_id"))
       def hits(ann: DataFrame, name: String): DataFrame =
@@ -245,12 +270,12 @@ object VectorQueries extends QueryPack {
           .agg(count(lit(1)).as(name))
       val lh = hits(lshTopK(s, d), "lh")
       val ih = hits(ivfTopK(s, d), "ih")
-      e.select(col("q_id")).distinct()
+      e.groupBy(col("q_id")).agg(count(lit(1)).as("ne"))
         .join(lh, Seq("q_id"), "left_outer")
         .join(ih, Seq("q_id"), "left_outer")
         .select(col("q_id"),
-          (coalesce(col("lh"), lit(0L)).cast("double") / K).as("recall_lsh"),
-          (coalesce(col("ih"), lit(0L)).cast("double") / K).as("recall_ivf"))
+          (coalesce(col("lh"), lit(0L)).cast("double") / col("ne")).as("recall_lsh"),
+          (coalesce(col("ih"), lit(0L)).cast("double") / col("ne")).as("recall_ivf"))
         .orderBy(col("q_id"))
     })
   )
@@ -275,13 +300,22 @@ object VectorQueries extends QueryPack {
       s"(CASE WHEN $j < p.np THEN (CASE WHEN ${dotPlane(pool(b * MaxPlanesPerBand + j))} > 0 THEN ${1L << j} ELSE 0 END) ELSE 0 END)"
     }.mkString(" + ")
 
-    // The same build-time derivations as planesPerBand/numCentroids, in
-    // exact integer SQL: ceil-log2 via binary-string length of m-1.
+    // The same build-time derivations as planesPerBand/numCentroids/
+    // sampleThreshPpm, in exact integer SQL: ceil-log2 via binary-string
+    // length of m-1; the sample threshold mirrors the Scala expression's
+    // left-to-right integer ops ((10 * ncent) * 1000000) / n exactly.
     val paramsCte = s"""params AS (
           SELECT GREATEST(2, LEAST($MaxPlanesPerBand,
                    length(bin((COUNT(*) + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np,
-                 GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS ncent
+                 GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS ncent,
+                 LEAST(1000000, ((10 * GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) * 1000000) // COUNT(*)) AS sthresh
           FROM embeddings)"""
+
+    // The q44 training-sample hash gate: first 8 md5 hex chars of
+    // 'ivfs|<vec_id>' as a 32-bit int (mirrors TextFns.hash32), mod 1e6.
+    val sampGate = (1 to 8).map { p =>
+      s"(strpos('0123456789abcdef', substr(md5('ivfs|' || CAST(vec_id AS VARCHAR)), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
+    }.mkString(" + ")
 
     val q38Sql = s"""
         WITH q AS (
@@ -342,13 +376,14 @@ object VectorQueries extends QueryPack {
     val q44Sql = {
       // One Lloyd round as CTEs: assignment against centroid relation
       // `prev` -> fixed-point per-dimension means -> centroid relation
-      // `next`. Mean expression order mirrors the Spark side exactly:
-      // CAST(sum AS DOUBLE) / count / 1e6.
+      // `next`, over the deterministic training SAMPLE (the full corpus is
+      // only assigned once, in aF). Mean expression order mirrors the
+      // Spark side exactly: CAST(sum AS DOUBLE) / count / 1e6.
       def lloyd(i: Int, prev: String, next: String): String = s"""
         a$i AS (
           SELECT e.vec_id, e.embedding, c.c_id,
                  ${cosSql("e.embedding", "c.c_emb")} AS sim
-          FROM embeddings e, $prev c),
+          FROM samp e, $prev c),
         s$i AS (
           SELECT vec_id, embedding, c_id AS cluster FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
@@ -367,6 +402,9 @@ object VectorQueries extends QueryPack {
           GROUP BY cluster)"""
       s"""
         WITH $paramsCte,
+        samp AS (
+          SELECT vec_id, embedding FROM embeddings, params p
+          WHERE CAST($sampGate AS BIGINT) % 1000000 < p.sthresh),
         c0 AS (
           SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings, params p
           WHERE vec_id < p.ncent),
@@ -408,7 +446,9 @@ object VectorQueries extends QueryPack {
 
     // Recall@K of each approximate index against the exact ranking —
     // the three inputs are the gate queries above, composed as subqueries
-    // (DuckDB scopes each subquery's WITH independently).
+    // (DuckDB scopes each subquery's WITH independently). Denominator =
+    // actual exact-result count per query, not the literal K (see the
+    // Spark twin's comment).
     val q50Sql = s"""
         WITH exact AS (SELECT q_id, vec_id FROM ($q38Sql)),
         lshr AS (SELECT q_id, vec_id FROM ($q39Sql)),
@@ -421,10 +461,10 @@ object VectorQueries extends QueryPack {
           SELECT e.q_id, COUNT(*) AS h FROM exact e
           JOIN ivfr a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
           GROUP BY e.q_id),
-        qs AS (SELECT DISTINCT q_id FROM exact)
+        qs AS (SELECT q_id, COUNT(*) AS ne FROM exact GROUP BY q_id)
         SELECT q.q_id,
-               COALESCE(lh.h, 0) / CAST($K AS DOUBLE) AS recall_lsh,
-               COALESCE(ih.h, 0) / CAST($K AS DOUBLE) AS recall_ivf
+               CAST(COALESCE(lh.h, 0) AS DOUBLE) / q.ne AS recall_lsh,
+               CAST(COALESCE(ih.h, 0) AS DOUBLE) / q.ne AS recall_ivf
         FROM qs q
         LEFT JOIN lh ON lh.q_id = q.q_id
         LEFT JOIN ih ON ih.q_id = q.q_id

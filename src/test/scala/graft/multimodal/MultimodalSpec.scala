@@ -277,6 +277,34 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.kind).forall(_.startsWith("video#frame")))
   }
 
+  test("codec registry: a registered codec claims a format; unregister reverts to stub") {
+    val gif = animatedGif(Seq(0xFF0000), 4, 4)
+    // No built-in claims "gif" for feature decode: stub fallback.
+    assert(Multimodal.decodeFeatures("gif", gif).toSeq ==
+      Multimodal.decodeStub(gif).toSeq)
+    object ToyGifCodec extends MediaCodec {
+      val formats: Set[String] = Set("gif")
+      def decode(bytes: Array[Byte]): Option[Array[Float]] =
+        Some(Array.fill(8)(bytes.length.toFloat))
+    }
+    Codecs.register(ToyGifCodec)
+    try {
+      assert(Codecs.forFormat("gif").contains(ToyGifCodec))
+      assert(Multimodal.decodeFeatures("gif", gif).toSeq ==
+        Array.fill(8)(gif.length.toFloat).toSeq)
+      // A codec that FAILS to decode falls through to the stub, not null.
+      object NoneCodec extends MediaCodec {
+        val formats: Set[String] = Set("gif")
+        def decode(bytes: Array[Byte]): Option[Array[Float]] = None
+      }
+      Codecs.register(NoneCodec) // last registration wins
+      assert(Multimodal.decodeFeatures("gif", gif).toSeq ==
+        Multimodal.decodeStub(gif).toSeq)
+    } finally Codecs.unregister("gif")
+    assert(Multimodal.decodeFeatures("gif", gif).toSeq ==
+      Multimodal.decodeStub(gif).toSeq)
+  }
+
   test("metadata surfaces as a SQL-queryable struct column") {
     val session = spark
     import session.implicits._

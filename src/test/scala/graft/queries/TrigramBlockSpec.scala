@@ -45,14 +45,15 @@ class TrigramBlockSpec extends SparkSpec {
       .agg(count(lit(1)).as("bs"))
     val dd = docs.join(sizes, Seq("lang", "source", "lb"))
       .withColumn("g", ceil(col("bs").cast("double") / maxBlock).cast("int"))
-      .withColumn("sub", pmod(col("doc_id"), col("g")).cast("int"))
+      .withColumn("sub", pmod(hash(col("doc_id")), col("g")).cast("int"))
     val subSizes = dd.groupBy(col("lang"), col("source"), col("lb"), col("sub"))
       .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
     val maxSub = subSizes.max
-    // 120 docs over g=12 sub-groups: each holds exactly 10 = maxBlock docs,
-    // so no join bucket compares more than maxSub^2 = 100 candidate pairs —
-    // vs 120*119/2 = 7140 for the unsalted single-task block.
-    assert(maxSub <= maxBlock)
+    // 120 docs hashed over g=12 sub-groups: ~10 = maxBlock docs each with
+    // deterministic multinomial wobble inside 2×, so no join bucket
+    // compares more than ~(2·maxBlock)² candidate pairs — vs
+    // 120*119/2 = 7140 for the unsalted single-task block.
+    assert(maxSub <= 2L * maxBlock)
     val unsaltedHotPairs = 120L * 119 / 2
     assert(maxSub * maxSub < unsaltedHotPairs / 10)
   }
