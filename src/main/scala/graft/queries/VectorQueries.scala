@@ -83,17 +83,20 @@ object VectorQueries extends QueryPack {
     math.max(16L, math.floor(math.sqrt(n.toDouble)).toLong)
 
   /** Lloyd-training sample gate threshold (per-million): centroids are
-    * trained on ~10·numCentroids(n) rows selected by a deterministic,
+    * trained on ~30·numCentroids(n) rows selected by a deterministic,
     * content-independent hash gate (same md5 gate family as q49's
     * stratified sample — every engine, every partitioning draws the same
     * rows), not the full corpus. Full-corpus training made index BUILD
     * O(n·sqrt(n)·d) per Lloyd pass — the round-5 q44 regression; sampled
-    * training is O(sqrt(n)·sqrt(n)·d) = O(n·d) total while the centroids
-    * converge the same way (k-means quality depends on the sample
-    * covering the distribution, not on n). Pure integer derivation so the
-    * oracle's params CTE computes the identical threshold. */
+    * training is O(30·n·d) total. The multiplier is 30 POINTS PER
+    * CENTROID, not 10: measured at sf0.01, a 10·√n sample dropped
+    * recall@10 from 0.86 to 0.64 (too few points to place √n centroids),
+    * while 30·√n matches full-corpus training — and still vanishes
+    * relative to n as the corpus grows (30·√n/n → 0). Pure integer
+    * derivation so the oracle's params CTE computes the identical
+    * threshold. */
   private[queries] def sampleThreshPpm(n: Long): Long =
-    math.min(1000000L, 10L * numCentroids(n) * 1000000L / n)
+    math.min(1000000L, 30L * numCentroids(n) * 1000000L / n)
 
   /** Nearest-centroid assignment: best centroid per vector by (cosine desc,
     * c_id asc). Centroids are broadcast — bounded (~sqrt(n) rows) at any
@@ -145,21 +148,41 @@ object VectorQueries extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN: sign-pattern of planesPerBand(n) hyperplanes (a
-    * derived count — bucket cardinality grows with the corpus so expected
-    * bucket size stays ~TargetBucket) buckets the corpus; each query
-    * compares only within its bucket. The join is a bucket equi-join —
-    * candidate generation is O(targetBucket) per query at any scale. */
+  /** The NumBands band-key columns over an `embedding` column: band b's
+    * key is the sign pattern of its np-plane slice of the fixed pool.
+    * Shared by the LSH search (q39) and the LSH dedup (q47). */
+  private def bandKeyCols(np: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until NumBands).map { b =>
+      Vectors.lshBucket(col("embedding"),
+        (0 until np).map(j => pool(b * MaxPlanesPerBand + j)))
+    }
+
+  /** LSH-bucketed ANN, MULTI-band: each of the NumBands bands buckets the
+    * corpus by the sign-pattern of planesPerBand(n) hyperplanes (a derived
+    * count — bucket cardinality grows with the corpus so expected bucket
+    * size stays ~TargetBucket); a corpus vector is a candidate when it
+    * shares ANY band bucket with the query, then candidates are scored
+    * exactly. One band was a weak retriever (measured recall@10 of 0.08 at
+    * sf0.01 — a near neighbor missing a single 4-bit signature is gone);
+    * band-OR candidate generation is the standard LSH recall amplifier
+    * (miss probability (1-p)^NumBands) at NumBands× the candidate cost —
+    * still O(NumBands·TargetBucket) per query at any scale. The joins are
+    * band-key equi-joins with the tiny query side broadcast. */
   private def lshTopK(s: SparkSession, d: String): DataFrame = {
-    val emb0 = Tables.embeddings(s, d)
-    val np = planesPerBand(emb0.count())
-    val emb = emb0.withColumn("bucket",
-      Vectors.lshBucket(col("embedding"), pool.take(np)))
+    val emb = Tables.embeddings(s, d)
+    val np = planesPerBand(emb.count())
+    val bd = emb.select(col("vec_id"),
+      posexplode(array(bandKeyCols(np): _*)).as(Seq("band", "key")))
     val qs = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-              col("bucket").as("q_bucket"))
-    val scored = emb.join(broadcast(qs),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qb = bd.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("band"), col("key"))
+    val cand = bd.join(broadcast(qb), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val scored = cand
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(qs), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
               Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
     TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
@@ -232,12 +255,8 @@ object VectorQueries extends QueryPack {
     "q47_embed_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val np = planesPerBand(emb.count())
-      val bandKeys = (0 until NumBands).map { b =>
-        Vectors.lshBucket(col("embedding"),
-          (0 until np).map(j => pool(b * MaxPlanesPerBand + j)))
-      }
       val bd = emb.select(col("vec_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        posexplode(array(bandKeyCols(np): _*)).as(Seq("band", "key")))
       val cand = SaltedSelfPairs.pairs(bd, Seq("band", "key"), "vec_id", MaxBucket)
         .distinct()
       val dropped = cand
@@ -308,7 +327,7 @@ object VectorQueries extends QueryPack {
           SELECT GREATEST(2, LEAST($MaxPlanesPerBand,
                    length(bin((COUNT(*) + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np,
                  GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS ncent,
-                 LEAST(1000000, ((10 * GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) * 1000000) // COUNT(*)) AS sthresh
+                 LEAST(1000000, ((30 * GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) * 1000000) // COUNT(*)) AS sthresh
           FROM embeddings)"""
 
     // The q44 training-sample hash gate: first 8 md5 hex chars of
@@ -333,17 +352,28 @@ object VectorQueries extends QueryPack {
         WHERE rank <= $K
         ORDER BY q_id, rank"""
 
+    // Multi-band candidate generation (band-OR, same banding as q47), then
+    // exact scoring of the distinct candidates — mirrors lshTopK.
     val q39Sql = s"""
         WITH $paramsCte,
         b AS (
-          SELECT vec_id, embedding, CAST(${bandKeySql(0)} AS BIGINT) AS bucket
-          FROM embeddings, params p),
+          ${(0 until NumBands).map(b =>
+            s"SELECT vec_id, $b AS band, CAST(${bandKeySql(b)} AS BIGINT) AS key FROM embeddings, params p")
+            .mkString("\n          UNION ALL ")}),
         q AS (
-          SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
-          FROM b WHERE vec_id < $NumQueries),
+          SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+          WHERE vec_id < $NumQueries),
+        qb AS (
+          SELECT vec_id AS q_id, band, key FROM b WHERE vec_id < $NumQueries),
+        cand AS (
+          SELECT DISTINCT qb.q_id, e.vec_id
+          FROM qb JOIN b e ON e.band = qb.band AND e.key = qb.key
+            AND e.vec_id <> qb.q_id),
         scored AS (
-          SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
-          FROM q JOIN b e ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+          SELECT c.q_id, c.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
+          FROM cand c
+          JOIN q ON q.q_id = c.q_id
+          JOIN embeddings e ON e.vec_id = c.vec_id),
         ranked AS (
           SELECT q_id, vec_id, cos,
                  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank

@@ -19,11 +19,11 @@ class PlanGuardSpec extends SparkSpec {
     * broadcast side is the intended design. */
   private val nestedLoopAllowed = Set(
     "q38_cosine_topk",   // query vectors (< 5 rows) cross corpus
-    "q39_ann_lsh",       // bucket-joined, query side broadcast
     "q44_ann_ivf",       // centroids (~sqrt(n), broadcast) and probes (<= 10)
     "q50_ann_recall")    // composes q38/q44, inheriting their bounded sides
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
-    // generation is a fully keyed (band, key, sub) equi-join.
+    // generation is a fully keyed (band, key, sub) equi-join; q39 left out
+    // since round 6's multi-band rework — band-key equi-joins throughout.
 
   test("no gate query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
