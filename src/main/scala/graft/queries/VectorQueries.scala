@@ -150,12 +150,54 @@ object VectorQueries extends QueryPack {
 
   /** The NumBands band-key columns over an `embedding` column: band b's
     * key is the sign pattern of its np-plane slice of the fixed pool.
-    * Shared by the LSH search (q39) and the LSH dedup (q47). */
+    * Shared by the LSH search (q39) and the LSH dedup (q47/q52). */
   private def bandKeyCols(np: Int): Seq[org.apache.spark.sql.Column] =
     (0 until NumBands).map { b =>
       Vectors.lshBucket(col("embedding"),
         (0 until np).map(j => pool(b * MaxPlanesPerBand + j)))
     }
+
+  /** (vec_id, band, key) band table for an embeddings relation — the
+    * narrow relation every LSH consumer joins on. */
+  private def bandTable(emb: DataFrame, np: Int): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(array(bandKeyCols(np): _*)).as(Seq("band", "key")))
+
+  /** Exact-cosine confirmation of candidate (id_a, id_b) pairs against the
+    * two source relations; returns the distinct id_b values with a
+    * confirmed lower/other-side near-duplicate. */
+  private def confirmedDroppedIds(cand: DataFrame, left: DataFrame,
+                                  right: DataFrame): DataFrame =
+    cand
+      .join(left.select(col("vec_id").as("ia"), col("embedding").as("ea")),
+            col("id_a") === col("ia"))
+      .join(right.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+            col("id_b") === col("ib"))
+      .filter(Vectors.cosine(col("ea"), col("eb")) >= DupCos)
+      .select(col("id_b").as("vec_b")).distinct()
+
+  /** INCREMENTAL embedding dedup — the vector twin of
+    * TextPipelineQueries.dedupAgainstDropped: distinct batch vec_ids to
+    * DROP, i.e. batch vectors that are cosine-confirmed near-dups of ANY
+    * corpus vector (band-key equi-join against the standing band table —
+    * never corpus×corpus) or of a lower-id vector within their own batch
+    * (salted self-pairs). `np` is the index's plane count — FIXED at
+    * index-build time in production (band keys are np-dependent, so
+    * corpus and batch must be keyed with the same geometry). */
+  def dedupAgainstDropped(corpusEmb: DataFrame, batchEmb: DataFrame,
+                          np: Int): DataFrame = {
+    val cb = bandTable(corpusEmb, np)
+      .select(col("band"), col("key"), col("vec_id").as("id_a"))
+    val nb = bandTable(batchEmb, np)
+    val cross = nb.select(col("band"), col("key"), col("vec_id").as("id_b"))
+      .join(cb, Seq("band", "key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val crossDropped = confirmedDroppedIds(cross, corpusEmb, batchEmb)
+    val innerDropped = confirmedDroppedIds(
+      SaltedSelfPairs.pairs(nb, Seq("band", "key"), "vec_id", MaxBucket).distinct(),
+      batchEmb, batchEmb)
+    crossDropped.union(innerDropped).distinct()
+  }
 
   /** LSH-bucketed ANN, MULTI-band: each of the NumBands bands buckets the
     * corpus by the sign-pattern of planesPerBand(n) hyperplanes (a derived
@@ -255,17 +297,34 @@ object VectorQueries extends QueryPack {
     "q47_embed_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val np = planesPerBand(emb.count())
-      val bd = emb.select(col("vec_id"),
-        posexplode(array(bandKeyCols(np): _*)).as(Seq("band", "key")))
-      val cand = SaltedSelfPairs.pairs(bd, Seq("band", "key"), "vec_id", MaxBucket)
-        .distinct()
-      val dropped = cand
-        .join(emb.select(col("vec_id").as("ia"), col("embedding").as("ea")),
-              col("id_a") === col("ia"))
-        .join(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")),
-              col("id_b") === col("ib"))
-        .filter(Vectors.cosine(col("ea"), col("eb")) >= DupCos)
-        .select(col("id_b").as("vec_b")).distinct()
+      val bd = bandTable(emb, np)
+      val dropped = confirmedDroppedIds(
+        SaltedSelfPairs.pairs(bd, Seq("band", "key"), "vec_id", MaxBucket).distinct(),
+        emb, emb)
+      emb.join(dropped, col("vec_id") === col("vec_b"), "left_outer")
+        .select(col("vec_id"),
+                when(col("vec_b").isNotNull, 1).otherwise(0).as("is_dropped"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // INCREMENTAL embedding dedup gate: split the corpus at the 80% point
+    // of the id space, dedup the standing corpus within itself and the
+    // arriving batch via dedupAgainstDropped — and require the combined
+    // verdict vector to EQUAL the full-corpus q47: the oracle for this
+    // query is q47's SQL verbatim (same decomposition argument as q51;
+    // every corpus id < every batch id).
+    "q52_embed_dedup_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val np = planesPerBand(emb.count())
+      val t = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 4L / 5L
+      val corpus = emb.filter(col("vec_id") < t)
+      val batch = emb.filter(col("vec_id") >= t)
+      val droppedOld = confirmedDroppedIds(
+        SaltedSelfPairs.pairs(bandTable(corpus, np), Seq("band", "key"),
+          "vec_id", MaxBucket).distinct(),
+        corpus, corpus)
+      val dropped = droppedOld
+        .union(dedupAgainstDropped(corpus, batch, np)).distinct()
       emb.join(dropped, col("vec_id") === col("vec_b"), "left_outer")
         .select(col("vec_id"),
                 when(col("vec_b").isNotNull, 1).otherwise(0).as("is_dropped"))
@@ -504,6 +563,9 @@ object VectorQueries extends QueryPack {
       "q38_cosine_topk" -> q38Sql,
       "q39_ann_lsh" -> q39Sql,
       "q47_embed_dedup" -> q47Sql,
+      // The incremental path must reproduce the full-corpus dedup exactly
+      // — same oracle as q47, enforced by the gate's hash compare.
+      "q52_embed_dedup_incremental" -> q47Sql,
       "q44_ann_ivf" -> q44Sql,
       "q50_ann_recall" -> q50Sql
     )
