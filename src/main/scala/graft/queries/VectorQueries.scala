@@ -163,6 +163,23 @@ object VectorQueries extends QueryPack {
     emb.select(col("vec_id"),
       posexplode(array(bandKeyCols(np): _*)).as(Seq("band", "key")))
 
+  /** The banded LSH INDEX of a corpus, materialized once per (geometry,
+    * corpus fingerprint) and shared by every consumer — search (q39),
+    * dedup (q47), incremental dedup (q52), recall gate (q50). Without
+    * this, each query (and each SIDE of a self-join) re-scans the corpus
+    * and recomputes NumBands·np 64-dim dot products per row; with it, the
+    * corpus is banded exactly once and consumers read a narrow
+    * (vec_id, band, key) relation — the index-build/serve split a
+    * production vector store would express as a real table. Subset band
+    * tables (q52's corpus/batch split) are FILTERS of this relation:
+    * band keys are per-row, so filtering commutes with banding. */
+  private def materializedBands(s: SparkSession, d: String, emb: DataFrame,
+                                np: Int): DataFrame =
+    graft.operators.MaterializeOnce(
+      s"emb_bands|$np|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+      bandTable(emb, np)
+    }
+
   /** Exact-cosine confirmation of candidate (id_a, id_b) pairs against the
     * two source relations; returns the distinct id_b values with a
     * confirmed lower/other-side near-duplicate. */
@@ -185,10 +202,12 @@ object VectorQueries extends QueryPack {
     * index-build time in production (band keys are np-dependent, so
     * corpus and batch must be keyed with the same geometry). */
   def dedupAgainstDropped(corpusEmb: DataFrame, batchEmb: DataFrame,
-                          np: Int): DataFrame = {
-    val cb = bandTable(corpusEmb, np)
+                          np: Int,
+                          corpusBands: Option[DataFrame] = None,
+                          batchBands: Option[DataFrame] = None): DataFrame = {
+    val cb = corpusBands.getOrElse(bandTable(corpusEmb, np))
       .select(col("band"), col("key"), col("vec_id").as("id_a"))
-    val nb = bandTable(batchEmb, np)
+    val nb = batchBands.getOrElse(bandTable(batchEmb, np))
     val cross = nb.select(col("band"), col("key"), col("vec_id").as("id_b"))
       .join(cb, Seq("band", "key"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -213,8 +232,7 @@ object VectorQueries extends QueryPack {
   private def lshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val np = planesPerBand(emb.count())
-    val bd = emb.select(col("vec_id"),
-      posexplode(array(bandKeyCols(np): _*)).as(Seq("band", "key")))
+    val bd = materializedBands(s, d, emb, np)
     val qs = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qb = bd.filter(col("vec_id") < NumQueries)
@@ -297,7 +315,7 @@ object VectorQueries extends QueryPack {
     "q47_embed_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val np = planesPerBand(emb.count())
-      val bd = bandTable(emb, np)
+      val bd = materializedBands(s, d, emb, np)
       val dropped = confirmedDroppedIds(
         SaltedSelfPairs.pairs(bd, Seq("band", "key"), "vec_id", MaxBucket).distinct(),
         emb, emb)
@@ -319,12 +337,16 @@ object VectorQueries extends QueryPack {
       val t = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 4L / 5L
       val corpus = emb.filter(col("vec_id") < t)
       val batch = emb.filter(col("vec_id") >= t)
+      // Subset band tables are filters of the ONE materialized index.
+      val bands = materializedBands(s, d, emb, np)
       val droppedOld = confirmedDroppedIds(
-        SaltedSelfPairs.pairs(bandTable(corpus, np), Seq("band", "key"),
-          "vec_id", MaxBucket).distinct(),
+        SaltedSelfPairs.pairs(bands.filter(col("vec_id") < t),
+          Seq("band", "key"), "vec_id", MaxBucket).distinct(),
         corpus, corpus)
       val dropped = droppedOld
-        .union(dedupAgainstDropped(corpus, batch, np)).distinct()
+        .union(dedupAgainstDropped(corpus, batch, np,
+          corpusBands = Some(bands.filter(col("vec_id") < t)),
+          batchBands = Some(bands.filter(col("vec_id") >= t)))).distinct()
       emb.join(dropped, col("vec_id") === col("vec_b"), "left_outer")
         .select(col("vec_id"),
                 when(col("vec_b").isNotNull, 1).otherwise(0).as("is_dropped"))
