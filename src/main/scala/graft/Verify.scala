@@ -1,18 +1,30 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Multi-sf sweep: `sfDir` may be a comma-separated list of scale-factor
+  * directories — each sweeps the FULL query surface into its own
+  * subdirectory of `outDir` (named after the sf directory), proving in one
+  * invocation that the corpus-derived oracles (LSH planes, IVF centroids,
+  * Lloyd sample threshold) track n. A single sfDir keeps the driver's
+  * original flat layout. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDirs, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    val sweeps = sfDirs.split(',').map(_.trim).filter(_.nonEmpty)
+    sweeps.foreach { sfDir =>
+      val out = if (sweeps.length == 1) outDir
+        else s"$outDir/${Paths.get(sfDir).getFileName}"
+      new java.io.File(out).mkdirs()
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -30,6 +42,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (sweeps.length > 1) sweeps.foreach { sfDir =>
+      Files.writeString(Paths.get(
+        s"$outDir/${Paths.get(sfDir).getFileName}/oracle_sql.json"), json)
+    }
     spark.stop()
   }
 }

@@ -31,13 +31,18 @@ object TextPipelineQueries extends QueryPack {
   /** doc_id + the distinct word-3-gram shingle set hashed to 32-bit ints
     * (ONE md5 per shingle; everything downstream — MinHash permutations,
     * band keys, Jaccard confirm — is integer work over this array, and
-    * the persisted relation carries no strings). */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
+    * the persisted relation carries no strings). Public: the signature
+    * projection for any (doc_id, text) relation, feeding
+    * pairsFromShingles / dedupAgainstDropped. */
+  def shingleSignatures(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       transform(
         array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)),
         x => TextFns.hash32(x)).as("hs"))
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    shingleSignatures(Tables.documents(s, d))
 
   /** Exploded (doc_id, band index, band key) — the LSH bucketing. The
     * signature is the affine permutation family over the pre-hashed
@@ -71,8 +76,9 @@ object TextPipelineQueries extends QueryPack {
 
   /** Confirmed near-dup pairs WITHIN one shingle relation: candidates from
     * shared LSH buckets (keyed on (band, key) — no all-pairs), confirmed
-    * by exact Jaccard >= threshold on the shingle sets. */
-  private[queries] def pairsFromShingles(sh: DataFrame): DataFrame = {
+    * by exact Jaccard >= threshold on the shingle sets. Public: pair with
+    * shingleSignatures to dedup arbitrary document relations. */
+  def pairsFromShingles(sh: DataFrame): DataFrame = {
     val bd = bands(sh)
     val cand = bd.as("x").join(bd.as("y"),
         col("x.key") === col("y.key") && col("x.b") === col("y.b") &&

@@ -72,8 +72,10 @@ object VectorQueries extends QueryPack {
     if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
 
   /** Derived planes per band: smallest p with n/2^p ≤ TargetBucket,
-    * floored at 2, capped at MaxPlanesPerBand. */
-  private[queries] def planesPerBand(n: Long): Int =
+    * floored at 2, capped at MaxPlanesPerBand. Public: callers banding
+    * their own relations (bandTable/lshSearch) must derive the same
+    * geometry the index was built with. */
+  def planesPerBand(n: Long): Int =
     math.min(MaxPlanesPerBand,
       math.max(2, ceilLog2((n + TargetBucket - 1) / TargetBucket)))
 
@@ -132,20 +134,25 @@ object VectorQueries extends QueryPack {
 
   // ---- query bodies (named so q50 can compose the other three) ----
 
-  /** Brute-force cosine top-k: every (query, corpus) pair scored, exact
-    * ranking. The query side (vec_id < 5) is broadcast; the corpus side is
-    * never shuffled — only the k·salt level-1 survivors move. */
+  /** PUBLIC search surface: exact cosine top-k of `queries` (q_id, q_emb)
+    * against `corpus` (vec_id, embedding). The query side is broadcast;
+    * the corpus is never shuffled — only the k·salt level-1 survivors
+    * move (TopK.perKey). The gate's q38 binds this to the corpus table
+    * with its first NumQueries vectors as queries. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+        k, col("vec_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   private def exactTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val qs = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = emb.join(broadcast(qs), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-              Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
-    TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
-        K, col("vec_id"))
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    cosineTopK(emb, qs, K).orderBy(col("q_id"), col("rank"))
   }
 
   /** The NumBands band-key columns over an `embedding` column: band b's
@@ -157,9 +164,10 @@ object VectorQueries extends QueryPack {
         (0 until np).map(j => pool(b * MaxPlanesPerBand + j)))
     }
 
-  /** (vec_id, band, key) band table for an embeddings relation — the
-    * narrow relation every LSH consumer joins on. */
-  private def bandTable(emb: DataFrame, np: Int): DataFrame =
+  /** (vec_id, band, key) band table for any (vec_id, embedding) relation —
+    * the narrow relation every LSH consumer joins on. Public: pair with
+    * lshSearch/dedupAgainstDropped over arbitrary relations. */
+  def bandTable(emb: DataFrame, np: Int): DataFrame =
     emb.select(col("vec_id"),
       posexplode(array(bandKeyCols(np): _*)).as(Seq("band", "key")))
 
@@ -229,6 +237,28 @@ object VectorQueries extends QueryPack {
     * (miss probability (1-p)^NumBands) at NumBands× the candidate cost —
     * still O(NumBands·TargetBucket) per query at any scale. The joins are
     * band-key equi-joins with the tiny query side broadcast. */
+  /** PUBLIC search surface: banded-LSH approximate top-k. `corpusBands` is
+    * the (vec_id, band, key) index relation (materializedBands for the
+    * corpus tables; bandTable-shaped for arbitrary relations),
+    * `queryBands` the same banding of the query vectors. Candidates are
+    * corpus vectors sharing ANY band bucket with a query (band-OR),
+    * scored exactly; all joins are band-key equi-joins with the query
+    * side broadcast. */
+  def lshSearch(corpus: DataFrame, corpusBands: DataFrame,
+                queries: DataFrame, queryBands: DataFrame, k: Int): DataFrame = {
+    val cand = corpusBands.join(broadcast(queryBands), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val scored = cand
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+        k, col("vec_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   private def lshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val np = planesPerBand(emb.count())
@@ -237,18 +267,7 @@ object VectorQueries extends QueryPack {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val qb = bd.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("band"), col("key"))
-    val cand = bd.join(broadcast(qb), Seq("band", "key"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id")).distinct()
-    val scored = cand
-      .join(emb, Seq("vec_id"))
-      .join(broadcast(qs), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"),
-              Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
-    TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
-        K, col("vec_id"))
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    lshSearch(emb, bd, qs, qb, K).orderBy(col("q_id"), col("rank"))
   }
 
   /** IVF-style ANN: coarse quantization into numCentroids(n) ≈ sqrt(n)
