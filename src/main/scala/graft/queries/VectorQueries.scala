@@ -100,10 +100,10 @@ object VectorQueries extends QueryPack {
   private[queries] def sampleThreshPpm(n: Long): Long =
     math.min(1000000L, 30L * numCentroids(n) * 1000000L / n)
 
-  /** Nearest-centroid assignment: best centroid per vector by (cosine desc,
-    * c_id asc). Centroids are broadcast — bounded (~sqrt(n) rows) at any
-    * corpus scale. */
-  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+  /** PUBLIC: nearest-centroid assignment — best centroid per vector by
+    * (cosine desc, c_id asc). Centroids are broadcast — bounded
+    * (~sqrt(n) rows) at any corpus scale. */
+  def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.join(broadcast(cents), expr("true"))
       .select(col("vec_id"), col("embedding"), col("c_id"),
               Vectors.cosine(col("embedding"), col("c_emb")).as("sim"))
@@ -281,9 +281,12 @@ object VectorQueries extends QueryPack {
     * shape; training touches O(sqrt(n)) rows per pass and the trained
     * index is persisted per corpus fingerprint (real index-build/serve
     * split). */
-  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val n = emb.count()
+  /** PUBLIC: train the IVF coarse quantizer for an (vec_id, embedding)
+    * relation of n rows — deterministic init (first numCentroids(n)
+    * vectors), two Lloyd iterations over the hash-gated ~30·√n sample.
+    * Persist the result (the gate uses MaterializeOnce keyed by corpus
+    * fingerprint) — this is the index-BUILD half of the split. */
+  def trainIvfCentroids(emb: DataFrame, n: Long): DataFrame = {
     val ncent = numCentroids(n)
     val sthresh = sampleThreshPpm(n)
     val samp = emb.filter(
@@ -291,26 +294,41 @@ object VectorQueries extends QueryPack {
         lit(1000000L)) < sthresh)
     val cents0 = emb.filter(col("vec_id") < ncent)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val cents = graft.operators.MaterializeOnce(
-      s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
-      lloydStep(assignTo(samp, lloydStep(assignTo(samp, cents0))))
-    }
-    val assigned = assignTo(emb, cents)
-    val qs = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = qs.join(broadcast(cents), expr("true"))
+    lloydStep(assignTo(samp, lloydStep(assignTo(samp, cents0))))
+  }
+
+  /** PUBLIC: IVF serve — probe the `nprobe` nearest trained clusters per
+    * query and score only their members. `assigned` is the corpus with
+    * its `cluster` column (assignTo), `cents` the trained centroids;
+    * centroids and probes are broadcast (both constant-bounded). */
+  def ivfSearch(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+                k: Int, nprobe: Int): DataFrame = {
+    val probes = queries.join(broadcast(cents), expr("true"))
       .select(col("q_id"), col("q_emb"), col("c_id"),
               Vectors.cosine(col("q_emb"), col("c_emb")).as("sim"))
     val probed = TopK.perKey(probes, Seq("q_id"),
-        Seq(col("sim").desc, col("c_id")), NProbe, col("c_id"), salt = 4)
+        Seq(col("sim").desc, col("c_id")), nprobe, col("c_id"), salt = 4)
       .select(col("q_id"), col("q_emb"), col("c_id").as("probe_cluster"))
     val scored = assigned.join(broadcast(probed),
         col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
               Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
     TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
-        K, col("vec_id"))
+        k, col("vec_id"))
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count()
+    val cents = graft.operators.MaterializeOnce(
+      s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+      trainIvfCentroids(emb, n)
+    }
+    val assigned = assignTo(emb, cents)
+    val qs = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    ivfSearch(assigned, cents, qs, K, NProbe)
       .orderBy(col("q_id"), col("rank"))
   }
 
