@@ -257,7 +257,7 @@ object TextPipelineQueries extends QueryPack {
     "q51_dedup_incremental" -> ((s, d) => {
       val sh = materializedShingles(s, d)
       val docs = Tables.documents(s, d)
-      val t = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+      val t = (graft.operators.CorpusStats.maxId(s, d, "documents", "doc_id") + 1L) * 4L / 5L
       val corpusSh = sh.filter(col("doc_id") < t)
       val batchSh = sh.filter(col("doc_id") >= t)
       val droppedOld = pairsFromShingles(corpusSh).select(col("doc_b").as("doc_id"))

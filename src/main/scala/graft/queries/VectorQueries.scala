@@ -259,9 +259,14 @@ object VectorQueries extends QueryPack {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Corpus row count / max id — one memoized job per corpus per JVM
+    * (CorpusStats), never a per-query scalar action. */
+  private def embStats(s: SparkSession, d: String) =
+    graft.operators.CorpusStats.of(s, d, "embeddings", "vec_id")
+
   private def lshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val np = planesPerBand(emb.count())
+    val np = planesPerBand(embStats(s, d).n)
     val bd = materializedBands(s, d, emb, np)
     val qs = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -272,7 +277,7 @@ object VectorQueries extends QueryPack {
 
   /** IVF-style ANN: coarse quantization into numCentroids(n) ≈ sqrt(n)
     * clusters — deterministic init (the first ncent vectors) then TWO
-    * Lloyd iterations over a deterministic ~10·ncent-row SAMPLE (see
+    * Lloyd iterations over a deterministic ~30·ncent-row SAMPLE (see
     * sampleThreshPpm; assignment by max cosine with id tiebreak;
     * fixed-point per-dimension means), then the FULL corpus is assigned
     * once against the trained centroids and each query probes only its 2
@@ -320,7 +325,7 @@ object VectorQueries extends QueryPack {
 
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val n = emb.count()
+    val n = embStats(s, d).n
     val cents = graft.operators.MaterializeOnce(
       s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
       trainIvfCentroids(emb, n)
@@ -351,7 +356,7 @@ object VectorQueries extends QueryPack {
     // reported per vector as (vec_id, is_dropped).
     "q47_embed_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val np = planesPerBand(emb.count())
+      val np = planesPerBand(embStats(s, d).n)
       val bd = materializedBands(s, d, emb, np)
       val dropped = confirmedDroppedIds(
         SaltedSelfPairs.pairs(bd, Seq("band", "key"), "vec_id", MaxBucket).distinct(),
@@ -370,8 +375,9 @@ object VectorQueries extends QueryPack {
     // every corpus id < every batch id).
     "q52_embed_dedup_incremental" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val np = planesPerBand(emb.count())
-      val t = (emb.agg(max(col("vec_id"))).head.getLong(0) + 1L) * 4L / 5L
+      val stats = embStats(s, d)
+      val np = planesPerBand(stats.n)
+      val t = (stats.maxId + 1L) * 4L / 5L
       val corpus = emb.filter(col("vec_id") < t)
       val batch = emb.filter(col("vec_id") >= t)
       // Subset band tables are filters of the ONE materialized index.
@@ -440,7 +446,7 @@ object VectorQueries extends QueryPack {
     // The same build-time derivations as planesPerBand/numCentroids/
     // sampleThreshPpm, in exact integer SQL: ceil-log2 via binary-string
     // length of m-1; the sample threshold mirrors the Scala expression's
-    // left-to-right integer ops ((10 * ncent) * 1000000) / n exactly.
+    // left-to-right integer ops ((30 * ncent) * 1000000) / n exactly.
     val paramsCte = s"""params AS (
           SELECT GREATEST(2, LEAST($MaxPlanesPerBand,
                    length(bin((COUNT(*) + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np,
