@@ -25,8 +25,36 @@ package graft
   * Failure policy: a query that throws is reported in a `failed` array and
   * contributes nothing to `queries`/`value` — a crashing query must never
   * masquerade as a fast one.
+  *
+  * REGRESSION GUARD: when a committed per-query baseline exists
+  * (`BENCH_BASELINE_PERQ.json`, a flat {query: warmSeconds} object; path
+  * overridable via SPARK_GRAFT_BENCH_BASELINE), the output carries a
+  * `ratio` object (warm / baseline per query) and a `regressed` array of
+  * queries whose warm run exceeded 2× its baseline. This exists because a
+  * 3.9× warm regression on one query once shipped inside a round whose
+  * TOTAL improved — totals hide per-query cliffs; the guard makes every
+  * per-query regression a named artifact the next round must adjudicate.
+  * Queries absent from the baseline (new gates) are listed in
+  * `unbaselined`, not silently ungoverned.
   */
 object Bench {
+
+  private val RegressionFactor = 2.0
+
+  /** Flat {name: seconds} baseline, absent → empty. Jackson is already on
+    * Spark's classpath; no extra dependency. */
+  def loadBaseline(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(f)
+      import scala.jdk.CollectionConverters._
+      node.fields().asScala
+        .filter(_.getValue.isNumber)
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,7 +89,16 @@ object Bench {
     def arr(xs: Seq[String]): String =
       xs.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = warm.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","run":"warm","exec":"noop_sink","queries":${obj(warm)},"cold":${obj(cold)},"materializes":${arr(mats.toSeq)},"failed":${arr(failed.toSeq)},"sf":"$sfDir"}""")
+    val baseline = loadBaseline(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_PERQ.json"))
+    val ratio = scala.collection.immutable.ListMap(warm.toSeq.flatMap {
+      case (q, t) => baseline.get(q).map(b => q -> math.rint(t / b * 100) / 100)
+    }: _*)
+    val regressed = ratio.filter(_._2 > RegressionFactor).keys.toSeq.sorted
+    val unbaselined =
+      if (baseline.isEmpty) Seq.empty // no baseline committed yet: no guard
+      else warm.keys.filterNot(baseline.contains).toSeq.sorted
+    println(s"""{"metric":"total","value":$total,"unit":"sec","run":"warm","exec":"noop_sink","queries":${obj(warm)},"cold":${obj(cold)},"ratio":${obj(ratio)},"regressed":${arr(regressed)},"unbaselined":${arr(unbaselined)},"materializes":${arr(mats.toSeq)},"failed":${arr(failed.toSeq)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

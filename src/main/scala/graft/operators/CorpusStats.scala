@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * Both statistics come from ONE aggregation job and are memoized under the
   * same key discipline as [[MaterializeOnce]]: the key embeds the source
   * fingerprint, so a corpus regenerated at the same path within one JVM is
-  * re-counted rather than served stale. The compute inside
-  * `computeIfAbsent` is a bounded two-scalar agg that cannot re-enter this
-  * map (unlike MaterializeOnce's arbitrary caller-supplied plan, which
-  * needs the future-based non-blocking form).
+  * re-counted rather than served stale. The map stores memoized FUTURES —
+  * the aggregation job runs OUTSIDE the map lock (running it inside
+  * `computeIfAbsent` held the hash-bin lock for the job's full duration, so
+  * concurrent first lookups of unrelated corpora hashing to the same bin
+  * serialized behind it — the same hazard MaterializeOnce's future form
+  * exists for).
   */
 object CorpusStats {
 
@@ -28,24 +30,40 @@ object CorpusStats {
   final case class Stats(n: Long, maxId: Long)
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Stats]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Stats]]()
 
   /** Number of stat jobs run so far this JVM (spec hook: asserts the
-    * memoization actually eliminates repeat jobs). */
-  @volatile private var computeCount = 0
-  def computes: Int = computeCount
+    * memoization actually eliminates repeat jobs). Atomic — a plain
+    * volatile += is a lost-update race under concurrent first
+    * computations of distinct keys. */
+  private val computeCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  def computes: Int = computeCount.get()
 
   /** Row count and max of `idCol` for `$dir/$table.parquet`, computed in a
     * single Spark job per (dir, table, source fingerprint) per JVM. */
   def of(s: SparkSession, dir: String, table: String, idCol: String): Stats = {
     val key = s"$dir|$table|$idCol|${MaterializeOnce.fingerprint(dir, s"$table.parquet")}"
-    cache.computeIfAbsent(key, _ => {
-      computeCount += 1
-      val r = s.read.parquet(s"$dir/$table.parquet")
-        .agg(org.apache.spark.sql.functions.count(lit(1)),
-             max(col(idCol).cast("long"))).head()
-      Stats(r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
-    })
+    val fut = new java.util.concurrent.CompletableFuture[Stats]()
+    val prior = cache.putIfAbsent(key, fut)
+    if (prior != null) {
+      try prior.join()
+      catch { case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+      }
+    } else
+      try {
+        computeCount.incrementAndGet()
+        val r = s.read.parquet(s"$dir/$table.parquet")
+          .agg(org.apache.spark.sql.functions.count(lit(1)),
+               max(col(idCol).cast("long"))).head()
+        val stats = Stats(r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+        fut.complete(stats)
+        stats
+      } catch { case e: Throwable =>
+        fut.completeExceptionally(e)
+        cache.remove(key, fut)
+        throw e
+      }
   }
 
   def count(s: SparkSession, dir: String, table: String, idCol: String): Long =

@@ -25,10 +25,16 @@ class CorpusStatsSpec extends SparkSpec {
   test("memoized: a repeat lookup launches zero Spark jobs") {
     CorpusStats.of(spark, sf, "documents", "doc_id") // ensure computed
     val before = CorpusStats.computes
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinelJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val otherJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val group = "cstats-sentinel"
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == group) sentinelJobs.incrementAndGet()
+        else otherJobs.incrementAndGet()
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -36,14 +42,20 @@ class CorpusStatsSpec extends SparkSpec {
       assert(again.n > 0)
       assert(CorpusStats.computes == before, "repeat lookup re-computed")
       // The listener bus is async: prove "zero jobs above" by running one
-      // sentinel job, waiting until its start event arrives, and asserting
-      // the counter is exactly that sentinel. RDD count, not Dataset count:
-      // AQE splits a Dataset count's shuffle into two jobs.
-      spark.sparkContext.range(0, 10).count()
+      // TAGGED sentinel job, waiting for the SENTINEL's own start event
+      // (matching on its job group — an untagged wait would be satisfied
+      // by a regressed lookup's job arriving first), then asserting no
+      // untagged job started. RDD count, not Dataset count: AQE splits a
+      // Dataset count's shuffle into two jobs.
+      spark.sparkContext.setJobGroup(group, "CorpusStatsSpec sentinel")
+      try spark.sparkContext.range(0, 10).count()
+      finally spark.sparkContext.clearJobGroup()
       val deadline = System.nanoTime() + 10_000_000_000L
-      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
-      assert(jobs.get() == 1,
-        s"expected only the sentinel job, saw ${jobs.get()} job starts")
+      while (sentinelJobs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(sentinelJobs.get() == 1, "sentinel job start never observed")
+      assert(otherJobs.get() == 0,
+        s"repeat lookup launched ${otherJobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -1,11 +1,23 @@
 package graft.queries
 
 import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
 /** Plan linting across the ENTIRE gate surface: no query may plan a
   * scale-killer. Catches regressions the value-level gate cannot see —
   * a query can stay hash-correct while silently degrading to a
   * cartesian product or an unbounded nested-loop join.
+  *
+  * Linted at BOTH sf0.001 and sf0.1: planning is size-driven (file-size
+  * stats feed broadcast decisions), so a plan that is clean at the tiny
+  * sf can flip strategy at bench scale — the round-7 finding was that
+  * sf0.001-only linting left exactly that window open. documents/
+  * embeddings only actually scale at sf0.1 (sf0.001 and sf0.01 ship the
+  * same 500 rows), so sf0.1 is the smallest sf where derived index
+  * geometry and size-driven planning genuinely differ.
   *
   * BroadcastNestedLoopJoin is allowed only where one side is provably
   * bounded by a query constant (the ANN query/centroid sides, ≤ 16
@@ -13,7 +25,7 @@ import graft.{SparkSpec, SparkEntry}
   * accident. */
 class PlanGuardSpec extends SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")
 
   /** Queries where a nested-loop join against a constant-bounded
     * broadcast side is the intended design. */
@@ -25,23 +37,80 @@ class PlanGuardSpec extends SparkSpec {
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
 
-  test("no gate query plans a CartesianProduct") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
-      plan.contains("CartesianProduct")
+  private def planOf(name: String, sf: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  /** Single-partition shuffles that funnel UNAGGREGATED data through one
+    * task — the plan-shape that turns a distributed query into a
+    * single-node one at scale. Two forms are sanctioned: (a) the exchange
+    * under a FINAL scalar aggregate, whose input is the partial-aggregate
+    * output (≤ one row per upstream partition — bounded by partition
+    * count, not data size); (b) nothing else. The gate's final global
+    * sorts are rangepartitioning exchanges, not SinglePartition, so they
+    * never trip this. */
+  private def unsanctionedSinglePartitionExchanges(p: SparkPlan): Seq[String] = {
+    val whole = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
     }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    whole.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
+          !e.child.nodeName.contains("Aggregate") =>
+        s"${e.nodeName} <- ${e.child.nodeName}"
+    }
   }
 
-  test("BroadcastNestedLoopJoin appears only where a side is constant-bounded") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(nestedLoopAllowed)
-      .filter { name =>
-        val plan = SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan.toString
-        plan.contains("BroadcastNestedLoopJoin")
+  for (sf <- sfs) {
+    val sfName = sf.split('/').last
+
+    test(s"no gate query plans a CartesianProduct [$sfName]") {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+        planOf(name, sf).toString.contains("CartesianProduct")
       }
-    assert(offenders.isEmpty, s"unintended nested-loop joins in: $offenders")
+      assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    }
+
+    test(s"BroadcastNestedLoopJoin only where a side is constant-bounded [$sfName]") {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(nestedLoopAllowed)
+        .filter(name => planOf(name, sf).toString.contains("BroadcastNestedLoopJoin"))
+      assert(offenders.isEmpty, s"unintended nested-loop joins in: $offenders")
+    }
+
+    test(s"no unaggregated single-partition Exchange in any gate plan [$sfName]") {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val hits = unsanctionedSinglePartitionExchanges(planOf(name, sf))
+        if (hits.isEmpty) None else Some(s"$name: ${hits.mkString("; ")}")
+      }
+      assert(offenders.isEmpty,
+        s"single-partition exchanges over unaggregated data: $offenders")
+    }
+  }
+
+  /** The static lint above inspects the INITIAL plan; under AQE the final
+    * plan can differ (runtime-stat-driven join demotion, skew splitting).
+    * EXECUTE the join-heavy dedup family at sf0.1 and lint the FINAL
+    * adaptive plan — the exact surface the round-7 verdict flagged as
+    * unlinted. Kept to the dedup family: they carry every join shape the
+    * gate uses (banded equi-joins, salted triangles, anti/left joins),
+    * and executing all 52 at sf0.1 in the shared small-session would turn
+    * a lint into a second benchmark. */
+  test("AQE final plans at sf0.1 stay clean for the dedup family") {
+    val names = Seq("q34_minhash_pairs", "q47_embed_dedup",
+      "q51_dedup_incremental", "q52_embed_dedup_incremental")
+    val sf = "/root/testdata/sf0.1"
+    val offenders = names.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+      val bad =
+        (if (finalPlan.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+        (if (finalPlan.contains("BroadcastNestedLoopJoin")) Seq("BroadcastNestedLoopJoin") else Nil)
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty, s"AQE-final offenders: $offenders")
   }
 }
