@@ -251,10 +251,16 @@ object RelationalQueries extends QueryPack {
 
     // JSON extraction from events.props (SURVEY §2.7 json class; reference
     // navigates Lighthouse JSON by path — same capability over a column).
+    // from_json with a one-field schema, not get_json_object: the typed
+    // parse is ~1.5x faster warm (0.76s vs 1.2s at sf0.1, BASELINE_NOTES.md
+    // r9 entry) because the path-query variant re-tokenizes the document
+    // per call while from_json parses straight into an unsafe row.
     "q18_json" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
       Tables.events(s, d)
         .select(col("event_id"),
-                get_json_object(col("props"), "$.k").cast("long").as("k"))
+                from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+                  .getField("k").as("k"))
         .filter(col("k").isNotNull && col("k") % 10 === 0)
         .orderBy(col("event_id"))
     }),
