@@ -44,6 +44,23 @@ object StreamingQueries extends QueryPack {
       EventStreams.runningUserTotals(events)
         .toDF()
         .orderBy(col("user_id"))
+    }),
+
+    // StreamingDedup.exactDedup executed in BATCH mode (the q46 pattern):
+    // Spark runs the same flatMapGroupsWithState kernel over each complete
+    // fingerprint group with empty initial state, and the kernel's
+    // doc_id-ordered scan makes first_id = min(doc_id) of the group — so
+    // the streaming exact-dedup's verdicts are oracle-gated against plain
+    // fingerprint SQL, not specs alone (the last operator family that was).
+    "q53_stream_exact_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[graft.streaming.StreamingDedup.DocText]
+      graft.streaming.StreamingDedup
+        .exactDedup(graft.streaming.StreamingDedup.fingerprints(docs))
+        .toDF()
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -98,6 +115,27 @@ object StreamingQueries extends QueryPack {
              COUNT(*) AS n
       FROM events, unnest([0, 1]) AS t(o)
       GROUP BY 1
-      ORDER BY window_start"""
+      ORDER BY window_start""",
+
+    // Streaming exact dedup ≡ per-fingerprint min-id: the fingerprint CTE
+    // is q48's Rabin-Karp fold verbatim (same hex32 hash arithmetic), the
+    // verdict columns are pure window SQL over it.
+    "q53_stream_exact_dedup" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, x -> CAST(${TextPipelineQueries.hex32} AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        FROM t)
+      SELECT doc_id, fp,
+             MIN(doc_id) OVER (PARTITION BY fp) AS first_id,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
+      FROM h
+      ORDER BY doc_id"""
   )
 }

@@ -135,8 +135,9 @@ object TextPipelineQueries extends QueryPack {
   }
 
   /** 8-hex-char md5 prefix → 32-bit int via strpos arithmetic (mirrors
-    * TextFns.hash32 exactly). */
-  private val hex32: String = (1 to 8).map { p =>
+    * TextFns.hash32 exactly). Shared with StreamingQueries' q53 oracle so
+    * the fingerprint SQL has exactly one definition. */
+  private[queries] val hex32: String = (1 to 8).map { p =>
     s"(strpos('0123456789abcdef', substr(md5(x), $p, 1)) - 1) * ${1L << (4 * (8 - p))}"
   }.mkString(" + ")
 
