@@ -38,10 +38,20 @@ object StreamingDedup {
                              is_dup: Boolean)
 
   final case class DocSig(doc_id: Long, band: Int, key: String, mh: Seq[Long])
-  /** Near-dup verdict for one band: emitted ONLY when the doc's signature
-    * matches an earlier doc in the same band bucket. */
+  /** Near-dup verdict for one band: emitted when the doc's signature
+    * matches an earlier doc in the same band bucket — OR, with
+    * `dup_of = `[[EvictedMark]], when the doc's signature could NOT be
+    * held because the bucket was saturated (see [[nearDupVerdicts]]):
+    * eviction is a correctness-affecting event (later true duplicates of
+    * this doc can no longer be detected in this band), so it is emitted
+    * into the verdict stream itself rather than logged, where a
+    * `foreachBatch` consumer can count/alert on it. */
   final case class BandDup(doc_id: Long, band: Int, dup_of: Long,
                            est_jaccard: Double)
+
+  /** `dup_of` sentinel marking a saturated-bucket eviction verdict (real
+    * doc ids are non-negative). */
+  val EvictedMark: Long = -1L
   final case class BucketState(sigs: List[(Long, Seq[Long])])
 
   private val NumHashes = 8
@@ -115,7 +125,8 @@ object StreamingDedup {
     * is flagged against the EARLIEST such member. A doc flagged in ANY of
     * its Bands buckets is a near-duplicate — combine with [[dropSet]]. */
   def nearDupVerdicts(sigs: Dataset[DocSig],
-                      minAgree: Int = 4): Dataset[BandDup] = {
+                      minAgree: Int = 4,
+                      maxBucketSigs: Int = MaxBucketSigs): Dataset[BandDup] = {
     import sigs.sparkSession.implicits._
     sigs
       .groupByKey(s => (s.band, s.key))
@@ -135,15 +146,32 @@ object StreamingDedup {
               .collectFirst { case (id, n) if n >= minAgree =>
                 BandDup(s.doc_id, s.band, id, n.toDouble / NumHashes) }
             hit.foreach(out += _)
-            if (held.size < MaxBucketSigs) held = (s.doc_id, s.mh) :: held
+            if (held.size < maxBucketSigs) held = (s.doc_id, s.mh) :: held
+            else
+              // Saturated bucket: the signature is dropped, so later true
+              // duplicates of THIS doc are undetectable in this band. That
+              // silent false-negative risk must be visible — emit an
+              // eviction verdict alongside any dup hit.
+              out += BandDup(s.doc_id, s.band, EvictedMark, 0.0)
           }
           state.update(BucketState(held))
           out.iterator
       }
   }
 
+  /** Eviction verdicts only (dup_of = [[EvictedMark]]): the stream to
+    * count/alert on — a non-empty result means some bucket saturated and
+    * near-dup recall is no longer complete for the evicted docs' bands. */
+  def evictions(verdicts: Dataset[BandDup]): Dataset[BandDup] = {
+    import verdicts.sparkSession.implicits._
+    verdicts.filter(_.dup_of == EvictedMark)
+  }
+
   /** Batch-side combiner (use inside foreachBatch or on collected
-    * verdicts): the distinct doc ids flagged in at least one band. */
+    * verdicts): the distinct doc ids flagged as a DUPLICATE in at least
+    * one band. Eviction verdicts (dup_of = [[EvictedMark]]) are excluded —
+    * an evicted doc was not matched, merely unrecorded. */
   def dropSet(verdicts: DataFrame): DataFrame =
-    verdicts.select(col("doc_id")).distinct()
+    verdicts.filter(col("dup_of") =!= lit(EvictedMark))
+      .select(col("doc_id")).distinct()
 }

@@ -77,4 +77,47 @@ class StreamingDedupSpec extends SparkSpec {
       assert(dropped == Set(21L))
     } finally q.stop()
   }
+
+  test("bucket saturation is observable: evicted docs emit verdicts, dropSet excludes them") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    // Hand-built signatures sharing ONE band bucket (band 0, key "k") but
+    // agreeing on only 2/8 slots pairwise — below minAgree=4, so none are
+    // duplicates of each other; mh4 IS a true duplicate of mh3.
+    val mh1 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val mh2 = Seq(1L, 2L, 9L, 10L, 11L, 12L, 13L, 14L)
+    val mh3 = Seq(1L, 2L, 20L, 21L, 22L, 23L, 24L, 25L)
+    val input = MemoryStream[DocSig]
+    val verdicts = nearDupVerdicts(input.toDS(), minAgree = 4, maxBucketSigs = 2)
+    val q = verdicts.writeStream
+      .format("memory").queryName("evict_dedup").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(DocSig(1, 0, "k", mh1), DocSig(2, 0, "k", mh2))
+      q.processAllAvailable()
+      // Bucket now holds 2 = maxBucketSigs signatures. Doc 3 cannot be
+      // held: its drop MUST surface as an eviction verdict, not silence.
+      input.addData(DocSig(3, 0, "k", mh3))
+      q.processAllAvailable()
+      // Doc 4 is a TRUE duplicate of evicted doc 3 — the false negative
+      // the eviction verdict warns about: no dup row is possible, but the
+      // saturation itself is again visible.
+      input.addData(DocSig(4, 0, "k", mh3))
+      q.processAllAvailable()
+      val rows = session.sql("SELECT * FROM evict_dedup").as[BandDup].collect()
+      val evicted = rows.filter(_.dup_of == EvictedMark)
+      assert(evicted.map(_.doc_id).toSet == Set(3L, 4L))
+      assert(evicted.forall(_.band == 0))
+      // No dup verdicts exist (agreements all below minAgree)…
+      assert(rows.forall(_.dup_of == EvictedMark))
+      // …and eviction verdicts never leak into the drop set.
+      val dropped = dropSet(session.sql("SELECT * FROM evict_dedup")).collect()
+      assert(dropped.isEmpty)
+      // The dedicated evictions() view exposes exactly the sentinel rows.
+      val ev = evictions(session.sql("SELECT * FROM evict_dedup").as[BandDup])
+        .collect().map(_.doc_id).toSet
+      assert(ev == Set(3L, 4L))
+    } finally q.stop()
+  }
 }
