@@ -21,11 +21,15 @@ object ImageIOCodec extends MediaCodec {
     Multimodal.decodeImageFeatures(bytes)
 }
 
-/** Built-in: true sample decode for PCM16 WAV (pure byte math). */
+/** Built-in: true sample decode for WAV, dispatching on the fmt-chunk
+  * format tag — PCM16 (tag 1) and IMA-ADPCM (tag 0x11) are both pure byte
+  * math; other tags decode to None (→ stub fallback). Each decoder rejects
+  * the other's tag, so orElse is a tag dispatch, not a retry. */
 object Pcm16WavCodec extends MediaCodec {
   val formats: Set[String] = Set("wav")
   def decode(bytes: Array[Byte]): Option[Array[Float]] =
     Multimodal.decodeWavFeatures(bytes)
+      .orElse(Multimodal.decodeImaAdpcmWavFeatures(bytes))
 }
 
 /** The codec registry behind Multimodal.decodeFeatures. Format-keyed; last

@@ -191,11 +191,120 @@ object Multimodal {
       meta.sampleRateHz / 48000.0f, meta.channels.toFloat, 0f))
   }
 
+  /** IMA-ADPCM step-size table (public spec, 89 entries) — the quantizer
+    * step per state index; shared by every IMA/DVI ADPCM implementation. */
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** IMA-ADPCM state-index adjustment per 4-bit code. */
+  private val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** REAL sample decode for IMA-ADPCM WAV (format tag 0x11, mono): the
+    * standard block layout — 4-byte header (int16 LE predictor, u8 step
+    * index, u8 reserved) then two 4-bit codes per byte, LOW nibble first —
+    * decoded with the public step/index tables to exact int16 samples.
+    * Pure JVM byte math, the same deployment class as PCM16. None for
+    * multi-channel, truncated, or non-0x11 containers (→ registry
+    * fallback). */
+  def decodeImaAdpcmSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 12 || !bytes.startsWith("RIFF".getBytes) ||
+        new String(bytes, 8, 4) != "WAVE") return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val (fmtOff, fmtLen) = riffChunk(bytes, "fmt ") match {
+      case Some((off, len)) if len >= 16 => (off, len)
+      case _ => return None
+    }
+    val audioFormat = bb.getShort(fmtOff).toInt & 0xFFFF
+    val channels = bb.getShort(fmtOff + 2).toInt
+    val bits = bb.getShort(fmtOff + 14).toInt
+    if (audioFormat != 0x11 || bits != 4 || channels != 1) return None
+    val blockAlign = bb.getShort(fmtOff + 12).toInt & 0xFFFF
+    if (blockAlign < 5) return None
+    // wSamplesPerBlock lives in the fmt extension (cbSize=2); derive the
+    // canonical value when a lax encoder omitted the extension.
+    val samplesPerBlock =
+      if (fmtLen >= 20) bb.getShort(fmtOff + 18).toInt & 0xFFFF
+      else (blockAlign - 4) * 2 + 1
+    val (dataOff, dataSize) = riffChunk(bytes, "data") match {
+      case Some(c) => c
+      case None => return None
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Short](
+      (dataSize / blockAlign + 1) * samplesPerBlock)
+    var block = dataOff
+    val dataEnd = dataOff + dataSize
+    while (block + 4 <= dataEnd) {
+      var predictor = bb.getShort(block).toInt
+      var index = math.min(math.max(bytes(block + 2) & 0xFF, 0), 88)
+      out += predictor.toShort // the header predictor IS sample 0
+      var produced = 1
+      var p = block + 4
+      val blockEnd = math.min(block + blockAlign, dataEnd)
+      while (p < blockEnd && produced < samplesPerBlock) {
+        val b = bytes(p) & 0xFF
+        var half = 0
+        while (half < 2 && produced < samplesPerBlock) {
+          val code = if (half == 0) b & 0xF else (b >> 4) & 0xF
+          val step = ImaStepTable(index)
+          // diff = (step/8) + (step/4)·b0 + (step/2)·b1 + step·b2 — the
+          // shift-add form every IMA implementation uses (no multiply).
+          var diff = step >> 3
+          if ((code & 1) != 0) diff += step >> 2
+          if ((code & 2) != 0) diff += step >> 1
+          if ((code & 4) != 0) diff += step
+          predictor = if ((code & 8) != 0) predictor - diff else predictor + diff
+          if (predictor > 32767) predictor = 32767
+          if (predictor < -32768) predictor = -32768
+          index = math.min(math.max(index + ImaIndexTable(code), 0), 88)
+          out += predictor.toShort
+          produced += 1
+          half += 1
+        }
+        p += 1
+      }
+      block += blockAlign
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
+  /** Feature vector over IMA-ADPCM-decoded samples — same 8-dim layout as
+    * [[decodeWavFeatures]], so PCM and ADPCM audio land in one feature
+    * space. */
+  def decodeImaAdpcmWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeImaAdpcmSamples(bytes).map { samples =>
+      var s2 = 0.0; var sa = 0.0; var peak = 0.0; var zc = 0
+      var prev = 0
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toInt
+        val a = math.abs(v) / 32768.0
+        s2 += a * a; sa += a; if (a > peak) peak = a
+        if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+        prev = v
+        i += 1
+      }
+      val n = samples.length
+      val meta = parseMeta(bytes)
+      Array[Float](
+        math.sqrt(s2 / n).toFloat, (sa / n).toFloat,
+        (zc.toDouble / n).toFloat, peak.toFloat,
+        math.log1p(meta.durationMs.toDouble).toFloat,
+        meta.sampleRateHz / 48000.0f, meta.channels.toFloat, 0f)
+    }
+
   /** Decode dispatch through the Codecs registry: the codec claiming the
     * sniffed format decodes; registry miss OR decode failure (corrupt
     * container) falls back to the deterministic stub. Built-ins cover
-    * PNG/JPEG (javax.imageio) and PCM16 WAV; register a MediaCodec to
-    * claim more formats without touching the Spark plumbing. */
+    * PNG/JPEG (javax.imageio) and PCM16/IMA-ADPCM WAV; register a
+    * MediaCodec to claim more formats without touching the Spark
+    * plumbing. */
   def decodeFeatures(format: String, bytes: Array[Byte]): Array[Float] =
     Codecs.forFormat(format).flatMap(_.decode(bytes)).getOrElse(decodeStub(bytes))
 

@@ -45,6 +45,85 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** IMA-ADPCM WAV (format tag 0x11, mono): standard 4-byte block headers
+    * followed by the given nibble bytes; fmt carries the cbSize=2
+    * extension with wSamplesPerBlock unless `omitExtension`. */
+  private def adpcmWav(rate: Int, blockAlign: Int, samplesPerBlock: Int,
+                       blocks: Seq[(Short, Int, Array[Byte])],
+                       omitExtension: Boolean = false): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = new ByteArrayOutputStream()
+    blocks.foreach { case (predictor, index, nibbles) =>
+      data.write(le16(predictor.toInt & 0xFFFF)); data.write(index); data.write(0)
+      data.write(nibbles)
+    }
+    val db = data.toByteArray
+    val fmtLen = if (omitExtension) 16 else 20
+    bos.write("RIFF".getBytes); bos.write(le32(12 + fmtLen + 8 + db.length))
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); bos.write(le32(fmtLen))
+    bos.write(le16(0x11)); bos.write(le16(1)); bos.write(le32(rate))
+    // byteRate for ADPCM = compressed bytes/sec
+    bos.write(le32(rate * blockAlign / samplesPerBlock))
+    bos.write(le16(blockAlign)); bos.write(le16(4))
+    if (!omitExtension) { bos.write(le16(2)); bos.write(le16(samplesPerBlock)) }
+    bos.write("data".getBytes); bos.write(le32(db.length)); bos.write(db)
+    bos.toByteArray
+  }
+
+  test("IMA-ADPCM WAV decodes to exact hand-computed int16 samples") {
+    // Nibble bytes 0x84, 0xF3 = codes [4, 8, 3, 15] (LOW nibble first).
+    // From predictor=0, index=0 (step 7), the public tables give exactly:
+    //   code 4: diff=7        -> 7   (index -> 2, step 9)
+    //   code 8: diff=1, sign  -> 6   (index -> 1, step 8)
+    //   code 3: diff=1+2+4    -> 13  (index -> 0, step 7)
+    //   code 15: diff=1+3+7, sign -> 2 (index -> 8)
+    // Block 2 re-seeds state from its own header: predictor=100, index=4
+    // (step 11); codes [4, 8, 0, 8] from bytes 0x84, 0x80:
+    //   code 4: diff=1+11     -> 112 (index -> 6, step 13)
+    //   code 8: diff=1, sign  -> 111 (index -> 5, step 12)
+    //   code 0: diff=1        -> 112 (index -> 4, step 11)
+    //   code 8: diff=1, sign  -> 111 (index -> 3)
+    val bytes = adpcmWav(rate = 8000, blockAlign = 6, samplesPerBlock = 5,
+      blocks = Seq(
+        (0.toShort, 0, Array(0x84.toByte, 0xF3.toByte)),
+        (100.toShort, 4, Array(0x84.toByte, 0x80.toByte))))
+    val samples = Multimodal.decodeImaAdpcmSamples(bytes).get
+    assert(samples.toSeq == Seq[Short](0, 7, 6, 13, 2, 100, 112, 111, 112, 111))
+    // Feature layout matches the PCM16 decoder's (one audio feature space).
+    val f = Multimodal.decodeImaAdpcmWavFeatures(bytes).get
+    assert(f.length == 8 && f(6) == 1.0f)
+    val expPeak = 112 / 32768.0f
+    assert(math.abs(f(3) - expPeak) < 1e-6)
+    // Registry dispatch: format tag 0x11 reaches the real ADPCM decode
+    // through the "wav" codec, NOT the stub fallback.
+    assert(Multimodal.decodeFeatures("wav", bytes).toSeq == f.toSeq)
+    assert(Multimodal.decodeFeatures("wav", bytes).toSeq !=
+      Multimodal.decodeStub(bytes).toSeq)
+  }
+
+  test("IMA-ADPCM edge cases: derived samplesPerBlock, rejects, clamps") {
+    // No fmt extension: samplesPerBlock derives as (blockAlign-4)*2+1 = 5.
+    val derived = adpcmWav(rate = 8000, blockAlign = 6, samplesPerBlock = 5,
+      blocks = Seq((0.toShort, 0, Array(0x84.toByte, 0xF3.toByte))),
+      omitExtension = true)
+    assert(Multimodal.decodeImaAdpcmSamples(derived).get.toSeq ==
+      Seq[Short](0, 7, 6, 13, 2))
+    // A PCM16 container is NOT claimed by the ADPCM decoder (tag dispatch).
+    assert(Multimodal.decodeImaAdpcmSamples(
+      wav(channels = 1, rate = 8000, dataBytes = 4)).isEmpty)
+    // Saturated codes clamp to int16 range instead of wrapping: start at
+    // the max step (index 88, step 32767) and apply code 7 (diff =
+    // 32767>>3 + 32767>>2 + 32767>>1 + 0 = 28672+... > headroom) twice.
+    val hot = adpcmWav(rate = 8000, blockAlign = 6, samplesPerBlock = 5,
+      blocks = Seq((32000.toShort, 88, Array(0x77.toByte, 0x77.toByte))))
+    val hs = Multimodal.decodeImaAdpcmSamples(hot).get
+    assert(hs.forall(s => s >= -32768 && s <= 32767))
+    assert(hs(1) == 32767) // clamped, not wrapped
+  }
+
   test("PNG metadata parses from real container bytes") {
     val m = Multimodal.parseMeta(png(320, 200))
     assert(m.format == "png" && m.width == 320 && m.height == 200)
