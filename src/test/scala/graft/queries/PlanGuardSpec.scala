@@ -89,26 +89,33 @@ class PlanGuardSpec extends SparkSpec {
 
   /** The static lint above inspects the INITIAL plan; under AQE the final
     * plan can differ (runtime-stat-driven join demotion, skew splitting).
-    * EXECUTE the join-heavy dedup family at sf0.1 and lint the FINAL
-    * adaptive plan — the exact surface the round-7 verdict flagged as
-    * unlinted. Kept to the dedup family: they carry every join shape the
-    * gate uses (banded equi-joins, salted triangles, anti/left joins),
-    * and executing all 52 at sf0.1 in the shared small-session would turn
-    * a lint into a second benchmark. */
-  test("AQE final plans at sf0.1 stay clean for the dedup family") {
+    * EXECUTE the join-heavy dedup family plus the two window-heavy gates
+    * at sf0.1 and lint the FINAL adaptive plan — join shape AND the
+    * single-partition-exchange rule (an AQE coalesce that collapsed a
+    * window shuffle to one partition would pass the static lint and still
+    * serialize the query at scale). Kept to this set: it carries every
+    * join shape the gate uses (banded equi-joins, salted triangles,
+    * anti/left joins) and the two heaviest window partitionings; executing
+    * all 53 at sf0.1 in the shared small-session would turn a lint into a
+    * second benchmark. */
+  test("AQE final plans at sf0.1 stay clean for the dedup + window families") {
     val names = Seq("q34_minhash_pairs", "q47_embed_dedup",
-      "q51_dedup_incremental", "q52_embed_dedup_incremental")
+      "q51_dedup_incremental", "q52_embed_dedup_incremental",
+      "q08_window_running", "q41_session_window")
     val sf = "/root/testdata/sf0.1"
     val offenders = names.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
-      val finalPlan = df.queryExecution.executedPlan match {
+      val plan = df.queryExecution.executedPlan
+      val finalPlan = plan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan.toString
         case other => other.toString
       }
+      val spx = unsanctionedSinglePartitionExchanges(plan)
       val bad =
         (if (finalPlan.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
-        (if (finalPlan.contains("BroadcastNestedLoopJoin")) Seq("BroadcastNestedLoopJoin") else Nil)
+        (if (finalPlan.contains("BroadcastNestedLoopJoin")) Seq("BroadcastNestedLoopJoin") else Nil) ++
+        spx.map(s => s"single-partition exchange [$s]")
       if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
     }
     assert(offenders.isEmpty, s"AQE-final offenders: $offenders")
