@@ -61,6 +61,27 @@ object StreamingQueries extends QueryPack {
         .exactDedup(graft.streaming.StreamingDedup.fingerprints(docs))
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // The near-dup streaming kernel in BATCH mode (q53's sibling): each
+    // complete (band, key) bucket is scanned in doc_id order and every doc
+    // is judged against all earlier bucket members — so the verdict per
+    // (doc, band) is the LOWEST earlier doc_id whose signature agrees on
+    // >= minAgree of the 8 slots, which is plain windowless SQL over the
+    // q34 minhash CTEs. maxBucketSigs is unbounded here: batch mode sees
+    // each bucket whole, so capping would make the oracle model eviction;
+    // the cap (and its observability) stays spec-covered in
+    // StreamingDedupSpec.
+    "q54_stream_near_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .as[graft.streaming.StreamingDedup.DocText]
+      graft.streaming.StreamingDedup
+        .nearDupVerdicts(graft.streaming.StreamingDedup.signatures(docs),
+          minAgree = 4, maxBucketSigs = Int.MaxValue)
+        .toDF()
+        .orderBy(col("doc_id"), col("band"))
     })
   )
 
@@ -136,6 +157,52 @@ object StreamingQueries extends QueryPack {
              MIN(doc_id) OVER (PARTITION BY fp) AS first_id,
              doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
       FROM h
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // Streaming near-dup kernel ≡ per-(doc, band) earliest bucket member
+    // with slot agreement >= 4/8. The shingle/minhash/band CTEs are the
+    // q34 oracle's construction (8 affine permutations, 4 bands × 2 rows,
+    // md5 band keys) with the same hex32 hash arithmetic; the verdict is a
+    // grouped min over agreement-qualified in-bucket predecessors, with
+    // arg_min picking the est_jaccard of exactly the member the kernel's
+    // oldest-first scan reports.
+    "q54_stream_near_dedup" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM t),
+      hashed AS (
+        SELECT doc_id,
+               list_transform(sh, x -> CAST(${TextPipelineQueries.hex32} AS BIGINT)) AS hs
+        FROM s),
+      sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(hs, h -> (h * (2*j + 1) + j*j + 7) % 2147483647))
+                for j in generate_series(0, 7)] AS mh
+        FROM hashed),
+      bands AS (
+        SELECT doc_id, b, md5(mh[2*b+1] || '|' || mh[2*b+2]) AS key
+        FROM sig, generate_series(0, 3) g(b)),
+      matches AS (
+        SELECT by.doc_id AS doc_id, by.b AS band, bx.doc_id AS cand,
+               list_sum(list_transform(generate_series(1, 8),
+                 i -> CASE WHEN sx.mh[i] = sy.mh[i] THEN 1 ELSE 0 END)) AS n_agree
+        FROM bands bx
+        JOIN bands by ON bx.b = by.b AND bx.key = by.key AND bx.doc_id < by.doc_id
+        JOIN sig sx ON bx.doc_id = sx.doc_id
+        JOIN sig sy ON by.doc_id = sy.doc_id)
+      SELECT doc_id, CAST(band AS INTEGER) AS band,
+             MIN(cand) AS dup_of,
+             CAST(arg_min(n_agree, cand) AS DOUBLE) / 8 AS est_jaccard
+      FROM matches
+      WHERE n_agree >= 4
+      GROUP BY doc_id, band
+      ORDER BY doc_id, band"""
   )
 }
