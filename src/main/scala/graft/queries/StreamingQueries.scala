@@ -73,12 +73,14 @@ object StreamingQueries extends QueryPack {
     // the cap (and its observability) stays spec-covered in
     // StreamingDedupSpec.
     "q54_stream_near_dedup" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .as[graft.streaming.StreamingDedup.DocText]
+      // DocSig is bootstrapped from the CORPUS'S standing shingle table
+      // (the same MaterializeOnce relation the q34/q35/q51 family reads),
+      // not recomputed from text: banding is deterministic in hs, so the
+      // kernel's input is identical, and the md5 shingle pipeline — the
+      // dominant per-doc cost — runs once per corpus across ALL consumers.
       graft.streaming.StreamingDedup
-        .nearDupVerdicts(graft.streaming.StreamingDedup.signatures(docs),
+        .nearDupVerdicts(graft.streaming.StreamingDedup.signaturesFromShingles(
+            TextPipelineQueries.materializedShingles(s, d)),
           minAgree = 4, maxBucketSigs = Int.MaxValue)
         .toDF()
         .orderBy(col("doc_id"), col("band"))

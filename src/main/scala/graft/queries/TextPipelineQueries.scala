@@ -70,8 +70,10 @@ object TextPipelineQueries extends QueryPack {
 
   /** The materialized (doc_id, hs) shingle-signature relation for a corpus
     * — the thing a production deployment would keep as a living table and
-    * dedup new batches against (see dedupAgainstDropped). */
-  private def materializedShingles(s: SparkSession, d: String): DataFrame =
+    * dedup new batches against (see dedupAgainstDropped). Shared with
+    * StreamingQueries' q54, which bootstraps the streaming kernel's DocSig
+    * projection from the same standing table. */
+  private[queries] def materializedShingles(s: SparkSession, d: String): DataFrame =
     materialize(s"shingles|$d|${fingerprint(d, "documents.parquet")}", s)(shingled(s, d))
 
   /** Confirmed near-dup pairs WITHIN one shingle relation: candidates from

@@ -104,12 +104,19 @@ object StreamingDedup {
     * banding to the batch q34/q35/q51 family: 8 permutation min-hashes,
     * 4 bands x 2 rows): each doc explodes to Bands rows keyed by its band
     * keys, carrying the full signature for the estimate. */
-  def signatures(docs: Dataset[DocText]): Dataset[DocSig] = {
-    import docs.sparkSession.implicits._
-    val sh = docs.toDF().select(col("doc_id"),
+  def signatures(docs: Dataset[DocText]): Dataset[DocSig] =
+    signaturesFromShingles(docs.toDF().select(col("doc_id"),
       transform(
         array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)),
-        x => TextFns.hash32(x)).as("hs"))
+        x => TextFns.hash32(x)).as("hs")))
+
+  /** Same banding from a pre-hashed (doc_id, hs) shingle relation — the
+    * production bootstrap path: a standing corpus keeps its shingle
+    * signatures as a table (TextPipelineQueries.shingleSignatures /
+    * materializedShingles), and a streaming job deriving DocSig from that
+    * table skips the md5 shingle pipeline, the dominant per-doc cost. */
+  def signaturesFromShingles(sh: DataFrame): Dataset[DocSig] = {
+    import sh.sparkSession.implicits._
     sh.select(col("doc_id"),
         TextFns.minhashSignature(col("hs"), NumHashes).as("mh"))
       .select(col("doc_id"),
