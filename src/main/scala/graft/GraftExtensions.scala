@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.MinHashSignatureExpr
+import graft.expressions.{MinHashSignatureExpr, SortedIntersectCountExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -20,6 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, IntegerLiteral(num)) => MinHashSignatureExpr(arr, num)
         case _ => throw new IllegalArgumentException(
           "graft_minhash(shingles ARRAY<STRING>, numHashes INT literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_icount"),
+      new ExpressionInfo(classOf[SortedIntersectCountExpr].getName,
+        "graft_sorted_icount"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => SortedIntersectCountExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_sorted_icount(a ARRAY<BIGINT> sorted, b ARRAY<BIGINT> sorted)")
       }))
   }
 }

@@ -383,7 +383,12 @@ object TextPipelineQueries extends QueryPack {
   private[queries] def blockedJaccardPairs(docs: DataFrame, maxBlock: Int): DataFrame = {
     val sizes = docs.groupBy(col("lang"), col("source"), col("lb"))
       .agg(count(lit(1)).as("bs"))
+    // gr sorted ONCE PER DOC (amortized over every pair the doc joins
+    // into) so the per-pair intersection is a zero-allocation sorted merge
+    // (graft_sorted_icount) instead of a hash-set build per call — the
+    // pair count is quadratic in block size, the doc count is not.
     val dd = docs.join(sizes, Seq("lang", "source", "lb"))
+      .withColumn("gr", array_sort(col("gr")))
       .withColumn("g", ceil(col("bs").cast("double") / maxBlock).cast("int"))
       .withColumn("sub", pmod(hash(col("doc_id")), col("g")).cast("int"))
     val x = dd.withColumn("j", explode(sequence(col("sub"), col("g") - 1)))
@@ -400,7 +405,7 @@ object TextPipelineQueries extends QueryPack {
       .select(col("x.lang").as("lang"), col("x.source").as("source"),
         least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
-        size(array_intersect(col("x.gr"), col("y.gr"))).as("isz"),
+        expr("graft_sorted_icount(x.gr, y.gr)").as("isz"),
         (col("x.ng") + col("y.ng")).as("nsum"))
       // gr holds DISTINCT ints (injective trigram packing), so
       // |A ∪ B| = |A| + |B| - |A ∩ B| — one set operation per pair
