@@ -79,7 +79,9 @@ object TextPipelineQueries extends QueryPack {
   /** Confirmed near-dup pairs WITHIN one shingle relation: candidates from
     * shared LSH buckets (keyed on (band, key) — no all-pairs), confirmed
     * by exact Jaccard >= threshold on the shingle sets. Public: pair with
-    * shingleSignatures to dedup arbitrary document relations. */
+    * shingleSignatures to dedup arbitrary document relations. `hs` must be
+    * duplicate-free (shingleSignatures' array_distinct establishes it):
+    * the sorted-merge Jaccard counts positions, not distinct values. */
   def pairsFromShingles(sh: DataFrame): DataFrame = {
     val bd = bands(sh)
     val cand = bd.as("x").join(bd.as("y"),
@@ -87,12 +89,18 @@ object TextPipelineQueries extends QueryPack {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // hs sorted once per DOC before the pair join, so each pair's Jaccard
+    // is a zero-allocation sorted merge (graft_sorted_icount) with
+    // |A ∪ B| = |A| + |B| − |A ∩ B| (hs is distinct by construction) —
+    // not a hash-set build plus TWO materialized set arrays per pair.
+    val shS = sh.select(col("doc_id"), array_sort(col("hs")).as("hs"))
     cand
-      .join(sh.select(col("doc_id").as("ida"), col("hs").as("ha")), col("doc_a") === col("ida"))
-      .join(sh.select(col("doc_id").as("idb"), col("hs").as("hb")), col("doc_b") === col("idb"))
+      .join(shS.select(col("doc_id").as("ida"), col("hs").as("ha")), col("doc_a") === col("ida"))
+      .join(shS.select(col("doc_id").as("idb"), col("hs").as("hb")), col("doc_b") === col("idb"))
+      .withColumn("isz", expr("graft_sorted_icount(ha, hb)"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
-         size(array_union(col("ha"), col("hb")))).as("jacc"))
+        (col("isz").cast("double") /
+         (size(col("ha")) + size(col("hb")) - col("isz"))).as("jacc"))
       .filter(col("jacc") >= JaccThreshold)
   }
 
@@ -123,13 +131,17 @@ object TextPipelineQueries extends QueryPack {
     val nb = bands(batchSh).select(col("b"), col("key"), col("doc_id").as("nid"))
     val cross = nb.join(cb, Seq("b", "key"))
       .select(col("nid"), col("cid")).distinct()
+    // Same per-doc-sort + sorted-merge Jaccard as pairsFromShingles.
     val crossDropped = cross
-      .join(batchSh.select(col("doc_id").as("na"), col("hs").as("nh")),
+      .join(batchSh.select(col("doc_id").as("na"),
+              array_sort(col("hs")).as("nh")),
             col("nid") === col("na"))
-      .join(corpusSh.select(col("doc_id").as("ca"), col("hs").as("ch")),
+      .join(corpusSh.select(col("doc_id").as("ca"),
+              array_sort(col("hs")).as("ch")),
             col("cid") === col("ca"))
-      .filter((size(array_intersect(col("nh"), col("ch"))).cast("double") /
-               size(array_union(col("nh"), col("ch")))) >= JaccThreshold)
+      .withColumn("isz", expr("graft_sorted_icount(nh, ch)"))
+      .filter((col("isz").cast("double") /
+               (size(col("nh")) + size(col("ch")) - col("isz"))) >= JaccThreshold)
       .select(col("nid").as("doc_id"))
     val innerDropped = pairsFromShingles(batchSh)
       .select(col("doc_b").as("doc_id"))
