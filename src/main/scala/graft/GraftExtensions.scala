@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{MinHashSignatureExpr, SortedIntersectCountExpr}
+import graft.expressions.{CosineSimilarityExpr, MinHashSignatureExpr, SortedIntersectCountExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => SortedIntersectCountExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "graft_sorted_icount(a ARRAY<BIGINT> sorted, b ARRAY<BIGINT> sorted)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "graft_cosine"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSimilarityExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_cosine(a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>)")
       }))
   }
 }

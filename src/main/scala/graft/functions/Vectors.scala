@@ -27,8 +27,20 @@ object Vectors {
       transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Cosine similarity; evaluation order fixed as dot/sqrt(na)/sqrt(nb). */
+  /** Cosine similarity; evaluation order fixed as dot/sqrt(na)/sqrt(nb).
+    * Bound to the native fused expression (graft.expressions
+    * .CosineSimilarityExpr via call_function): HOFs are CodegenFallback,
+    * so the aggregate/zip_with formulation evaluated an interpreted lambda
+    * tree per element per candidate pair — the vector family's dominant
+    * scoring cost. Bit-identical by construction (same index-order folds,
+    * same IEEE combination; CosineParitySpec pins it). */
   def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** The HOF formulation graft_cosine replaces — kept as the parity
+    * reference (CosineParitySpec asserts exact equality on random
+    * vectors). */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a)) / sqrt(normSq(b))
 
   /** Dot with a constant double vector (e.g. an LSH hyperplane). */
