@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{CosineSimilarityExpr, MinHashSignatureExpr, SortedIntersectCountExpr}
+import graft.expressions.{CosineSimilarityExpr, MinHashFromHashesExpr, MinHashSignatureExpr, SortedIntersectCountExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -29,6 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => SortedIntersectCountExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "graft_sorted_icount(a ARRAY<BIGINT> sorted, b ARRAY<BIGINT> sorted)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_hs"),
+      new ExpressionInfo(classOf[MinHashFromHashesExpr].getName,
+        "graft_minhash_hs"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, IntegerLiteral(num)) => MinHashFromHashesExpr(arr, num)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_hs(hs ARRAY<BIGINT>, numHashes INT literal)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

@@ -50,7 +50,61 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Sibling of [[MinHashSignatureExpr]] for PRE-HASHED shingle relations:
+  * the standing (doc_id, hs ARRAY<BIGINT>) signature tables the dedup
+  * family materializes already paid the md5 per shingle, but the HOF
+  * `minhashSignature` then ran `numHashes` interpreted array_min/transform
+  * passes per row per consumer (bands() in q34/q35/q51, DocSig banding in
+  * q54). One fused pass over the long array, same affine permutations,
+  * identical output longs (MinHashExprSpec parity).
+  *
+  * Registered as SQL function `graft_minhash_hs(hs, numHashes)`;
+  * TextFns.minhashSignature binds to it via call_function. */
+case class MinHashFromHashesExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_hs expects ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_hs"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashSignatureExpr.computeFromHashes(
+        input.asInstanceOf[ArrayData], numHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.MinHashSignatureExpr.computeFromHashes($c, $numHashes));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashesExpr =
+    copy(child = newChild)
+}
+
 object MinHashSignatureExpr {
+
+  /** Affine-permutation minima over pre-hashed shingles — the tail of
+    * [[compute]] without the md5. Called from generated code. */
+  def computeFromHashes(arr: ArrayData, num: Int): Array[Long] = {
+    val sig = Array.fill(num)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < num) {
+        val v = (h * (2L * j + 1) + j.toLong * j + 7L) % 2147483647L
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
 
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))

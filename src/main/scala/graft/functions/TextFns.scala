@@ -51,8 +51,16 @@ object TextFns {
   /** MinHash signature as an array of `num` independent min-hashes over a
     * pre-hashed shingle array. Callers bind `hashes =
     * transform(shingles, hash32)` ONCE (e.g. as a materialized column) so
-    * the md5 pass is not repeated per seed. */
+    * the md5 pass is not repeated per seed. Bound to the native one-pass
+    * expression (graft_minhash_hs): the HOF form ran `num` interpreted
+    * array_min/transform passes per row per consumer. Output longs are
+    * identical (same affine arithmetic; MinHashExprSpec parity). */
   def minhashSignature(hashes: Column, num: Int): Column =
+    call_function("graft_minhash_hs", hashes, lit(num))
+
+  /** The HOF formulation graft_minhash_hs replaces — kept as the parity
+    * reference for MinHashExprSpec. */
+  def minhashSignatureHof(hashes: Column, num: Int): Column =
     array((0 until num).map(i => minhash(hashes, i)): _*)
 
   /** LSH band key: hash of `rows` consecutive signature positions.

@@ -18,10 +18,25 @@ class MinHashExprSpec extends SparkSpec {
       .withColumn("sh", array_distinct(
         TextFns.wordShingles(TextFns.tokens(col("text")), 3)))
     val hof = df.select(
-      TextFns.minhashSignature(
+      TextFns.minhashSignatureHof(
         transform(col("sh"), x => TextFns.hash32(x)), 8).as("mh"))
       .collect().map(_.getSeq[Long](0))
     val native = df.select(expr("graft_minhash(sh, 8)").as("mh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.toSeq == hof.toSeq)
+  }
+
+  test("graft_minhash_hs (pre-hashed path) is bit-identical to the HOF formulation") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 100).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(80))(rnd.nextLong().abs % 4294967296L))
+    }
+    val df = rows.toDF("id", "hs")
+    val hof = df.select(TextFns.minhashSignatureHof(col("hs"), 8).as("mh"))
+      .collect().map(_.getSeq[Long](0))
+    val native = df.select(TextFns.minhashSignature(col("hs"), 8).as("mh"))
       .collect().map(_.getSeq[Long](0))
     assert(native.toSeq == hof.toSeq)
   }
