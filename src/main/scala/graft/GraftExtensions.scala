@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{CosineSimilarityExpr, MinHashFromHashesExpr, MinHashSignatureExpr, SortedIntersectCountExpr}
+import graft.expressions.{CosineSimilarityExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, SortedIntersectCountExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -29,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => SortedIntersectCountExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "graft_sorted_icount(a ARRAY<BIGINT> sorted, b ARRAY<BIGINT> sorted)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash32_arr"),
+      new ExpressionInfo(classOf[Hash32ArrayExpr].getName, "graft_hash32_arr"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => Hash32ArrayExpr(arr)
+        case _ => throw new IllegalArgumentException(
+          "graft_hash32_arr(arr ARRAY<STRING>)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_hs"),

@@ -85,7 +85,59 @@ case class MinHashFromHashesExpr(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Vectorized `TextFns.hash32` over a string array: md5-prefix 32-bit hash
+  * per element in one tight loop. The HOF form — `transform(arr, x =>
+  * hash32(x))` — evaluates an interpreted conv/substring/md5 expression
+  * tree per element (HOFs are CodegenFallback), which dominates the
+  * one-time shingle/fingerprint table builds (q34's cold index build,
+  * q48's token hashing, the streaming projections). Hash values identical
+  * to the HOF form (same md5-prefix arithmetic as [[MinHashSignatureExpr]],
+  * whose string parity MinHashExprSpec already pins). Elements must be
+  * non-null (split/filter-produced arrays always are).
+  *
+  * Registered as SQL function `graft_hash32_arr`; TextFns.hash32Array
+  * binds it. */
+case class Hash32ArrayExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash32_arr expects ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash32_arr"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHashSignatureExpr.computeHash32(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.MinHashSignatureExpr.computeHash32($c));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Hash32ArrayExpr =
+    copy(child = newChild)
+}
+
 object MinHashSignatureExpr {
+
+  /** md5-prefix 32-bit hash per element (== conv(substring(md5(x),1,8),
+    * 16,10)). Called from generated code. */
+  def computeHash32(arr: ArrayData): Array[Long] = {
+    val md = digests.get()
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      out(i) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+               ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      i += 1
+    }
+    out
+  }
 
   /** Affine-permutation minima over pre-hashed shingles — the tail of
     * [[compute]] without the md5. Called from generated code. */

@@ -38,6 +38,14 @@ object TextFns {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Vectorized [[hash32]] over a string array — bound to the native
+    * graft_hash32_arr expression; `transform(arr, x => hash32(x))` runs an
+    * interpreted md5 tree per element (HOFs are CodegenFallback) and was
+    * the dominant cost of the one-time shingle/fingerprint table builds.
+    * Values identical; elements must be non-null. */
+  def hash32Array(arr: Column): Column =
+    call_function("graft_hash32_arr", arr)
+
   /** Universal-hash permutation of a base hash: (a·h + b) mod p with p =
     * 2^31-1 and small odd multipliers, so products stay well inside Long.
     * Identical integer arithmetic on both engines. */

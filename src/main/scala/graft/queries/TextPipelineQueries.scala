@@ -37,9 +37,8 @@ object TextPipelineQueries extends QueryPack {
   def shingleSignatures(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      transform(
-        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)),
-        x => TextFns.hash32(x)).as("hs"))
+      TextFns.hash32Array(
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3))).as("hs"))
 
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingleSignatures(Tables.documents(s, d))
@@ -360,8 +359,7 @@ object TextPipelineQueries extends QueryPack {
     "q48_rolling_fp" -> ((s, d) => {
       val M = 1000000007L
       val base = Tables.documents(s, d)
-        .withColumn("hs", transform(TextFns.tokens(col("text")),
-          t => TextFns.hash32(t)))
+        .withColumn("hs", TextFns.hash32Array(TextFns.tokens(col("text"))))
         .withColumn("fp", aggregate(col("hs"), lit(0L),
           (acc, h) => (acc * 31 + h) % M))
       base.select(col("doc_id"), col("fp"),

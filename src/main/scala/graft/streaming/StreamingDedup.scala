@@ -69,8 +69,7 @@ object StreamingDedup {
     import docs.sparkSession.implicits._
     val M = 1000000007L
     docs.toDF()
-      .withColumn("hs", transform(TextFns.tokens(col("text")),
-        t => TextFns.hash32(t)))
+      .withColumn("hs", TextFns.hash32Array(TextFns.tokens(col("text"))))
       .withColumn("fp", aggregate(col("hs"), lit(0L),
         (acc, h) => (acc * 31 + h) % M))
       .select(col("doc_id"), col("fp"))
@@ -106,9 +105,8 @@ object StreamingDedup {
     * keys, carrying the full signature for the estimate. */
   def signatures(docs: Dataset[DocText]): Dataset[DocSig] =
     signaturesFromShingles(docs.toDF().select(col("doc_id"),
-      transform(
-        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)),
-        x => TextFns.hash32(x)).as("hs")))
+      TextFns.hash32Array(
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3))).as("hs")))
 
   /** Same banding from a pre-hashed (doc_id, hs) shingle relation — the
     * production bootstrap path: a standing corpus keeps its shingle

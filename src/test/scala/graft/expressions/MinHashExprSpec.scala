@@ -41,6 +41,19 @@ class MinHashExprSpec extends SparkSpec {
     assert(native.toSeq == hof.toSeq)
   }
 
+  test("graft_hash32_arr is bit-identical to transform(arr, hash32)") {
+    val session = spark
+    import session.implicits._
+    val df = sampleDocs.toDF("text")
+      .withColumn("toks", TextFns.tokens(col("text")))
+    val hof = df.select(
+        transform(col("toks"), x => TextFns.hash32(x)).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    val native = df.select(TextFns.hash32Array(col("toks")).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("registered through extensions: callable from plain SQL") {
     val session = spark
     import session.implicits._
