@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{CosineSimilarityExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, SortedIntersectCountExpr}
+import graft.expressions.{CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, SimHash16Expr, SortedIntersectCountExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -46,6 +46,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, IntegerLiteral(num)) => MinHashFromHashesExpr(arr, num)
         case _ => throw new IllegalArgumentException(
           "graft_minhash_hs(hs ARRAY<BIGINT>, numHashes INT literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash16_arr"),
+      new ExpressionInfo(classOf[Hash16ArrayExpr].getName, "graft_hash16_arr"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => Hash16ArrayExpr(arr)
+        case _ => throw new IllegalArgumentException(
+          "graft_hash16_arr(arr ARRAY<STRING>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16Expr].getName, "graft_simhash16"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => SimHash16Expr(arr)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash16(hs ARRAY<BIGINT>)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

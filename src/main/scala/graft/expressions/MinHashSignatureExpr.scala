@@ -161,6 +161,9 @@ object MinHashSignatureExpr {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  /** Thread-local MD5 shared by the sibling hashing expressions. */
+  private[expressions] def digest(): MessageDigest = digests.get()
+
   /** One pass: per element, md5 → first 4 bytes as unsigned 32-bit (==
     * `conv(substring(md5(s),1,8),16,10)`), then running minima of the
     * affine permutations. Called from generated code. */

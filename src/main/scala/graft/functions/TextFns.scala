@@ -82,6 +82,11 @@ object TextFns {
   def md5Bits16(s: Column): Column =
     conv(substring(md5(s), 1, 4), 16, 10).cast("long")
 
+  /** Vectorized [[md5Bits16]] over a string array — native
+    * graft_hash16_arr (see [[hash32Array]] for why). */
+  def hash16Array(arr: Column): Column =
+    call_function("graft_hash16_arr", arr)
+
   /** Injective int encoding of an ASCII ≤3-gram: c1·2^16 + c2·2^8 + c3
     * (missing tail chars encode as 0 — `ascii('')` is 0 on both engines).
     * Pure arithmetic, no hash: packed-set Jaccard IS trigram Jaccard. */

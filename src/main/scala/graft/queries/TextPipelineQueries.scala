@@ -287,19 +287,14 @@ object TextPipelineQueries extends QueryPack {
     // bit i of the fingerprint is the sign of Σ_tokens (±1 by token-hash
     // bit i). Pure HOF fold — one pass over each doc's token array.
     "q36_simhash" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .withColumn("hs", transform(TextFns.tokens(col("text")),
-          t => TextFns.md5Bits16(t)))
-      val bitSums = (0 until 16).map { i =>
-        aggregate(col("hs"), lit(0L),
-          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
-                             .otherwise(-1L)).as(s"s_$i")
-      }
-      val withSums = base.select((col("doc_id") +: bitSums): _*)
-      val simhash = (0 until 16).map { i =>
-        when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      withSums.select(col("doc_id"), simhash.as("simhash"))
+      // Native one-pass kernels (graft_hash16_arr + graft_simhash16): the
+      // HOF formulation ran an interpreted md5 tree per token PLUS sixteen
+      // interpreted aggregate folds over the hash array per row. Identical
+      // integer arithmetic (SimHashParitySpec pins the HOF equivalence).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          call_function("graft_simhash16",
+            TextFns.hash16Array(TextFns.tokens(col("text")))).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
