@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, SimHash16Expr, SortedIntersectCountExpr}
+import graft.expressions.{CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SortedIntersectCountExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -46,6 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, IntegerLiteral(num)) => MinHashFromHashesExpr(arr, num)
         case _ => throw new IllegalArgumentException(
           "graft_minhash_hs(hs ARRAY<BIGINT>, numHashes INT literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hash32"),
+      new ExpressionInfo(classOf[ShingleHash32Expr].getName,
+        "graft_shingle_hash32"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, IntegerLiteral(n)) => ShingleHash32Expr(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingle_hash32(toks ARRAY<STRING>, n INT literal)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hash16_arr"),

@@ -87,6 +87,13 @@ object TextFns {
   def hash16Array(arr: Column): Column =
     call_function("graft_hash16_arr", arr)
 
+  /** Fused `hash32Array(array_distinct(wordShingles(toks, n)))` — native
+    * graft_shingle_hash32: window, join, first-occurrence string dedup and
+    * md5 prefix in one pass (ShingleHash32Expr). The shingle-table build's
+    * dominant cost was the interpreted per-shingle concat_ws/slice tree. */
+  def shingleHash32(toks: Column, n: Int): Column =
+    call_function("graft_shingle_hash32", toks, lit(n))
+
   /** Injective int encoding of an ASCII ≤3-gram: c1·2^16 + c2·2^8 + c3
     * (missing tail chars encode as 0 — `ascii('')` is 0 on both engines).
     * Pure arithmetic, no hash: packed-set Jaccard IS trigram Jaccard. */

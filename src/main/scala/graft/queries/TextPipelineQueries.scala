@@ -37,8 +37,7 @@ object TextPipelineQueries extends QueryPack {
   def shingleSignatures(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      TextFns.hash32Array(
-        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3))).as("hs"))
+      TextFns.shingleHash32(TextFns.tokens(col("text")), 3).as("hs"))
 
   private def shingled(s: SparkSession, d: String): DataFrame =
     shingleSignatures(Tables.documents(s, d))

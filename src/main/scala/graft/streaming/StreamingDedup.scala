@@ -105,8 +105,7 @@ object StreamingDedup {
     * keys, carrying the full signature for the estimate. */
   def signatures(docs: Dataset[DocText]): Dataset[DocSig] =
     signaturesFromShingles(docs.toDF().select(col("doc_id"),
-      TextFns.hash32Array(
-        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3))).as("hs")))
+      TextFns.shingleHash32(TextFns.tokens(col("text")), 3).as("hs")))
 
   /** Same banding from a pre-hashed (doc_id, hs) shingle relation — the
     * production bootstrap path: a standing corpus keeps its shingle
