@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SortedIntersectCountExpr}
+import graft.expressions.{CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SortedIntersectCountExpr, TrigramPackExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, IntegerLiteral(num)) => MinHashFromHashesExpr(arr, num)
         case _ => throw new IllegalArgumentException(
           "graft_minhash_hs(hs ARRAY<BIGINT>, numHashes INT literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_trigram_pack"),
+      new ExpressionInfo(classOf[TrigramPackExpr].getName, "graft_trigram_pack"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text) => TrigramPackExpr(text)
+        case _ => throw new IllegalArgumentException(
+          "graft_trigram_pack(text STRING)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_hash32"),

@@ -316,8 +316,10 @@ object TextPipelineQueries extends QueryPack {
         Tables.documents(s, d).select(
           col("doc_id"), col("lang"), col("source"),
           floor(col("n_chars") / 100).as("lb"),
-          array_distinct(transform(TextFns.charShingles(col("text"), 3),
-            x => TextFns.packTrigram(x))).as("gr"))
+          // Fused native extraction (graft_trigram_pack): the HOF chain
+          // built each 3-gram through an interpreted substr/ascii tree —
+          // see TrigramPackExpr for the parity contract.
+          call_function("graft_trigram_pack", col("text")).as("gr"))
           .withColumn("ng", size(col("gr")))
       }
       blockedJaccardPairs(docs, MaxBlock)
