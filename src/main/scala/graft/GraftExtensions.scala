@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SortedIntersectCountExpr, TrigramPackExpr}
+import graft.expressions.{CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SortedIntersectCountExpr, TrigramPackExpr, WordHitsExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr, IntegerLiteral(num)) => MinHashFromHashesExpr(arr, num)
         case _ => throw new IllegalArgumentException(
           "graft_minhash_hs(hs ARRAY<BIGINT>, numHashes INT literal)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_hits"),
+      new ExpressionInfo(classOf[WordHitsExpr].getName, "graft_word_hits"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, words) => WordHitsExpr(toks, words)
+        case _ => throw new IllegalArgumentException(
+          "graft_word_hits(toks ARRAY<STRING>, words ARRAY<STRING> literal)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_trigram_pack"),

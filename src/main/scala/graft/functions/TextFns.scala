@@ -118,5 +118,10 @@ object TextFns {
 
   /** Count of tokens that appear in `words`. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
+    call_function("graft_word_hits", toks, array(words.map(lit): _*))
+
+  /** The HOF formulation graft_word_hits replaces — kept as the parity
+    * reference (WordHitsParitySpec). */
+  def stopwordHitsHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
 }
