@@ -1,5 +1,9 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import java.util.concurrent.atomic.AtomicInteger
+
 /** Benchmark entrypoint (driver contract): times every gate query at the
   * given scale-factor directory and prints ONE JSON line.
   *
@@ -36,17 +40,39 @@ package graft
   * hide per-query cliffs; the guard makes every per-query regression a
   * named artifact the next round must adjudicate. The absolute floor
   * exists because sub-second queries carry ±0.5 s GC/run-order jitter in
-  * the 53-query bench JVM (round 9: q12 flagged at 2.86× whose isolated
+  * the 54-query bench JVM (round 9: q12 flagged at 2.86× whose isolated
   * profile was a flat 0.45 s warm / constant 5 jobs) — ratio-only
   * flagging turns that jitter into false alarms, while every real flag so
   * far (q18's +4.4 s) clears the floor easily. Queries absent from the
   * baseline (new gates) are listed in `unbaselined`, not silently
   * ungoverned.
+  *
+  * AUTO-ADJUDICATION: every `regressed` flag so far (q18 r8, q12 r9,
+  * q44 r9, q53 r10) was resolved by the same manual step — an isolated
+  * [[BenchOne]]-style re-profile showing constant job counts and a flat
+  * warm time, i.e. bench-JVM context rather than a plan change. Round 10
+  * skipped the manual step and left its flag open, so the re-profile now
+  * runs automatically: after the sweep, each flagged query is profiled
+  * [[AdjudicationRuns]] times in the (now otherwise quiescent) JVM with a
+  * job-count listener, and the artifact embeds the evidence under
+  * `adjudication: {query: {times, jobs, warm, verdict}}`. `warm` is the
+  * median of the post-warmup runs; `verdict` is "environmental" when the
+  * job count is constant and the re-profiled warm would NOT itself trip
+  * the guard, "confirmed" otherwise. A confirmed verdict still demands a
+  * human-written BASELINE_NOTES.md entry — the hook gathers the evidence a
+  * do-nothing round used to leave ungathered; it does not bless anything.
+  *
+  * ARTIFACT FILE: the full JSON line is also written to
+  * SPARK_GRAFT_BENCH_OUT (default `BENCH_LOCAL_LAST.json`) — the driver's
+  * stdout-tail capture truncates on long lines (round 10 recorded
+  * `"parsed": null`), so the complete warm/cold/ratio/adjudication maps
+  * must exist as a file the round can commit.
   */
 object Bench {
 
-  private val RegressionFactor = 2.0
-  private val AbsFloorSeconds = 0.75
+  val RegressionFactor = 2.0
+  val AbsFloorSeconds = 0.75
+  val AdjudicationRuns = 8
 
   /** Flat {name: seconds} baseline, absent → empty. Jackson is already on
     * Spark's classpath; no extra dependency. */
@@ -62,29 +88,80 @@ object Bench {
         .map(e => e.getKey -> e.getValue.asDouble()).toMap
     }
   }
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus)
-    // JVM/codegen warmup so the first timed query is not charged session
-    // startup; deliberately does NOT touch the corpus (I/O stays timed).
-    spark.range(1000000).selectExpr("sum(id)").collect()
+
+  /** Runs `exec` `runs` times, recording per-run wall seconds and Spark
+    * job counts (listener-based; the async listener bus is given a moment
+    * to drain before each count is read). Shared by [[BenchOne]] (manual
+    * isolated profiling) and the auto-adjudication pass. */
+  def profile(spark: SparkSession, exec: () => Unit, runs: Int)
+      : (Seq[Double], Seq[Int]) = {
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val times = scala.collection.mutable.ListBuffer[Double]()
+      val jobCounts = scala.collection.mutable.ListBuffer[Int]()
+      (1 to runs).foreach { _ =>
+        val j0 = jobs.get()
+        val t0 = System.nanoTime()
+        exec()
+        times += (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // listener bus is async; let job-starts drain
+        jobCounts += jobs.get() - j0
+      }
+      (times.toSeq, jobCounts.toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Median of the post-warmup portion of a profile (first quarter of the
+    * runs, minimum 1, dropped as JIT/cache warmup). */
+  def profiledWarm(times: Seq[Double]): Double = {
+    val warmRuns = times.drop(math.max(1, times.length / 4)).sorted
+    warmRuns(warmRuns.length / 2)
+  }
+
+  /** Evidence + verdict for one flagged query. "environmental" = the
+    * isolated-style re-profile shows a constant job count (no plan change)
+    * AND a warm time that would not itself trip the guard; anything else
+    * is "confirmed" and needs a written BASELINE_NOTES.md adjudication. */
+  def adjudicate(times: Seq[Double], jobCounts: Seq[Int], baseline: Double,
+                 factor: Double, floor: Double): (Double, String) = {
+    val warm = profiledWarm(times)
+    val planStable = jobCounts.distinct.length == 1
+    val underGuard = warm <= factor * baseline || warm - baseline <= floor
+    (math.rint(warm * 1000) / 1000,
+      if (planStable && underGuard) "environmental" else "confirmed")
+  }
+
+  /** The full bench sweep as a pure-ish function of its inputs so the
+    * adjudication path is spec-testable with a forced flag (tiny baseline
+    * + zeroed floor) on a restricted query set. Returns the one-line JSON
+    * artifact. */
+  def run(spark: SparkSession, sfDir: String,
+          queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+          baseline: Map[String, Double],
+          factor: Double = RegressionFactor,
+          floor: Double = AbsFloorSeconds,
+          adjRuns: Int = AdjudicationRuns): String = {
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     val mats = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    queries.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
         val matsBefore = graft.operators.MaterializeOnce.relationCount
-        cold(name) = once()
+        cold(name) = once(fn)
         if (graft.operators.MaterializeOnce.relationCount > matsBefore)
           mats += name
-        warm(name) = once()
+        warm(name) = once(fn)
       } catch { case e: Throwable =>
         failed += name
         cold.remove(name)
@@ -95,20 +172,43 @@ object Bench {
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     def arr(xs: Seq[String]): String =
       xs.map(n => s"\"$n\"").mkString("[", ",", "]")
+    def numArr[T](xs: Seq[T]): String = xs.mkString("[", ",", "]")
     val total = warm.values.sum
-    val baseline = loadBaseline(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_PERQ.json"))
     val ratio = scala.collection.immutable.ListMap(warm.toSeq.flatMap {
       case (q, t) => baseline.get(q).map(b => q -> math.rint(t / b * 100) / 100)
     }: _*)
     val regressed = ratio.collect {
-      case (q, r) if r > RegressionFactor &&
-          warm(q) - baseline(q) > AbsFloorSeconds => q
+      case (q, r) if r > factor && warm(q) - baseline(q) > floor => q
     }.toSeq.sorted
     val unbaselined =
       if (baseline.isEmpty) Seq.empty // no baseline committed yet: no guard
       else warm.keys.filterNot(baseline.contains).toSeq.sorted
-    println(s"""{"metric":"total","value":$total,"unit":"sec","run":"warm","exec":"noop_sink","queries":${obj(warm)},"cold":${obj(cold)},"ratio":${obj(ratio)},"regressed":${arr(regressed)},"unbaselined":${arr(unbaselined)},"materializes":${arr(mats.toSeq)},"failed":${arr(failed.toSeq)},"sf":"$sfDir"}""")
+    // Auto-adjudication: re-profile each flagged query in the now-quiescent
+    // JVM and embed the evidence. Runs AFTER the sweep so the re-profile is
+    // never concurrent with other timed work.
+    val byName = queries.toMap
+    val adjudication = regressed.map { q =>
+      val (times, jobCounts) = profile(spark, () => { once(byName(q)); () }, adjRuns)
+      val (w, verdict) = adjudicate(times, jobCounts, baseline(q), factor, floor)
+      s""""$q":{"times":${numArr(times.map(t => math.rint(t * 1000) / 1000))},"jobs":${numArr(jobCounts)},"warm":$w,"verdict":"$verdict"}"""
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","run":"warm","exec":"noop_sink","queries":${obj(warm)},"cold":${obj(cold)},"ratio":${obj(ratio)},"regressed":${arr(regressed)},"adjudication":$adjudication,"unbaselined":${arr(unbaselined)},"materializes":${arr(mats.toSeq)},"failed":${arr(failed.toSeq)},"sf":"$sfDir"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_LAST.json")
+    val spark = GraftSession.local(cpus)
+    // JVM/codegen warmup so the first timed query is not charged session
+    // startup; deliberately does NOT touch the corpus (I/O stays timed).
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val baseline = loadBaseline(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_PERQ.json"))
+    val json = run(spark, sfDir, SparkEntry.queries.toSeq, baseline)
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The bench guard's auto-adjudication hook: a flagged query must produce
+  * embedded re-profile evidence in the artifact, so a round can never
+  * leave a `regressed` entry with nothing to adjudicate from (round 10
+  * did exactly that). Forces a synthetic flag with a tiny baseline and a
+  * zeroed absolute floor on a restricted query set — the production
+  * thresholds stay what Bench.main uses.
+  */
+class BenchAdjudicationSpec extends SparkSpec {
+
+  private val fast: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(1000).selectExpr("id", "id * 2 AS twice")
+
+  test("a forced flag embeds an adjudication block with times and jobs") {
+    val json = Bench.run(spark, sfDir = "unused",
+      queries = Seq("toy_query" -> fast),
+      baseline = Map("toy_query" -> 1e-9), // any real run is >2x this
+      floor = 0.0, adjRuns = 3)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(json)
+    assert(node.get("regressed").toString.contains("toy_query"), json)
+    val adj = node.get("adjudication").get("toy_query")
+    assert(adj != null, s"no adjudication block in $json")
+    assert(adj.get("times").size() == 3)
+    assert(adj.get("jobs").size() == 3)
+    assert(adj.get("warm").isNumber)
+    assert(Set("environmental", "confirmed").contains(adj.get("verdict").asText()))
+    // A noop-sink run of a deterministic plan has a constant job count, and
+    // the re-profiled warm of a millisecond query still exceeds 2x the
+    // absurd baseline with a zero floor: the verdict must be "confirmed"
+    // (the hook gathers evidence; it never blesses a real exceedance away).
+    assert(adj.get("verdict").asText() == "confirmed")
+  }
+
+  test("no flag, no adjudication entries; artifact parses with empty block") {
+    val json = Bench.run(spark, sfDir = "unused",
+      queries = Seq("toy_query" -> fast),
+      baseline = Map("toy_query" -> 1e9), // unreachable: never flags
+      adjRuns = 3)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(json)
+    assert(node.get("regressed").size() == 0)
+    assert(node.get("adjudication").size() == 0)
+    assert(node.get("queries").get("toy_query").isNumber)
+  }
+
+  test("adjudicate() verdict logic: stable plan under guard = environmental") {
+    // flat times, constant jobs, warm ~ baseline: environmental
+    val (w1, v1) = Bench.adjudicate(Seq(2.6, 0.7, 0.45, 0.44, 0.43, 0.46, 0.44, 0.42),
+      Seq.fill(8)(5), baseline = 0.37, factor = 2.0, floor = 0.75)
+    assert(v1 == "environmental", s"warm=$w1")
+    // same times but job count varies between runs: plan changed, confirmed
+    val (_, v2) = Bench.adjudicate(Seq(2.6, 0.7, 0.45, 0.44, 0.43, 0.46, 0.44, 0.42),
+      Seq(5, 5, 7, 5, 7, 5, 7, 5), baseline = 0.37, factor = 2.0, floor = 0.75)
+    assert(v2 == "confirmed")
+    // stable plan but warm genuinely over both thresholds: confirmed
+    val (_, v3) = Bench.adjudicate(Seq(6.0, 5.2, 5.1, 5.0, 5.1, 5.2, 5.0, 5.1),
+      Seq.fill(8)(5), baseline = 0.37, factor = 2.0, floor = 0.75)
+    assert(v3 == "confirmed")
+  }
+
+  test("profiledWarm is the median of post-warmup runs") {
+    // 8 runs: drop first 2 (len/4), median of remaining 6 sorted
+    assert(Bench.profiledWarm(Seq(9.0, 8.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0)) == 4.0)
+    // tiny profiles still drop at least one warmup run
+    assert(Bench.profiledWarm(Seq(9.0, 1.0)) == 1.0)
+  }
+}
