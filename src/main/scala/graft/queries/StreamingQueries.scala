@@ -84,6 +84,24 @@ object StreamingQueries extends QueryPack {
           minAgree = 4, maxBucketSigs = Int.MaxValue)
         .toDF()
         .orderBy(col("doc_id"), col("band"))
+    }),
+
+    // The eviction path itself, oracle-gated (q54 leaves the cap
+    // spec-covered because its unbounded run never saturates): with
+    // maxBucketSigs = 2 every corpus tier has saturating buckets (3-4
+    // member buckets exist even at sf0.001), so this gate exercises BOTH
+    // verdict kinds. The kernel is deterministic in doc_id order, so
+    // "held" is exactly the first-2-by-doc_id members of each bucket and
+    // eviction rows are exactly the rank>2 members — a row_number window
+    // in the oracle. The tie between a doc's dup row and its eviction row
+    // in the same band is broken by dup_of (EvictedMark = -1 sorts first).
+    "q55_stream_near_dedup_evict" -> ((s, d) => {
+      graft.streaming.StreamingDedup
+        .nearDupVerdicts(graft.streaming.StreamingDedup.signaturesFromShingles(
+            TextPipelineQueries.materializedShingles(s, d)),
+          minAgree = 4, maxBucketSigs = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("band"), col("dup_of"))
     })
   )
 
@@ -205,6 +223,61 @@ object StreamingQueries extends QueryPack {
       FROM matches
       WHERE n_agree >= 4
       GROUP BY doc_id, band
-      ORDER BY doc_id, band"""
+      ORDER BY doc_id, band""",
+
+    // Capped kernel ≡ first-N retention per bucket: processing is doc_id
+    // ordered, so the held set when a doc arrives is the first
+    // min(rank-1, N) bucket members — candidates are rank < own AND
+    // rank <= N; eviction verdicts (dup_of -1, est 0) are the rank > N
+    // members. N = 2 here (the Spark side's maxBucketSigs).
+    "q55_stream_near_dedup_evict" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 1)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        FROM t),
+      hashed AS (
+        SELECT doc_id,
+               list_transform(sh, x -> CAST(${TextPipelineQueries.hex32} AS BIGINT)) AS hs
+        FROM s),
+      sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(hs, h -> (h * (2*j + 1) + j*j + 7) % 2147483647))
+                for j in generate_series(0, 7)] AS mh
+        FROM hashed),
+      ranked AS (
+        SELECT sig.doc_id, b, md5(mh[2*b+1] || '|' || mh[2*b+2]) AS key, mh,
+               row_number() OVER (
+                 PARTITION BY b, md5(mh[2*b+1] || '|' || mh[2*b+2])
+                 ORDER BY sig.doc_id) AS rk
+        FROM sig, generate_series(0, 3) g(b)),
+      matches AS (
+        SELECT y.doc_id AS doc_id, y.b AS band, x.doc_id AS cand,
+               list_sum(list_transform(generate_series(1, 8),
+                 i -> CASE WHEN x.mh[i] = y.mh[i] THEN 1 ELSE 0 END)) AS n_agree
+        FROM ranked x
+        JOIN ranked y ON x.b = y.b AND x.key = y.key
+                     AND x.rk < y.rk AND x.rk <= 2),
+      dups AS (
+        SELECT doc_id, CAST(band AS INTEGER) AS band,
+               MIN(cand) AS dup_of,
+               CAST(arg_min(n_agree, cand) AS DOUBLE) / 8 AS est_jaccard
+        FROM matches
+        WHERE n_agree >= 4
+        GROUP BY doc_id, band),
+      evict AS (
+        SELECT doc_id, CAST(b AS INTEGER) AS band,
+               CAST(-1 AS BIGINT) AS dup_of, CAST(0.0 AS DOUBLE) AS est_jaccard
+        FROM ranked
+        WHERE rk > 2)
+      SELECT * FROM dups
+      UNION ALL
+      SELECT * FROM evict
+      ORDER BY doc_id, band, dup_of"""
   )
 }
