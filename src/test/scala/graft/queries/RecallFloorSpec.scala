@@ -29,4 +29,30 @@ class RecallFloorSpec extends SparkSpec {
     assert(lsh >= 0.25, s"mean LSH recall@10 $lsh below floor 0.25")
     assert(ivf >= 0.60, s"mean IVF recall@10 $ivf below floor 0.60")
   }
+
+  // The XL tier (TESTDATA_XL.md; 10,000 embeddings → planes 9, centroids
+  // 100, Lloyd sample gate active at ~0.30) is engine-generated and
+  // gitignored, so this floor runs only when the tier has been generated —
+  // regenerate with `runMain graft.GenCorpusXl` to arm it.
+  //
+  // Measured at this n: IVF 0.72 (sqrt(n) centroids hold recall as the
+  // corpus grows — the scale path), LSH 0.02. The LSH collapse is the
+  // geometry's own math, not a defect: planes/band grows with n to keep
+  // buckets bounded, and a cos≈0.4 true neighbor collides per 9-plane
+  // band with (1-θ/π)^9 ≈ 0.016 (band-OR×4 ≈ 6%) on near-orthogonal
+  // random vectors. Recall at scale is what band COUNT (the documented
+  // recall knob, VectorQueries.NumBands) buys; the floors here pin IVF
+  // quality and guard LSH against collapse-to-zero (planted cos≈0.999
+  // near-dups still collide with prob ≈0.94/band, which is why q47/q52
+  // dedup stays effective at any n even as top-k retrieval recall decays).
+  test("ANN recall floors hold at the XL tier (when generated)") {
+    val xl = new java.io.File("testdata_xl/embeddings.parquet")
+    assume(xl.exists(), "testdata_xl not generated — runMain graft.GenCorpusXl")
+    val rows = VectorQueries.queries("q50_ann_recall")(spark, "testdata_xl")
+      .select(col("recall_lsh"), col("recall_ivf")).collect()
+    val lsh = rows.map(_.getDouble(0)).sum / rows.length
+    val ivf = rows.map(_.getDouble(1)).sum / rows.length
+    assert(lsh > 0.0, s"mean LSH recall@10 $lsh collapsed to zero")
+    assert(ivf >= 0.60, s"mean IVF recall@10 $ivf below floor 0.60")
+  }
 }
