@@ -120,4 +120,28 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"AQE-final offenders: $offenders")
   }
+
+  /** Same static lint at the XL tier (TESTDATA_XL.md): 25k docs/10k
+    * embeddings is the second point where corpus-derived index geometry
+    * (planes 9, centroids 100, active Lloyd sampling) and size-driven
+    * planning genuinely differ from every driver sf. Conditional on the
+    * engine-generated tier existing — `runMain graft.GenCorpusXl` arms
+    * it. Static-only (no execution): the full AQE execution pass at this
+    * size belongs to the slope/bench runs, not the unit suite. */
+  test("static plan lint stays clean at the XL tier (when generated)") {
+    assume(new java.io.File("testdata_xl/embeddings.parquet").exists(),
+      "testdata_xl not generated — runMain graft.GenCorpusXl")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = planOf(name, "testdata_xl")
+      val s = plan.toString
+      val bad =
+        (if (s.contains("CartesianProduct")) Seq("CartesianProduct") else Nil) ++
+        (if (s.contains("BroadcastNestedLoopJoin") && !nestedLoopAllowed(name))
+           Seq("BroadcastNestedLoopJoin") else Nil) ++
+        unsanctionedSinglePartitionExchanges(plan)
+          .map(x => s"single-partition exchange [$x]")
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty, s"XL-tier offenders: $offenders")
+  }
 }
