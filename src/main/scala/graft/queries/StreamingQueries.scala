@@ -102,6 +102,35 @@ object StreamingQueries extends QueryPack {
           minAgree = 4, maxBucketSigs = 2)
         .toDF()
         .orderBy(col("doc_id"), col("band"), col("dup_of"))
+    }),
+
+    // Stream-stream interval join in BATCH mode (the q46/q53 pattern): the
+    // same purchaseClickPairs code runs under Structured Streaming with
+    // watermarks bounding join state; here it's a range-predicate
+    // equi-join whose pairs are oracle-checked exactly.
+    "q57_interval_join" -> ((s, d) => {
+      EventStreams.purchaseClickPairs(Tables.events(s, d))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // AS-OF join (operators/AsOfJoin): for each purchase, the user's
+    // latest click at-or-before it — the union+running-window shape, one
+    // shuffle, no join node. Ties (same user, same timestamp) resolve to
+    // the greatest click event_id; purchases with no prior click keep
+    // null match columns (LEFT semantics).
+    "q56_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "event_id")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          col("asof.event_id").as("click_id"),
+          date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
     })
   )
 
@@ -278,6 +307,40 @@ object StreamingQueries extends QueryPack {
       SELECT * FROM dups
       UNION ALL
       SELECT * FROM evict
-      ORDER BY doc_id, band, dup_of"""
+      ORDER BY doc_id, band, dup_of""",
+
+    // Interval join: inclusive on both ends, exactly the Spark predicate.
+    "q57_interval_join" -> """
+      WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM p
+      JOIN c ON c.user_id = p.user_id
+            AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 1 HOUR
+      ORDER BY purchase_id, click_id""",
+
+    // As-of ≡ arg_max over at-or-before candidates. The operator's window
+    // order is (time, then tie=event_id); arg_max needs one scalar key, so
+    // both are packed into an exact HUGEINT `epoch_us(ts)·10^7 + event_id`
+    // (ids are well under 10^7 at every tier — lossless lexicographic
+    // encoding). LEFT JOIN keeps no-match purchases; arg_max ignores
+    // NULL-keyed rows, so their match columns stay NULL.
+    "q56_asof_join" -> """
+      WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id, ts, user_id,
+                        CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS ok
+                 FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS purchase_id,
+             p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+             arg_max(c.event_id, c.ok) AS click_id,
+             strftime(arg_max(c.ts, c.ok), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+             epoch_us(p.ts) - arg_max(epoch_us(c.ts), c.ok) AS gap_us
+      FROM p
+      LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.event_id, p.user_id, p.ts
+      ORDER BY purchase_id"""
   )
 }

@@ -81,6 +81,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-STREAM interval join: every (purchase, click) pair by the
+    * same user with the click in the hour at-or-before the purchase.
+    * Under Structured Streaming both sides carry watermarks and the
+    * time-range predicate is what BOUNDS JOIN STATE — Spark buffers each
+    * side only within `watermark + range` of event time, so state is
+    * O(rate × window), not O(stream). In batch the identical code is a
+    * range-predicate equi-join on user_id (sort-merge + post-filter; the
+    * range never becomes a cartesian because user_id is an equality key).
+    */
+  def purchaseClickPairs(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    def side(tpe: String) = {
+      val f = events.filter(col("event_type") === tpe)
+      if (withWatermark) f.withWatermark("ts", "2 hours") else f
+    }
+    val p = side("purchase").select(col("event_id").as("purchase_id"),
+      col("ts").as("p_ts"), col("user_id"))
+    val c = side("click").select(col("event_id").as("click_id"),
+      col("ts").as("c_ts"), col("user_id").as("c_user"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+  }
+
   /** Streaming source over a parquet events directory (same schema as the
     * corpus `events` table post ns→µs conversion). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

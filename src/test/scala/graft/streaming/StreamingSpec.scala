@@ -65,6 +65,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[Event]
+    val pairs = EventStreams.purchaseClickPairs(input.toDF(), withWatermark = true)
+    val q = pairs.writeStream
+      .format("memory").queryName("ssjoin").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0), // in window
+        Event(3, ts("2024-01-01 08:00:00"), 2, "click", 0.0),
+        Event(4, ts("2024-01-01 10:30:00"), 2, "purchase", 5.0)) // click too old
+      q.processAllAvailable()
+      // advance the watermark so buffered state flushes
+      input.addData(Event(9, ts("2024-01-01 16:00:00"), 3, "view", 0.0))
+      q.processAllAvailable()
+      val rows = session.sql(
+        "SELECT purchase_id, click_id, user_id, gap_us FROM ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq((2L, 1L, 1L, 1800L * 1000000)))
+    } finally q.stop()
+  }
+
   test("file-to-file: parquet source -> watermarked agg -> parquet sink across checkpointed restarts") {
     val session = spark
     import session.implicits._
