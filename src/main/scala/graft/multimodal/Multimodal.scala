@@ -274,30 +274,86 @@ object Multimodal {
     if (out.isEmpty) None else Some(out.toArray)
   }
 
-  /** Feature vector over IMA-ADPCM-decoded samples — same 8-dim layout as
-    * [[decodeWavFeatures]], so PCM and ADPCM audio land in one feature
-    * space. */
-  def decodeImaAdpcmWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
-    decodeImaAdpcmSamples(bytes).map { samples =>
-      var s2 = 0.0; var sa = 0.0; var peak = 0.0; var zc = 0
-      var prev = 0
-      var i = 0
-      while (i < samples.length) {
-        val v = samples(i).toInt
-        val a = math.abs(v) / 32768.0
-        s2 += a * a; sa += a; if (a > peak) peak = a
-        if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
-        prev = v
-        i += 1
-      }
-      val n = samples.length
-      val meta = parseMeta(bytes)
-      Array[Float](
-        math.sqrt(s2 / n).toFloat, (sa / n).toFloat,
-        (zc.toDouble / n).toFloat, peak.toFloat,
-        math.log1p(meta.durationMs.toDouble).toFloat,
-        meta.sampleRateHz / 48000.0f, meta.channels.toFloat, 0f)
+  /** Shared 8-dim audio feature assembly over decoded int16 samples — the
+    * same layout as [[decodeWavFeatures]], so PCM, ADPCM, and G.711 audio
+    * all land in one feature space. */
+  private def audioFeatures(samples: Array[Short], bytes: Array[Byte]): Array[Float] = {
+    var s2 = 0.0; var sa = 0.0; var peak = 0.0; var zc = 0
+    var prev = 0
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
+      val a = math.abs(v) / 32768.0
+      s2 += a * a; sa += a; if (a > peak) peak = a
+      if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+      prev = v
+      i += 1
     }
+    val n = samples.length
+    val meta = parseMeta(bytes)
+    Array[Float](
+      math.sqrt(s2 / n).toFloat, (sa / n).toFloat,
+      (zc.toDouble / n).toFloat, peak.toFloat,
+      math.log1p(meta.durationMs.toDouble).toFloat,
+      meta.sampleRateHz / 48000.0f, meta.channels.toFloat, 0f)
+  }
+
+  /** Feature vector over IMA-ADPCM-decoded samples. */
+  def decodeImaAdpcmWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeImaAdpcmSamples(bytes).map(audioFeatures(_, bytes))
+
+  /** G.711 μ-law byte → exact int16 (CCITT reference expansion: complement,
+    * then magnitude ((mant·8 + 0x84) << exp) − 0x84, sign from bit 7). */
+  def mulawToPcm(b: Int): Short = {
+    val u = (~b) & 0xFF
+    val mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    (if ((u & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** G.711 A-law byte → exact int16 (CCITT reference: XOR 0x55, segment 0
+    * is linear (mant·16 + 8), higher segments (mant·16 + 0x108) << seg−1;
+    * sign bit SET means positive in A-law). */
+  def alawToPcm(b: Int): Short = {
+    val a = (b ^ 0x55) & 0xFF
+    val seg = (a >> 4) & 7
+    val mant = a & 0x0F
+    val mag = if (seg == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) mag else -mag).toShort
+  }
+
+  /** REAL sample decode for G.711 WAV (format tag 7 = μ-law, 6 = A-law,
+    * 8-bit): one companded byte expands to one int16 via the public CCITT
+    * formulas — the standard telephony codecs, same deployment class as
+    * PCM16/ADPCM. None for other tags/widths (→ registry fallback). */
+  def decodeG711Samples(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 12 || !bytes.startsWith("RIFF".getBytes) ||
+        new String(bytes, 8, 4) != "WAVE") return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val fmtOff = riffChunk(bytes, "fmt ") match {
+      case Some((off, len)) if len >= 16 => off
+      case _ => return None
+    }
+    val tag = bb.getShort(fmtOff).toInt & 0xFFFF
+    val bits = bb.getShort(fmtOff + 14).toInt
+    if ((tag != 6 && tag != 7) || bits != 8) return None
+    val (dataOff, dataSize) = riffChunk(bytes, "data") match {
+      case Some(c) => c
+      case None => return None
+    }
+    if (dataSize <= 0) return None
+    val out = new Array[Short](dataSize)
+    var i = 0
+    while (i < dataSize) {
+      val b = bytes(dataOff + i) & 0xFF
+      out(i) = if (tag == 7) mulawToPcm(b) else alawToPcm(b)
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Feature vector over G.711-decoded samples. */
+  def decodeG711WavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeG711Samples(bytes).map(audioFeatures(_, bytes))
 
   /** Decode dispatch through the Codecs registry: the codec claiming the
     * sniffed format decodes; registry miss OR decode failure (corrupt

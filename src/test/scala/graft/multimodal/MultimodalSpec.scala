@@ -73,6 +73,53 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** G.711 WAV (format tag 6 = A-law or 7 = μ-law, 8-bit mono). */
+  private def g711Wav(tag: Int, rate: Int, data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    bos.write("RIFF".getBytes); bos.write(le32(36 + data.length)); bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); bos.write(le32(16)); bos.write(le16(tag)); bos.write(le16(1))
+    bos.write(le32(rate)); bos.write(le32(rate)); bos.write(le16(1)); bos.write(le16(8))
+    bos.write("data".getBytes); bos.write(le32(data.length)); bos.write(data)
+    bos.toByteArray
+  }
+
+  test("G.711 mu-law/A-law WAV bytes expand to exact CCITT int16 values") {
+    // mu-law reference points (Sun g711.c table): encoded 0xFF -> +0 and
+    // 0x7F -> -0 (both 0 after bias removal); encoded 0x00 complements to
+    // 0xFF (sign SET) -> -(((15*8+0x84)<<7)-0x84) = -32124, and 0x80
+    // complements to 0x7F (sign clear) -> +32124.
+    assert(Multimodal.mulawToPcm(0xFF) == 0)
+    assert(Multimodal.mulawToPcm(0x7F) == 0)
+    assert(Multimodal.mulawToPcm(0x00) == -32124)
+    assert(Multimodal.mulawToPcm(0x80) == 32124)
+    // A-law reference points: 0xD5 ^ 0x55 = 0x80 -> seg 0, mant 0, sign
+    // bit set -> +8; 0x55 -> -8; 0xAA ^ 0x55 = 0xFF -> seg 7, mant 15 ->
+    // +((240+264)<<6) = +32256; 0x2A -> -32256.
+    assert(Multimodal.alawToPcm(0xD5) == 8)
+    assert(Multimodal.alawToPcm(0x55) == -8)
+    assert(Multimodal.alawToPcm(0xAA) == 32256)
+    assert(Multimodal.alawToPcm(0x2A) == -32256)
+
+    val mu = g711Wav(7, 8000, Array(0xFF, 0x80, 0x00, 0xFF).map(_.toByte))
+    assert(Multimodal.decodeG711Samples(mu).get.toSeq ==
+      Seq[Short](0, 32124, -32124, 0))
+    val al = g711Wav(6, 8000, Array(0xD5, 0x2A, 0xAA, 0xD5).map(_.toByte))
+    assert(Multimodal.decodeG711Samples(al).get.toSeq ==
+      Seq[Short](8, -32256, 32256, 8))
+
+    // Feature path: peak of the mu-law fixture is 32124/32768, zero-cross
+    // twice over 4 samples (0,-,+,0 with >=0 sign convention: -, + is one
+    // crossing; + to 0 is none) — assert the exact layout positions.
+    val f = Multimodal.decodeG711WavFeatures(mu).get
+    assert(math.abs(f(3) - 32124 / 32768.0f) < 1e-6)
+    assert(f(6) == 1.0f) // mono
+    // Registry dispatch: tag 7 flows through the wav codec chain (not the
+    // stub), and a tag the chain rejects (e.g. 2 = MS-ADPCM) stubs.
+    assert(Multimodal.decodeFeatures("wav", mu).toSeq == f.toSeq)
+  }
+
   test("IMA-ADPCM WAV decodes to exact hand-computed int16 samples") {
     // Nibble bytes 0x84, 0xF3 = codes [4, 8, 3, 15] (LOW nibble first).
     // From predictor=0, index=0 (step 7), the public tables give exactly:
