@@ -1,49 +1,41 @@
 package graft.operators
 
 import graft.SparkSpec
-import graft.Tables
 
-/** Bucketing: the co-located-join story for repeated large-large joins at
-  * the 100 TB design point — both sides pre-hashed into the same bucket
-  * layout so the join needs NO shuffle exchange at read time. */
+/** Machine-checks the co-located-join claim: a join of two tables
+  * bucketed by the same (key, count) must plan ZERO shuffle exchanges —
+  * and the identical unbucketed join must plan them (the control, so the
+  * assertion can't pass vacuously, e.g. via a broadcast that bypasses
+  * bucketing). Broadcast is disabled for the duration to force the
+  * sort-merge path on both variants. */
 class BucketedJoinSpec extends SparkSpec {
 
-  test("bucketed tables join without a shuffle exchange") {
+  test("same-key same-count bucketed join plans zero shuffles; unbucketed control shuffles") {
     val session = spark
-    // Disable broadcast so the plan decision is bucketing's, not the tiny
-    // SF's (at 100 TB neither side broadcasts).
-    val prevThreshold = session.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import session.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      session.sql("DROP TABLE IF EXISTS b_orders")
-      session.sql("DROP TABLE IF EXISTS b_lineitem")
-      val d = "/root/testdata/sf0.001"
-      Tables.orders(session, d)
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("b_orders")
-      Tables.lineitem(session, d)
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("b_lineitem")
+      val a = spark.range(0, 10000).select($"id".as("k"), ($"id" * 2).as("va"))
+      val b = spark.range(0, 10000).select($"id".as("k"), ($"id" * 3).as("vb"))
+      BucketedTables.writeBucketed(a, "graft_bkt_a", "k", 8)
+      BucketedTables.writeBucketed(b, "graft_bkt_b", "k", 8)
 
-      val joined = session.table("b_lineitem")
-        .join(session.table("b_orders"),
-          session.table("b_lineitem")("l_orderkey") === session.table("b_orders")("o_orderkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      // Both scans expose the bucket layout; the join must not re-shuffle.
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"expected no shuffle exchange in:\n$plan")
-      assert(joined.count() > 0)
+      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(j.count() == 10000)
 
-      // Control: the same join on plain parquet scans DOES shuffle.
-      val li = Tables.lineitem(session, d)
-      val o = Tables.orders(session, d)
-      val unbucketed = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      assert(unbucketed.queryExecution.executedPlan.toString
-        .contains("Exchange hashpartitioning"))
+      val control = a.join(b, "k")
+      assert(control.queryExecution.executedPlan.toString.contains("Exchange"),
+        "control (unbucketed) join unexpectedly planned no shuffle — " +
+          "the bucketed assertion would be vacuous")
     } finally {
-      session.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      session.sql("DROP TABLE IF EXISTS b_orders")
-      session.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      BucketedTables.drop(spark, "graft_bkt_a")
+      BucketedTables.drop(spark, "graft_bkt_b")
     }
   }
 }

@@ -50,6 +50,41 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact-dedup state survives a checkpointed restart: post-restart dups still match pre-restart firsts") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("dedup_src").toString
+    val out = java.nio.file.Files.createTempDirectory("dedup_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("dedup_chk").toString
+
+    def append(docs: Seq[DocText]): Unit =
+      docs.toDF().write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = session.readStream
+        .schema("doc_id LONG, text STRING").parquet(src).as[DocText]
+      val q = exactDedup(fingerprints(stream)).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    append(Seq(DocText(1, textA), DocText(2, textB)))
+    runOnce() // state (fingerprint -> first id) now lives in the checkpoint
+    append(Seq(DocText(13, textA), DocText(14, textB), DocText(15, textC)))
+    runOnce() // NEW query instance: state must come back from checkpoint
+
+    val rows = session.read.parquet(out).as[FpVerdict].collect()
+    assert(rows.length == 5)
+    val dups = rows.filter(_.is_dup).map(v => (v.doc_id, v.first_id)).toSet
+    // 13/14 duplicate docs ingested BEFORE the restart — only recovered
+    // state can point them at first arrivals 1/2.
+    assert(dups == Set((13L, 1L), (14L, 2L)))
+    assert(rows.filterNot(_.is_dup).map(_.doc_id).toSet == Set(1L, 2L, 15L))
+  }
+
   test("near-dup banded state flags cross-batch near-duplicates in every band") {
     val session = spark
     import session.implicits._
