@@ -101,7 +101,10 @@ class PlanGuardSpec extends SparkSpec {
   test("AQE final plans at sf0.1 stay clean for the dedup + window families") {
     val names = Seq("q34_minhash_pairs", "q47_embed_dedup",
       "q51_dedup_incremental", "q52_embed_dedup_incremental",
-      "q08_window_running", "q41_session_window")
+      "q08_window_running", "q41_session_window",
+      // round-11 join shapes: the as-of union+window and the
+      // range-predicate interval join
+      "q56_asof_join", "q57_interval_join")
     val sf = "/root/testdata/sf0.1"
     val offenders = names.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
