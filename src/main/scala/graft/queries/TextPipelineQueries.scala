@@ -347,6 +347,26 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Approximate distinct with a hard accuracy gate: at 100 TB the
+    // cardinality question ("how many distinct documents per language?")
+    // is answered by a mergeable HLL++ sketch (map-side partials, tiny
+    // merge — no shuffle of the distinct VALUES themselves, which is what
+    // an exact countDistinct costs). The gate computes BOTH in one query
+    // and asserts the sketch lands within 3·rsd of the exact count — the
+    // oracle pins the exact counts and the bound as a literal TRUE, so a
+    // Spark-side sketch regression (or an rsd misconfiguration) fails the
+    // hash compare. rsd = 0.05, bound = 0.15.
+    "q58_approx_distinct_bound" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count_distinct(col("text")).as("exact_distinct"),
+             approx_count_distinct(col("text"), 0.05).as("approx"))
+        .select(col("lang"), col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")).cast("double") /
+            col("exact_distinct") <= 0.15).as("within_bound"))
+        .orderBy(col("lang"))
+    }),
+
     // Rolling-hash document fingerprint (Rabin-Karp style): fold
     // h = (h*31 + tokenHash) mod 1e9+7 over the token sequence — ORDER
     // SENSITIVE, unlike SimHash (q36), so reordered-token documents get
@@ -532,6 +552,19 @@ object TextPipelineQueries extends QueryPack {
         GROUP BY lang
         ORDER BY lang"""
       },
+
+      // The oracle can't reproduce Spark's HLL++ sketch value (engine-
+      // specific), and doesn't need to: it pins the EXACT distinct counts
+      // and the bound verdict as literal TRUE — if Spark's sketch drifts
+      // past 3·rsd of exact, within_bound flips false and the hash gate
+      // fails. COUNT(DISTINCT) is BIGINT in both engines.
+      "q58_approx_distinct_bound" -> """
+        SELECT lang,
+               COUNT(DISTINCT text) AS exact_distinct,
+               TRUE AS within_bound
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""",
 
       "q48_rolling_fp" -> s"""
         WITH t AS (
