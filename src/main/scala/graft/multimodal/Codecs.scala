@@ -22,16 +22,17 @@ object ImageIOCodec extends MediaCodec {
 }
 
 /** Built-in: true sample decode for WAV, dispatching on the fmt-chunk
-  * format tag — PCM16 (tag 1), IMA-ADPCM (tag 0x11), and G.711 μ-law /
-  * A-law (tags 7/6) are all pure byte math; other tags decode to None
-  * (→ stub fallback). Each decoder rejects the others' tags, so orElse
-  * is a tag dispatch, not a retry. */
+  * format tag — PCM16 (tag 1), MS-ADPCM (tag 2), G.711 A-law/μ-law
+  * (tags 6/7), and IMA-ADPCM (tag 0x11) are all pure byte math; other
+  * tags decode to None (→ stub fallback). Each decoder rejects the
+  * others' tags, so orElse is a tag dispatch, not a retry. */
 object Pcm16WavCodec extends MediaCodec {
   val formats: Set[String] = Set("wav")
   def decode(bytes: Array[Byte]): Option[Array[Float]] =
     Multimodal.decodeWavFeatures(bytes)
       .orElse(Multimodal.decodeImaAdpcmWavFeatures(bytes))
       .orElse(Multimodal.decodeG711WavFeatures(bytes))
+      .orElse(Multimodal.decodeMsAdpcmWavFeatures(bytes))
 }
 
 /** The codec registry behind Multimodal.decodeFeatures. Format-keyed; last

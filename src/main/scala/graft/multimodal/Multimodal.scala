@@ -355,6 +355,102 @@ object Multimodal {
   def decodeG711WavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
     decodeG711Samples(bytes).map(audioFeatures(_, bytes))
 
+  /** MS-ADPCM adaptation table (public spec, 16 entries): next-delta
+    * scale per 4-bit code, fixed-point /256. */
+  private val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230,
+    230, 230)
+
+  /** The seven standard MS-ADPCM predictor coefficient pairs. Encoders
+    * may declare extras in the fmt extension; the block's predictor index
+    * selects into whatever the container declares. */
+  private val MsStdCoeffs: Array[(Int, Int)] = Array(
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232))
+
+  /** REAL sample decode for MS-ADPCM WAV (format tag 2, mono): per block —
+    * u8 predictor index, i16 initial delta, i16 samp1, i16 samp2; output
+    * starts samp2 then samp1, then one sample per 4-bit code (HIGH nibble
+    * first, unlike IMA): predict = (samp1·c1 + samp2·c2) / 256, sample =
+    * clamp(predict + signed4(code)·delta), delta = max(16,
+    * adapt[code]·delta / 256). Coefficient pairs come from the fmt
+    * extension when declared, else the seven standard pairs. None for
+    * multi-channel/other tags (→ registry fallback). */
+  def decodeMsAdpcmSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes.length < 12 || !bytes.startsWith("RIFF".getBytes) ||
+        new String(bytes, 8, 4) != "WAVE") return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val (fmtOff, fmtLen) = riffChunk(bytes, "fmt ") match {
+      case Some((off, len)) if len >= 16 => (off, len)
+      case _ => return None
+    }
+    val tag = bb.getShort(fmtOff).toInt & 0xFFFF
+    val channels = bb.getShort(fmtOff + 2).toInt
+    val bits = bb.getShort(fmtOff + 14).toInt
+    if (tag != 2 || bits != 4 || channels != 1) return None
+    val blockAlign = bb.getShort(fmtOff + 12).toInt & 0xFFFF
+    if (blockAlign < 7) return None
+    // fmt extension: cbSize, wSamplesPerBlock, wNumCoef, then the pairs.
+    val (samplesPerBlock, coeffs) =
+      if (fmtLen >= 22) {
+        val spb = bb.getShort(fmtOff + 18).toInt & 0xFFFF
+        val nCoef = bb.getShort(fmtOff + 20).toInt & 0xFFFF
+        if (fmtLen >= 22 + nCoef * 4 && nCoef > 0) {
+          val cs = Array.tabulate(nCoef) { i =>
+            (bb.getShort(fmtOff + 22 + i * 4).toInt,
+             bb.getShort(fmtOff + 24 + i * 4).toInt)
+          }
+          (spb, cs)
+        } else (spb, MsStdCoeffs)
+      } else ((blockAlign - 7) * 2 + 2, MsStdCoeffs)
+    val (dataOff, dataSize) = riffChunk(bytes, "data") match {
+      case Some(c) => c
+      case None => return None
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Short](
+      (dataSize / blockAlign + 1) * samplesPerBlock)
+    var block = dataOff
+    val dataEnd = dataOff + dataSize
+    def clamp16(v: Int): Int =
+      if (v > 32767) 32767 else if (v < -32768) -32768 else v
+    while (block + 7 <= dataEnd) {
+      val pred = math.min(bytes(block) & 0xFF, coeffs.length - 1)
+      val (c1, c2) = coeffs(pred)
+      var delta = bb.getShort(block + 1).toInt
+      var samp1 = bb.getShort(block + 3).toInt
+      var samp2 = bb.getShort(block + 5).toInt
+      out += samp2.toShort // header samples ARE samples 0 and 1
+      out += samp1.toShort
+      var produced = 2
+      var p = block + 7
+      val blockEnd = math.min(block + blockAlign, dataEnd)
+      while (p < blockEnd && produced < samplesPerBlock) {
+        val b = bytes(p) & 0xFF
+        var half = 0
+        while (half < 2 && produced < samplesPerBlock) {
+          val code = if (half == 0) (b >> 4) & 0xF else b & 0xF // HIGH first
+          val signed = if (code >= 8) code - 16 else code
+          // C-style truncating division per the MS spec — NOT >> 8, which
+          // floors and diverges on negative predictor sums.
+          val predict = (samp1 * c1 + samp2 * c2) / 256
+          val sample = clamp16(predict + signed * delta)
+          samp2 = samp1; samp1 = sample
+          delta = math.max(16, (MsAdaptTable(code) * delta) / 256)
+          out += sample.toShort
+          produced += 1
+          half += 1
+        }
+        p += 1
+      }
+      block += blockAlign
+    }
+    if (out.isEmpty) None else Some(out.toArray)
+  }
+
+  /** Feature vector over MS-ADPCM-decoded samples. */
+  def decodeMsAdpcmWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeMsAdpcmSamples(bytes).map(audioFeatures(_, bytes))
+
   /** Decode dispatch through the Codecs registry: the codec claiming the
     * sniffed format decodes; registry miss OR decode failure (corrupt
     * container) falls back to the deterministic stub. Built-ins cover

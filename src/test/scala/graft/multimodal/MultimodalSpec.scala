@@ -120,6 +120,61 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures("wav", mu).toSeq == f.toSeq)
   }
 
+  /** MS-ADPCM WAV (format tag 2, mono): 7-byte block headers (u8
+    * predictor, i16 delta, i16 samp1, i16 samp2) + nibble bytes; fmt
+    * carries the full extension (wSamplesPerBlock, wNumCoef=7, the
+    * standard pairs). */
+  private def msAdpcmWav(rate: Int, blockAlign: Int, samplesPerBlock: Int,
+                         blocks: Seq[(Int, Short, Short, Short, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = new ByteArrayOutputStream()
+    blocks.foreach { case (pred, delta, s1, s2, nibbles) =>
+      data.write(pred); data.write(le16(delta.toInt & 0xFFFF))
+      data.write(le16(s1.toInt & 0xFFFF)); data.write(le16(s2.toInt & 0xFFFF))
+      data.write(nibbles)
+    }
+    val db = data.toByteArray
+    val stdCoeffs = Seq((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+      (460, -208), (392, -232))
+    val fmtLen = 22 + stdCoeffs.length * 4
+    bos.write("RIFF".getBytes); bos.write(le32(12 + fmtLen + 8 + db.length))
+    bos.write("WAVE".getBytes)
+    bos.write("fmt ".getBytes); bos.write(le32(fmtLen))
+    bos.write(le16(2)); bos.write(le16(1)); bos.write(le32(rate))
+    bos.write(le32(rate * blockAlign / samplesPerBlock))
+    bos.write(le16(blockAlign)); bos.write(le16(4))
+    bos.write(le16(fmtLen - 18)) // cbSize
+    bos.write(le16(samplesPerBlock)); bos.write(le16(stdCoeffs.length))
+    stdCoeffs.foreach { case (a, b) => bos.write(le16(a)); bos.write(le16(b)) }
+    bos.write("data".getBytes); bos.write(le32(db.length)); bos.write(db)
+    bos.toByteArray
+  }
+
+  test("MS-ADPCM WAV decodes to exact hand-computed int16 samples") {
+    // Predictor 0 -> (256, 0): predict == samp1. Header delta=64,
+    // samp1=100, samp2=50 -> output starts [50, 100]. Nibbles 0x21, 0x9F
+    // (HIGH first -> codes 2, 1, 9, 15):
+    //   code 2:  sample = 100 + 2*64  = 228; delta = 230*64/256  = 57
+    //   code 1:  sample = 228 + 57    = 285; delta = 230*57/256  = 51
+    //   code 9:  sample = 285 - 7*51  = -72; delta = 614*51/256  = 122
+    //   code 15: sample = -72 - 122   = -194; delta = 230*122/256 = 109
+    val bytes = msAdpcmWav(rate = 8000, blockAlign = 9, samplesPerBlock = 6,
+      blocks = Seq((0, 64.toShort, 100.toShort, 50.toShort,
+        Array(0x21, 0x9F).map(_.toByte))))
+    assert(Multimodal.decodeMsAdpcmSamples(bytes).get.toSeq ==
+      Seq[Short](50, 100, 228, 285, -72, -194))
+    // Feature path flows through the wav codec chain (tag dispatch).
+    val f = Multimodal.decodeMsAdpcmWavFeatures(bytes).get
+    assert(Multimodal.decodeFeatures("wav", bytes).toSeq == f.toSeq)
+    assert(f(6) == 1.0f) // mono
+    // PCM16/IMA decoders must reject tag 2 (dispatch, not retry).
+    assert(Multimodal.decodeWavFeatures(bytes).isEmpty)
+    assert(Multimodal.decodeImaAdpcmSamples(bytes).isEmpty)
+    assert(Multimodal.decodeG711Samples(bytes).isEmpty)
+  }
+
   test("IMA-ADPCM WAV decodes to exact hand-computed int16 samples") {
     // Nibble bytes 0x84, 0xF3 = codes [4, 8, 3, 15] (LOW nibble first).
     // From predictor=0, index=0 (step 7), the public tables give exactly:
