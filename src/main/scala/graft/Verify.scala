@@ -11,7 +11,11 @@ import java.nio.file.{Files, Paths}
   * original flat layout. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDirs, outDir) = args
+    val (sfDirs, outDir) = (args(0), args(1))
+    // Optional 3rd arg (dev iteration only; the driver passes two): a
+    // comma-separated subset of query names to dump.
+    val only: Set[String] =
+      if (args.length > 2) args(2).split(',').map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     val sweeps = sfDirs.split(',').map(_.trim).filter(_.nonEmpty)
@@ -19,7 +23,9 @@ object Verify {
       val out = if (sweeps.length == 1) outDir
         else s"$outDir/${Paths.get(sfDir).getFileName}"
       new java.io.File(out).mkdirs()
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$out/$name")
         catch { case e: Throwable =>

@@ -282,6 +282,20 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Duplicate-CLUSTER resolution: near-dup pairs are not deletion
+    // decisions until transitive groups are resolved (A~B, B~C must put
+    // A,B,C in one cluster even when A~C was never emitted as a pair).
+    // Distributed connected components (min-label + pointer jumping,
+    // graft.operators.ConnectedComponents) over the q34 edge set; report
+    // each cluster's canonical keeper (= component min id) and size.
+    "q59_dedup_components" -> ((s, d) => {
+      val pairs = confirmedPairs(s, d).select(col("doc_a"), col("doc_b"))
+      graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("component"))
+    }),
+
     // 16-bit SimHash document fingerprint from per-token md5 hashes:
     // bit i of the fingerprint is the sign of Σ_tokens (±1 by token-hash
     // bit i). Pure HOF fold — one pass over each doc's token array.
@@ -518,6 +532,27 @@ object TextPipelineQueries extends QueryPack {
       // The incremental path must reproduce the full-corpus dedup exactly
       // — same oracle as q35, and the gate's hash compare enforces it.
       "q51_dedup_incremental" -> minhashKeepSql,
+
+      // Transitive closure over the confirmed pairs via recursive CTE:
+      // comp(u) = min id reachable from u (including u). The engine side
+      // computes the same fixpoint iteratively (pointer jumping); the
+      // oracle pins cluster membership exactly.
+      "q59_dedup_components" -> s"""
+        ${pairsCtes.replaceFirst("(?i)WITH", "WITH RECURSIVE")},
+        e AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jacc >= $JaccThreshold
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs WHERE jacc >= $JaccThreshold),
+        r(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u),
+        comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM r GROUP BY u)
+        SELECT component, COUNT(*) AS n_members
+        FROM comp
+        GROUP BY component
+        ORDER BY component""",
 
       "q36_simhash" -> s"""
         WITH t AS (
