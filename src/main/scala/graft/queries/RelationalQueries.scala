@@ -198,6 +198,35 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Approximate percentile under a HARD accuracy gate (the q58 pattern:
+    // sketches are only usable at 100 TB if their error is governed, so
+    // the gate asserts the bound instead of the sketch value). Spark's
+    // percentile_approx (Greenwald-Khanna) guarantees rank error <=
+    // n/accuracy; the gate brackets the approx value between the EXACT
+    // nearest-rank quantiles at p +/- 3/accuracy — if the sketch ever
+    // drifts past its contract, within_bound flips false and the oracle
+    // hash-compare fails. The exact p50 column itself must match DuckDB.
+    "q61_approx_percentile_bound" -> ((s, d) => {
+      val acc = 1000
+      val li = Tables.lineitem(s, d)
+      def exactAt(q: Double, as: String): DataFrame =
+        graft.functions.Percentiles.nearestRankByGroup(
+            li, Seq("l_returnflag"), "l_extendedprice", q)
+          .select(col("l_returnflag"), col("p50").as(as))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
+          .as("approx"))
+      exactAt(0.5, "exact_p50")
+        .join(exactAt(0.5 - 3.0 / acc, "lo"), Seq("l_returnflag"))
+        .join(exactAt(0.5 + 3.0 / acc, "hi"), Seq("l_returnflag"))
+        .join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("exact_p50"), 2).as("exact_p50"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("within_bound"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // GROUP BY + HAVING: parts appearing in many lineitems.
     "q14_having" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -289,6 +318,24 @@ object RelationalQueries extends QueryPack {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("sum_price"))
         .orderBy(col("status"), col("priority"))
+    }),
+
+    // PIVOT (long→wide reshape): per-cohort counts of each event type as
+    // columns. The pivot values are PINNED literals — with an explicit
+    // list Spark skips the extra distinct-discovery job and the output
+    // schema is static, which is the only sane form at 100 TB (a
+    // discovered pivot both scans twice and can explode the schema).
+    // Empty cells are coalesced to 0 so the wide table is join-ready.
+    "q60_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, d)
+        .withColumn("cohort", pmod(col("user_id"), lit(10)))
+        .groupBy(col("cohort"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("cohort") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("cohort"))
     }),
 
     // Lenient numeric cast parity (SURVEY §2.2 P2 toNum): strip junk chars,
@@ -418,6 +465,19 @@ object RelationalQueries extends QueryPack {
       WHERE rn = CAST(FLOOR(0.75 * (n - 1)) AS BIGINT) + 1
       ORDER BY l_returnflag""",
 
+    // Oracle pins the exact nearest-rank p50 and the bound verdict as a
+    // literal TRUE (the engine-side sketch value is engine-specific; its
+    // CONTRACT is what's gated — same shape as q58).
+    "q61_approx_percentile_bound" -> """
+      SELECT l_returnflag, ROUND(p50, 2) AS exact_p50, TRUE AS within_bound
+      FROM (
+        SELECT l_returnflag, l_extendedprice AS p50,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1
+      ORDER BY l_returnflag""",
+
     "q14_having" -> """
       SELECT l_partkey, COUNT(*) AS n,
              CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_qty
@@ -483,6 +543,17 @@ object RelationalQueries extends QueryPack {
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY status, priority""",
+
+    "q60_pivot" -> """
+      SELECT user_id % 10 AS cohort,
+             COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+             COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+      FROM events
+      GROUP BY 1
+      ORDER BY 1""",
 
     "q20_tonum" -> """
       SELECT c_custkey,
