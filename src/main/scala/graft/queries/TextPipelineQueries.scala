@@ -296,6 +296,33 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(col("component"))
     }),
 
+    // TF-IDF top-k terms per document — the keyword-extraction stage of a
+    // corpus pipeline. TF = one (doc_id, term) shuffle agg; DF = a second
+    // agg over the already-distinct TF pairs (never re-touches raw
+    // tokens); corpus size N is the memoized CorpusStats scalar (no
+    // per-query count job). Scores are rounded to 6 dp on BOTH engines
+    // before ranking: ln() may differ across libm implementations in the
+    // last ulp, and an unrounded ORDER BY score would make tie-breaks
+    // engine-dependent. Top-k per doc is the salted two-level TopK — no
+    // single-task whole-doc-group sort at any corpus size.
+    "q62_tfidf_topk" -> ((s, d) => {
+      val k = 3
+      val n = graft.operators.CorpusStats.count(s, d, "documents", "doc_id")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, Seq("term"))
+        .withColumn("score",
+          round(col("cnt") * log(lit(n.toDouble) / col("df")), 6))
+      graft.operators.TopK.perKey(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("term").asc), k,
+          saltExpr = hash(col("term")))
+        .select(col("doc_id"), col("rank"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // 16-bit SimHash document fingerprint from per-token md5 hashes:
     // bit i of the fingerprint is the sign of Σ_tokens (±1 by token-hash
     // bit i). Pure HOF fold — one pass over each doc's token array.
@@ -553,6 +580,30 @@ object TextPipelineQueries extends QueryPack {
         FROM comp
         GROUP BY component
         ORDER BY component""",
+
+      // Both engines rank on the 6-dp-ROUNDED score (see the query
+      // comment); ROW_NUMBER is BIGINT in DuckDB, cast to match Spark's
+      // int rank.
+      "q62_tfidf_topk" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term,
+                 ROUND(cnt * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        r AS (
+          SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rank
+          FROM scored)
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+        FROM r WHERE rank <= 3
+        ORDER BY doc_id, rank""",
 
       "q36_simhash" -> s"""
         WITH t AS (
