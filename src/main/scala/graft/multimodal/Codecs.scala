@@ -35,6 +35,16 @@ object Pcm16WavCodec extends MediaCodec {
       .orElse(Multimodal.decodeMsAdpcmWavFeatures(bytes))
 }
 
+/** Built-in: true frame decode for uncompressed AVI (BI_RGB 24-bit DIB
+  * frames — pure byte math, no codec dependency); the feature vector is
+  * the mean of per-frame image stats. Compressed AVI decodes to None (→
+  * stub fallback) — register a real codec to claim it. */
+object AviCodec extends MediaCodec {
+  val formats: Set[String] = Set("avi")
+  def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    Multimodal.decodeAviFeatures(bytes)
+}
+
 /** The codec registry behind Multimodal.decodeFeatures. Format-keyed; last
   * registration wins, so a deployment can override a built-in (or claim a
   * format that currently stubs).
@@ -61,4 +71,5 @@ object Codecs {
 
   register(ImageIOCodec)
   register(Pcm16WavCodec)
+  register(AviCodec)
 }

@@ -66,6 +66,16 @@ object Multimodal {
       // GIF: logical screen width/height as LE u16 at offsets 6/8.
       MediaMeta("gif", u16le(6), u16le(8), 0, 0, 0L)
     } else if (bytes.length >= 12 && bytes.startsWith("RIFF".getBytes) &&
+               new String(bytes, 8, 4) == "AVI ") {
+      // AVI: width/height/frame timing from the avih header inside the
+      // hdrl LIST (canonical offsets cannot be assumed — walk the lists).
+      aviMainHeader(bytes) match {
+        case Some((usPerFrame, totalFrames, w, h)) =>
+          val durMs = if (usPerFrame > 0) usPerFrame * totalFrames / 1000L else 0L
+          MediaMeta("avi", w, h, channels = 0, sampleRateHz = 0, durationMs = durMs)
+        case None => MediaMeta("avi", 0, 0, 0, 0, 0L)
+      }
+    } else if (bytes.length >= 12 && bytes.startsWith("RIFF".getBytes) &&
                new String(bytes, 8, 4) == "WAVE") {
       // WAV: walk the RIFF chunk list — extra chunks (LIST, fact, …) may
       // precede fmt/data, so canonical offsets cannot be assumed.
@@ -104,6 +114,127 @@ object Multimodal {
     None
   }
 
+  /** Iterate the RIFF chunk sequence in bytes[from, to): (chunk id,
+    * payload offset, payload length clamped to the range). LIST chunks are
+    * yielded as-is (id "LIST"; the 4-char list type is the first payload
+    * word) — callers recurse with the payload range. */
+  private def riffChildren(bytes: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var off = lo
+      def hasNext: Boolean = off + 8 <= math.min(hi, bytes.length)
+      def next(): (String, Int, Int) = {
+        val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val declared = ByteBuffer.wrap(bytes, off + 4, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+        val payloadOff = off + 8
+        val avail = math.max(0, math.min(declared, (math.min(hi, bytes.length) - payloadOff).toLong).toInt)
+        // Advance in Long: a corrupt size must end iteration, not loop.
+        val nxt = payloadOff.toLong + declared + (declared & 1L)
+        off = if (nxt > Int.MaxValue) Int.MaxValue else nxt.toInt
+        (id, payloadOff, avail)
+      }
+    }
+
+  /** Payload range (offset, length) of the first LIST of `listType` among
+    * the chunks in [from, to) — the list type word is skipped. */
+  private def riffList(bytes: Array[Byte], from: Int, to: Int, listType: String): Option[(Int, Int)] =
+    riffChildren(bytes, from, to).collectFirst {
+      case ("LIST", off, len) if len >= 4 &&
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII) == listType =>
+        (off + 4, len - 4)
+    }
+
+  /** avih MainAVIHeader fields: (µs per frame, total frames, width,
+    * height). */
+  private def aviMainHeader(bytes: Array[Byte]): Option[(Long, Long, Int, Int)] = {
+    def u32le(off: Int): Long =
+      ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+    for {
+      (h0, hl) <- riffList(bytes, 12, bytes.length, "hdrl")
+      (o, l) <- riffChildren(bytes, h0, h0 + hl).collectFirst { case ("avih", o, l) if l >= 40 => (o, l) }
+    } yield (u32le(o), u32le(o + 16), u32le(o + 32).toInt, u32le(o + 36).toInt)
+  }
+
+  /** The first video stream's BITMAPINFOHEADER: (biWidth, biHeight,
+    * biBitCount, biCompression). biHeight > 0 means bottom-up rows. */
+  private def aviVideoFormat(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u32le(off: Int): Long =
+      ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xFFFFFFFFL
+    def u16le(off: Int): Int =
+      ByteBuffer.wrap(bytes, off, 2).order(ByteOrder.LITTLE_ENDIAN).getShort.toInt & 0xFFFF
+    for {
+      (h0, hl) <- riffList(bytes, 12, bytes.length, "hdrl")
+      strl <- riffChildren(bytes, h0, h0 + hl).collectFirst {
+        case ("LIST", off, len) if len >= 4 &&
+          new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII) == "strl" &&
+          riffChildren(bytes, off + 4, off + len).exists { case (id, o, l) =>
+            id == "strh" && l >= 4 &&
+              new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII) == "vids"
+          } => (off + 4, len - 4)
+      }
+      (o, _) <- riffChildren(bytes, strl._1, strl._1 + strl._2)
+        .collectFirst { case ("strf", o, l) if l >= 40 => (o, l) }
+    } yield (u32le(o + 4).toInt, u32le(o + 8).toInt, u16le(o + 14), u32le(o + 16))
+  }
+
+  /** REAL frame decode for uncompressed AVI (BI_RGB 24-bit DIB frames in
+    * '..db'/'..dc' movi chunks — the one video container decodable with
+    * zero codec dependencies): bottom-up BGR rows padded to 4-byte
+    * stride, exactly the on-disk DIB layout. None when the video stream
+    * is compressed (biCompression != 0), not 24-bit, or headers/movi are
+    * missing — those fall to the stub via the codec registry. */
+  def decodeAviFrames(bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] = {
+    if (bytes.length < 12 || !bytes.startsWith("RIFF".getBytes) ||
+        new String(bytes, 8, 4) != "AVI ") return None
+    aviVideoFormat(bytes) match {
+      case Some((w, hRaw, 24, 0L)) if w > 0 && hRaw != 0 =>
+        val bottomUp = hRaw > 0
+        val h = math.abs(hRaw)
+        val stride = ((w * 3 + 3) / 4) * 4
+        riffList(bytes, 12, bytes.length, "movi").map { case (m0, ml) =>
+          riffChildren(bytes, m0, m0 + ml).collect {
+            case (id, off, len) if id.endsWith("db") || id.endsWith("dc") =>
+              (off, len)
+          }.filter(_._2 >= stride * h).map { case (off, _) =>
+            val im = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              val srcRow = off + (if (bottomUp) (h - 1 - y) else y) * stride
+              var x = 0
+              while (x < w) {
+                val b = bytes(srcRow + x * 3) & 0xFF
+                val g = bytes(srcRow + x * 3 + 1) & 0xFF
+                val r = bytes(srcRow + x * 3 + 2) & 0xFF
+                im.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            im
+          }.toVector
+        }.filter(_.nonEmpty)
+      case _ => None
+    }
+  }
+
+  /** Feature vector for uncompressed AVI: the componentwise MEAN of the
+    * per-frame image stats over at most the first 16 frames (bounds work
+    * per blob; deterministic), with the video's own duration in slot 5.
+    */
+  def decodeAviFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decodeAviFrames(bytes).map { frames =>
+      val sampled = frames.take(16)
+      val acc = new Array[Float](8)
+      sampled.foreach { im =>
+        val s = imageStats(im)
+        var i = 0
+        while (i < 8) { acc(i) += s(i) / sampled.size; i += 1 }
+      }
+      acc(5) = math.log1p(parseMeta(bytes).durationMs.toDouble).toFloat
+      acc
+    }
+
   /** REAL pixel decode for PNG/JPEG (javax.imageio is in the JDK): 8-dim
     * feature vector [meanR, meanG, meanB, meanLuma, stdLuma (all 0..1),
     * log1p(width), log1p(height), aspect]. None when ImageIO cannot decode
@@ -112,35 +243,39 @@ object Multimodal {
     val img = try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     } catch { case _: Exception => None }
-    img.map { im =>
-      val w = im.getWidth; val h = im.getHeight
-      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
-      // Bulk scanline reads: per-pixel getRGB(x, y) pays a ColorModel
-      // conversion + bounds check per call, which dominates the decode
-      // hot loop on megapixel images.
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        im.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val p = row(x)
-          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
-          val l = 0.299 * r + 0.587 * g + 0.114 * b
-          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
-          x += 1
-        }
-        y += 1
+    img.map(imageStats)
+  }
+
+  /** The 8-dim pixel feature vector of one decoded image (shared by the
+    * PNG/JPEG path and per-frame video stats). */
+  private def imageStats(im: java.awt.image.BufferedImage): Array[Float] = {
+    val w = im.getWidth; val h = im.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+    // Bulk scanline reads: per-pixel getRGB(x, y) pays a ColorModel
+    // conversion + bounds check per call, which dominates the decode
+    // hot loop on megapixel images.
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      im.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+        x += 1
       }
-      val n = (w.toLong * h).toDouble
-      val meanL = sl / n
-      val varL = math.max(sl2 / n - meanL * meanL, 0.0)
-      Array[Float](
-        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
-        (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
-        math.log1p(w.toDouble).toFloat, math.log1p(h.toDouble).toFloat,
-        (w.toDouble / h).toFloat)
+      y += 1
     }
+    val n = (w.toLong * h).toDouble
+    val meanL = sl / n
+    val varL = math.max(sl2 / n - meanL * meanL, 0.0)
+    Array[Float](
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+      math.log1p(w.toDouble).toFloat, math.log1p(h.toDouble).toFloat,
+      (w.toDouble / h).toFloat)
   }
 
   /** REAL sample decode for PCM16 WAV (pure byte math — PCM is just LE
@@ -546,13 +681,27 @@ object Multimodal {
     * optimized GIFs store delta sub-rectangles, so `reader.read(f)` alone
     * is not the logical frame), and every k-th composited frame is
     * re-encoded as PNG — one row in, n/k rows out, each a standalone image
-    * ready for the PNG feature path. Non-GIF blobs fall back to the
-    * byte-window stub so the fan-out contract holds for every format.
-    * Per-partition flatMap, no shuffle. */
+    * ready for the PNG feature path. Uncompressed AVI goes through the
+    * same contract via decodeAviFrames (no compositing — AVI DIB frames
+    * are whole). Other blobs fall back to the byte-window stub so the
+    * fan-out contract holds for every format. Per-partition flatMap, no
+    * shuffle. */
   def frameSample(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      if (parseMeta(r.content).format != "gif") frameWindows(r, everyK)
+      val fmt = parseMeta(r.content).format
+      if (fmt == "avi") {
+        decodeAviFrames(r.content) match {
+          case Some(frames) =>
+            (0 until frames.size by everyK).map { f =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(frames(f), "png", bos)
+              MediaRow(r.media_id * 1000 + f, s"${r.kind}#frame$f", bos.toByteArray)
+            }
+          case None => frameWindows(r, everyK)
+        }
+      }
+      else if (fmt != "gif") frameWindows(r, everyK)
       else {
         // Close the ImageInputStream and dispose the reader on EVERY path:
         // with ImageIO's default file cache each leaked stream pins a temp
