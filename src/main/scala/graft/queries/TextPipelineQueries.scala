@@ -423,6 +423,34 @@ object TextPipelineQueries extends QueryPack {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("fp"))).as("n_same_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition filter (Rae et al. 2021 §A1.1 semantics,
+    // re-expressed): per-document bigram repetition — the fraction of all
+    // bigram occurrences taken by the single most frequent bigram
+    // (top_gram_frac) and the fraction belonging to any repeated bigram
+    // (dup_gram_frac) — plus the keep verdict at thresholds that actually
+    // discriminate on this corpus (top <= 0.10 drops ~3%, dup <= 0.15
+    // drops ~7%). Shape: explode word-2-grams, two-level keyed agg
+    // ((doc_id, gram) counts, then per-doc max/sum) — both shuffles are
+    // partial-aggregated and keyed, the canonical repetition-stat plan at
+    // any corpus size (never a per-row O(n_grams^2) array scan).
+    "q63_repetition_stats" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFns.wordShingles(TextFns.tokens(col("text")), 2)).as("gram"))
+      grams.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n_grams"),
+          max(col("cnt")).as("max_gram_n"),
+          (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_gram_frac"),
+          (coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).cast("double") /
+            sum(col("cnt"))).as("dup_gram_frac"))
+        .withColumn("keep",
+          col("top_gram_frac") <= 0.10 && col("dup_gram_frac") <= 0.15)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -651,6 +679,29 @@ object TextPipelineQueries extends QueryPack {
         FROM documents
         GROUP BY lang
         ORDER BY lang""",
+
+      // Bigram semantics mirror TextFns.wordShingles: a doc with < 2
+      // tokens yields its single token as the one "gram" (greatest(..,1)),
+      // so the fractions are total functions. SUM over BIGINT is HUGEINT
+      // in DuckDB — cast back so the hash compare sees int64 like Spark.
+      "q63_repetition_stats" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+          FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 1))) AS u(i)),
+        c AS (
+          SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_grams,
+               CAST(MAX(cnt) AS BIGINT) AS max_gram_n,
+               CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_gram_frac,
+               CAST(COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS DOUBLE) / SUM(cnt) AS dup_gram_frac,
+               (CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) <= 0.10
+                AND CAST(COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS DOUBLE) / SUM(cnt) <= 0.15) AS keep
+        FROM c GROUP BY doc_id ORDER BY doc_id""",
 
       "q48_rolling_fp" -> s"""
         WITH t AS (
