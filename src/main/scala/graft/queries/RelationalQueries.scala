@@ -338,6 +338,49 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("cohort"))
     }),
 
+    // UNPIVOT (wide→long reshape, the inverse of q60): per-returnflag
+    // fixed-point sums of three measures, melted to (key, measure, value)
+    // rows with Dataset.unpivot. The reshape runs AFTER the aggregation, so
+    // the melt touches |keys|·|measures| rows, never the fact table — the
+    // only sane order at 100 TB (melting the fact table first would
+    // triple its row count before the shuffle).
+    "q64_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          fixedSum(col("l_quantity"), 2).as("sum_qty"),
+          fixedSum(col("l_extendedprice"), 2).as("sum_price"),
+          fixedSum(col("l_discount"), 2).as("sum_disc"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
+    // GROUPING SETS (the general form of q15's rollup / q43's cube): the
+    // two single-dimension marginals plus the grand total in ONE pass —
+    // Spark expands the sets map-side and aggregates once, vs. the naive
+    // 3-scan UNION ALL. grouping() disambiguates a real 'ALL' value from
+    // the set-placeholder NULL (cast to int: Spark emits tinyint, DuckDB
+    // emits a wider int — pin the narrowest common type).
+    "q65_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          fixedSum(col("l_extendedprice"), 2).as("sum_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("sum_price"))
+        .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+    }),
+
     // Lenient numeric cast parity (SURVEY §2.2 P2 toNum): strip junk chars,
     // cast, NULL on malformed — applied to customer names ("Customer#0001"
     // → 1.0) exactly as both engines' regexp_replace+cast evaluate it.
@@ -543,6 +586,28 @@ object RelationalQueries extends QueryPack {
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY status, priority""",
+
+    "q64_unpivot" -> """
+      WITH w AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, measure, value
+      FROM (UNPIVOT w ON sum_qty, sum_price, sum_disc INTO NAME measure VALUE value)
+      ORDER BY l_returnflag, measure""",
+
+    "q65_grouping_sets" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, rf, ls""",
 
     "q60_pivot" -> """
       SELECT user_id % 10 AS cohort,
