@@ -451,6 +451,42 @@ object TextPipelineQueries extends QueryPack {
         .withColumn("keep",
           col("top_gram_frac") <= 0.10 && col("dup_gram_frac") <= 0.15)
         .orderBy(col("doc_id"))
+    }),
+
+    // Governed heavy-hitters sketch (the q58/q61 pattern for frequent
+    // items): a Misra-Gries summary (graft.functions.MisraGries, k = 20)
+    // over the corpus CHARACTER stream — the one naturally skewed stream
+    // in this synthetic corpus (letter frequencies; 7 of the top 10 clear
+    // the n/(k+1) guarantee threshold at sf0.01). The gate joins the
+    // sketch against exact counts for the exact top 10 and asserts the
+    // two MG theorems: every guaranteed-frequency char is present, and no
+    // estimate overcounts or undercounts by more than n/(k+1). Sketch
+    // CONTENT is merge-order dependent, so only the guarantees are
+    // emitted — raw counters would be flaky by construction. The global
+    // window below runs over the 60-ish aggregated (char, count) rows,
+    // not the stream.
+    "q66_heavy_hitters_bound" -> ((s, d) => {
+      val K = 20
+      val mg = udaf(graft.functions.MisraGries(K),
+        org.apache.spark.sql.Encoders.STRING)
+      val chars = Tables.documents(s, d)
+        .select(explode(split(regexp_replace(col("text"), "\\s+", ""), "")).as("c"))
+        .filter(col("c") =!= "")
+      val sketch = chars.agg(mg(col("c")).as("sk"))
+        .select(explode(col("sk")).as(Seq("c", "est")))
+      val counts = chars.groupBy(col("c")).agg(count(lit(1)).as("exact_n"))
+        .withColumn("n", sum(col("exact_n"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      val top = counts
+        .withColumn("guaranteed", col("exact_n") > col("n") / (K + 1.0))
+        .orderBy(col("exact_n").desc, col("c")).limit(10)
+      top.join(sketch, Seq("c"), "left")
+        .select(col("c"), col("exact_n"), col("guaranteed"),
+          (!col("guaranteed") || col("est").isNotNull).as("present_ok"),
+          (coalesce(col("est"), lit(0L)) <= col("exact_n") &&
+           col("exact_n") - coalesce(col("est"), lit(0L)) <=
+             col("n") / (K + 1.0)).as("bound_ok"))
+        .orderBy(col("exact_n").desc, col("c"))
     })
   )
 
@@ -679,6 +715,25 @@ object TextPipelineQueries extends QueryPack {
         FROM documents
         GROUP BY lang
         ORDER BY lang""",
+
+      // Like q58: the oracle cannot (and must not) reproduce the sketch —
+      // it pins the exact top-10 counts, the data-dependent `guaranteed`
+      // flags, and the two MG theorems as literal TRUE. Any Spark-side
+      // sketch violation flips a boolean and fails the hash gate.
+      "q66_heavy_hitters_bound" -> """
+        WITH s AS (
+          SELECT regexp_replace(text, '\s+', '', 'g') AS t FROM documents),
+        ch AS (
+          SELECT substr(t, i, 1) AS c
+          FROM s, UNNEST(generate_series(1, length(t))) AS u(i)),
+        cnt AS (SELECT c, COUNT(*) AS exact_n FROM ch GROUP BY 1),
+        tot AS (SELECT SUM(exact_n) AS n FROM cnt)
+        SELECT c, exact_n,
+               exact_n > n / 21.0 AS guaranteed,
+               TRUE AS present_ok,
+               TRUE AS bound_ok
+        FROM cnt, tot
+        ORDER BY exact_n DESC, c LIMIT 10""",
 
       // Bigram semantics mirror TextFns.wordShingles: a doc with < 2
       // tokens yields its single token as the one "gram" (greatest(..,1)),
