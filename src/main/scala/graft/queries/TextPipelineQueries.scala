@@ -487,6 +487,57 @@ object TextPipelineQueries extends QueryPack {
            col("exact_n") - coalesce(col("est"), lit(0L)) <=
              col("n") / (K + 1.0)).as("bound_ok"))
         .orderBy(col("exact_n").desc, col("c"))
+    }),
+
+    // Fixed-size token chunking with overlap (context-window prep): every
+    // document becomes ceil-ish many 64-token windows at stride 48 (16
+    // tokens of overlap), the standard RAG/pretraining chunker. Pure
+    // per-row explode — embarrassingly parallel, no shuffle but the final
+    // presentation sort; chunk starts are generated per row (sequence with
+    // step), never via a driver-side loop. greatest(.,1) keeps the op
+    // total on empty docs (one empty chunk, same as the oracle).
+    "q67_doc_chunks" -> ((s, d) => {
+      val ChunkLen = 64
+      val Stride = 48
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+            lit(Stride))).as(Seq("chunk_id", "start_tok")),
+          col("toks"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          col("start_tok").cast("long").as("start_tok"),
+          slice(col("toks"), col("start_tok"), lit(ChunkLen)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("chunk")).as("chunk_len"),
+          concat_ws(" ", col("chunk")).as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Token-stream sequence packing (pretraining batch prep): concatenate
+    // documents in doc_id order WITHIN EACH LANG and cut the stream into
+    // 512-token sequences — each doc reports the sequence span it lands
+    // in and its offset in the first one. One window cumsum partitioned
+    // by lang (keyed shuffle; at 100 TB the partition key is whatever
+    // shard the packer owns — the plan shape is unchanged). All integer
+    // arithmetic: DIV/'//' floor semantics on both engines, no float
+    // division anywhere.
+    "q68_seq_packing" -> ((s, d) => {
+      val Cap = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast("long").as("n"))
+        .withColumn("cum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n"),
+          expr(s"cum_prev DIV $Cap").as("first_seq"),
+          expr(s"(cum_prev + n - 1) DIV $Cap").as("last_seq"),
+          expr(s"cum_prev % $Cap").as("seq_offset"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -715,6 +766,41 @@ object TextPipelineQueries extends QueryPack {
         FROM documents
         GROUP BY lang
         ORDER BY lang""",
+
+      // Chunk starts are 1, 1+48, ... <= len (1-indexed token positions in
+      // both engines); list slices clamp at the end so the tail chunk is
+      // short, never padded.
+      "q67_doc_chunks" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST((st - 1) // 48 AS BIGINT) AS chunk_id,
+                 CAST(st AS BIGINT) AS start_tok,
+                 toks[st : st + 63] AS chunk
+          FROM t, UNNEST(generate_series(1, greatest(len(toks), 1), 48)) AS u(st))
+        SELECT doc_id, chunk_id, start_tok,
+               CAST(len(chunk) AS INTEGER) AS chunk_len,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id""",
+
+      "q68_seq_packing" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+          FROM documents),
+        w AS (
+          SELECT doc_id, lang, n,
+                 COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+          FROM t)
+        SELECT doc_id, lang, n,
+               CAST(cum_prev // 512 AS BIGINT) AS first_seq,
+               CAST((cum_prev + n - 1) // 512 AS BIGINT) AS last_seq,
+               CAST(cum_prev % 512 AS BIGINT) AS seq_offset
+        FROM w ORDER BY doc_id""",
 
       // Like q58: the oracle cannot (and must not) reproduce the sketch —
       // it pins the exact top-10 counts, the data-dependent `guaranteed`
