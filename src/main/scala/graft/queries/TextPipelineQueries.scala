@@ -538,6 +538,35 @@ object TextPipelineQueries extends QueryPack {
           expr(s"(cum_prev + n - 1) DIV $Cap").as("last_seq"),
           expr(s"cum_prev % $Cap").as("seq_offset"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub (the redaction pass every training corpus gets before
+    // tokenization): the corpus itself is synthetic word salad, so the
+    // PII is INJECTED deterministically from doc_id (an email and a
+    // phone per doc), then scrubbed by the same regex family both
+    // engines run. Per-row regexp map, no shuffle; the gate pins the
+    // match counts, the md5 of the redacted text, and a residue check
+    // that re-running the patterns on the redacted text finds nothing.
+    "q70_pii_redact" -> ((s, d) => {
+      val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val PhoneRe = "\\+1-555-[0-9]{3,4}"
+      val withPii = Tables.documents(s, d)
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" now")))
+      withPii
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("txt"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("txt"), lit(PhoneRe)).cast("long").as("n_phones"),
+          md5(col("redacted")).as("redacted_md5"),
+          (regexp_count(col("redacted"), lit(EmailRe)) === 0 &&
+           regexp_count(col("redacted"), lit(PhoneRe)) === 0).as("clean"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -766,6 +795,28 @@ object TextPipelineQueries extends QueryPack {
         FROM documents
         GROUP BY lang
         ORDER BY lang""",
+
+      // Same regex family, RE2/Java-common syntax only; DuckDB needs the
+      // explicit 'g' flag (Spark's regexp_replace is global by default).
+      "q70_pii_redact" -> """
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or +1-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS txt
+          FROM documents),
+        r AS (
+          SELECT doc_id, txt,
+                 regexp_replace(
+                   regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+1-555-[0-9]{3,4}', '<PHONE>', 'g') AS redacted
+          FROM p)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(txt, '\+1-555-[0-9]{3,4}')) AS BIGINT) AS n_phones,
+               md5(redacted) AS redacted_md5,
+               (len(regexp_extract_all(redacted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+                AND len(regexp_extract_all(redacted, '\+1-555-[0-9]{3,4}')) = 0) AS clean
+        FROM r ORDER BY doc_id""",
 
       // Chunk starts are 1, 1+48, ... <= len (1-indexed token positions in
       // both engines); list slices clamp at the end so the tail chunk is

@@ -342,6 +342,35 @@ object VectorQueries extends QueryPack {
     "q39_ann_lsh" -> (lshTopK _),
     "q44_ann_ivf" -> (ivfTopK _),
 
+    // Governed int8 scalar quantization (the storage-side half of the ANN
+    // family: 4x smaller vectors for the same index): per-vector symmetric
+    // scale = max|v|/127, q_i = round(v_i/scale), dequant = q_i·scale. The
+    // gate asserts the two quantization theorems per vector — max
+    // reconstruction error <= scale/2 (round-to-nearest), and cosine
+    // against the original >= 0.999 — plus the exact (dim, scale) pair.
+    // Pure per-row HOF map, no shuffle but the presentation sort; the
+    // booleans (not raw floats) are the gated surface, so the thresholds
+    // carry margins >> 1 ulp. scale > 0 keeps the op total on zero
+    // vectors (none in this corpus; dropped, like the oracle).
+    "q69_embed_quantize_bound" -> ((s, d) => {
+      val base = Tables.embeddings(s, d)
+        .withColumn("dim", size(col("embedding")))
+        .withColumn("scale",
+          array_max(transform(col("embedding"), x => abs(x))).cast("double")
+            / 127.0)
+        .filter(col("scale") > 0)
+        .withColumn("deq", transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")) * col("scale")))
+      base.select(col("vec_id"), col("dim"), col("scale"),
+          (aggregate(
+            zip_with(col("embedding"), col("deq"),
+              (a, b) => abs(a.cast("double") - b)),
+            lit(0.0), (m, x) => greatest(m, x))
+            <= col("scale") / 2 * 1.000000001).as("err_ok"),
+          (Vectors.cosineHof(col("embedding"), col("deq")) >= 0.999).as("cos_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-cosine near-dup DEDUP (the vector member of the dedup
     // family — q38/q39/q44 are search): BANDED multi-hash LSH candidate
     // pairs — NumBands independent bands, each keyed by planesPerBand(n)
@@ -632,7 +661,28 @@ object VectorQueries extends QueryPack {
       // — same oracle as q47, enforced by the gate's hash compare.
       "q52_embed_dedup_incremental" -> q47Sql,
       "q44_ann_ivf" -> q44Sql,
-      "q50_ann_recall" -> q50Sql
+      "q50_ann_recall" -> q50Sql,
+
+      // Mirrors the Spark HOFs op-for-op (round half-away-from-zero in
+      // both engines; list_max is order-free; the cosine is the exact
+      // dotSql fold) — the booleans must come out TRUE from the same
+      // IEEE sequence, and dim/scale pin the quantizer geometry exactly.
+      "q69_embed_quantize_bound" -> s"""
+        WITH q AS (
+          SELECT vec_id,
+                 CAST(len(embedding) AS INTEGER) AS dim,
+                 CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale,
+                 embedding
+          FROM embeddings),
+        r AS (
+          SELECT vec_id, dim, scale, embedding,
+                 list_transform(embedding, x -> round(CAST(x AS DOUBLE) / scale) * scale) AS deq
+          FROM q WHERE scale > 0)
+        SELECT vec_id, dim, scale,
+               list_max(list_transform(generate_series(1, dim),
+                 i -> abs(CAST(embedding[i] AS DOUBLE) - deq[i]))) <= scale / 2 * 1.000000001 AS err_ok,
+               ${cosSql("embedding", "deq")} >= 0.999 AS cos_ok
+        FROM r ORDER BY vec_id"""
     )
   }
 }
