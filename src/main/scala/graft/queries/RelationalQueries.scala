@@ -381,6 +381,56 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
     }),
 
+    // Z-ORDER layout key (multi-dimensional clustering for scan locality):
+    // the Morton interleave of (user, hour) — the key a 100 TB events
+    // table would be range-partitioned and sorted by so that BOTH
+    // per-user and per-time-range scans prune contiguous file ranges.
+    // The gate pins the bit-exact key and the induced order; zblock
+    // (top 16 bits) is the file-granularity prefix a writer would split
+    // on. Pure per-row long arithmetic (graft.functions.ZOrder), no
+    // shuffle but the presentation sort — which IS the layout operation.
+    "q73_zorder_key" -> ((s, d) => {
+      val a = pmod(col("user_id"), lit(65536L))
+      val b = pmod(expr("unix_micros(ts) DIV 3600000000"), lit(65536L))
+      Tables.events(s, d)
+        .select(col("event_id"), a.as("dim_user"), b.as("dim_hour"),
+          graft.functions.ZOrder.zkey(a, b).as("zkey"))
+        .withColumn("zblock", shiftright(col("zkey"), 16))
+        .orderBy(col("zkey"), col("event_id"))
+    }),
+
+    // Funnel analysis (ordered-step conversion): per user, the earliest
+    // view, the earliest click AFTER that view, the earliest purchase
+    // AFTER that click — the sequential-dependency pattern that does NOT
+    // decompose into one aggregation. Three conditional min-aggs chained
+    // by user-keyed equi-joins: each stage shuffles on user_id only, and
+    // every stage's right side is the per-user stage table (|users| rows,
+    // far under the fact table at any scale). Timestamps exit as
+    // epoch_us longs (the q56/q57 convention for cross-engine hashing).
+    "q74_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          unix_micros(col("t_view")).as("t_view_us"),
+          unix_micros(col("t_click")).as("t_click_us"),
+          unix_micros(col("t_purchase")).as("t_purchase_us"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+                  + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     // Lenient numeric cast parity (SURVEY §2.2 P2 toNum): strip junk chars,
     // cast, NULL on malformed — applied to customer names ("Customer#0001"
     // → 1.0) exactly as both engines' regexp_replace+cast evaluate it.
@@ -391,7 +441,49 @@ object RelationalQueries extends QueryPack {
     })
   )
 
+  /** DuckDB twin of [[graft.functions.ZOrder.spread16]], generated from the
+    * SAME (shift, mask) table so the two engines cannot drift. */
+  private def zSpreadSql(e0: String): String =
+    graft.functions.ZOrder.spreadMasks.foldLeft(s"(($e0) % 65536)") {
+      case (e, (s, m)) => s"(($e | ($e << $s)) & $m)"
+    }
+
   val oracles: Map[String, String] = Map(
+    "q73_zorder_key" -> {
+      val a = zSpreadSql("user_id")
+      val b = zSpreadSql("epoch_us(ts) // 3600000000")
+      s"""
+      SELECT event_id,
+             (user_id % 65536) AS dim_user,
+             ((epoch_us(ts) // 3600000000) % 65536) AS dim_hour,
+             ($a | ($b << 1)) AS zkey,
+             (($a | ($b << 1)) >> 16) AS zblock
+      FROM events
+      ORDER BY zkey, event_id"""
+    },
+
+    "q74_funnel" -> """
+      WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      SELECT v.user_id,
+             epoch_us(v.t_view) AS t_view_us,
+             epoch_us(c.t_click) AS t_click_us,
+             epoch_us(p.t_purchase) AS t_purchase_us,
+             CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id""",
+
     "q01_groupby_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_qty,

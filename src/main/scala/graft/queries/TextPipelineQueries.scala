@@ -567,6 +567,101 @@ object TextPipelineQueries extends QueryPack {
           (regexp_count(col("redacted"), lit(EmailRe)) === 0 &&
            regexp_count(col("redacted"), lit(PhoneRe)) === 0).as("clean"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document repeated n-gram spans (the exact-substring member of
+    // the dedup family; q33 is whole-doc, q34/q37 are set-similarity —
+    // this finds VERBATIM shared passages): every 5-token window that
+    // appears in more than one document marks its token span, and a doc's
+    // rep_frac is the fraction of its tokens covered by the union of those
+    // spans. Plan: positional 5-gram explode → ONE (gram) shuffle agg for
+    // cross-doc counts → semi-join back → per-doc interval union via a
+    // single lead() window (spans sorted by start: covered = min(5,
+    // next_start - start), 5 for the last — no interval list ever
+    // materializes). Every stage is a keyed shuffle over n_tokens-scale
+    // rows; nothing is quadratic in corpus size.
+    "q71_repeated_ngrams" -> ((s, d) => {
+      val N = 5
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+      // wordShingles pads short docs with one short gram — filtered here so
+      // docs under N tokens contribute no positions (matches the oracle's
+      // empty generate_series).
+      val grams = t
+        .select(col("doc_id"), col("n_toks"),
+          posexplode(TextFns.wordShingles(col("toks"), N)).as(Seq("p0", "gram")))
+        .filter(col("n_toks") >= N)
+        .withColumn("pos", (col("p0") + 1).cast("long"))
+      val rep = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("gram"))
+      val reppos = grams.join(rep, Seq("gram"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val covered = reppos
+        .withColumn("nxt", lead(col("pos"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_rep_grams"),
+          sum(when(col("nxt").isNotNull,
+              least(lit(N.toLong), col("nxt") - col("pos")))
+            .otherwise(N.toLong)).as("covered_tokens"))
+      t.select(col("doc_id"), col("n_toks"))
+        .join(covered, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_rep_grams"), lit(0L)).as("n_rep_grams"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+        .withColumn("rep_frac",
+          col("covered_tokens").cast("double") / col("n_toks"))
+        .withColumn("keep", col("rep_frac") <= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical-document selection per duplicate cluster: q59 resolves the
+    // near-dup pair graph into components; production dedup keeps the BEST
+    // member of each cluster, not the lowest id. Keeper = longest document
+    // (n_chars), ties to the lowest doc_id — one row_number window over
+    // the (members × component) relation, which is corpus-linear. Only
+    // multi-member clusters appear (singletons have nothing to resolve).
+    "q72_cluster_keeper" -> ((s, d) => {
+      val pairs = confirmedPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val comp = graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+      val m = comp.join(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("id") === col("doc_id"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      m.withColumn("rn", row_number().over(wr))
+        .withColumn("n_members", count(lit(1)).over(wc))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keeper"),
+          col("n_chars").as("keeper_n_chars"), col("n_members"))
+        .orderBy(col("component"))
+    }),
+
+    // Deterministic WEIGHTED sampling (the mixture-building step of a
+    // training-data pipeline: sample ~k docs per language with probability
+    // proportional to size): doc kept iff hash32 · Σw < k · w · 2^32 —
+    // pure int64 arithmetic on both engines (hash32 ≤ 2^32, Σw and k·w·2^32
+    // bounded far inside Long at any per-group Σw the driver corpus can
+    // produce), so the keep set is bit-reproducible under any partitioning,
+    // like q49's unweighted gate. Docs with w ≥ Σw/k are always kept
+    // (probability clamps at 1 — the standard expected-size semantics).
+    // One tiny per-lang Σw agg broadcast back; no window over the corpus.
+    "q75_weighted_sample" -> ((s, d) => {
+      val K = 20
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("w"))
+      val sums = docs.groupBy(col("lang")).agg(sum(col("w")).as("sum_w"))
+      docs.join(broadcast(sums), Seq("lang"))
+        .withColumn("h", TextFns.hash32(
+          concat(lit("wsamp|"), col("doc_id").cast("string"))))
+        .select(col("doc_id"), col("lang"), col("w"),
+          (col("h") * col("sum_w") < lit(K.toLong) * col("w") * lit(1L << 32))
+            .as("kept"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -931,7 +1026,79 @@ object TextPipelineQueries extends QueryPack {
             ON x.lang = y.lang AND x.source = y.source AND x.lb = y.lb
                AND x.doc_id < y.doc_id)
         WHERE jacc >= 0.5
-        ORDER BY doc_a, doc_b"""
+        ORDER BY doc_a, doc_b""",
+
+      // Positional 5-grams; docs under 5 tokens get an empty series (the
+      // Spark side filters its short-doc padding gram the same way). The
+      // interval union is the lead() gaps trick on both engines.
+      "q71_repeated_ngrams" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM t),
+        g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(toks[i:i+4], ' ') AS gram
+          FROM n, UNNEST(generate_series(1, len(toks) - 4)) AS u(i)),
+        rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+        rp AS (SELECT doc_id, pos,
+                      LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+               FROM g WHERE gram IN (SELECT gram FROM rep)),
+        cov AS (
+          SELECT doc_id, COUNT(*) AS n_rep_grams,
+                 SUM(CASE WHEN nxt IS NULL THEN 5 ELSE LEAST(5, nxt - pos) END) AS covered_tokens
+          FROM rp GROUP BY doc_id)
+        SELECT n.doc_id, n.n_toks,
+               CAST(COALESCE(cov.n_rep_grams, 0) AS BIGINT) AS n_rep_grams,
+               CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+               CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / n.n_toks AS rep_frac,
+               (CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / n.n_toks) <= 0.2 AS keep
+        FROM n LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id""",
+
+      // q59's transitive closure + a keeper window: longest doc wins,
+      // ties to the lowest id. n_members is BIGINT on both engines.
+      "q72_cluster_keeper" -> s"""
+        ${pairsCtes.replaceFirst("(?i)WITH", "WITH RECURSIVE")},
+        e AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jacc >= $JaccThreshold
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs WHERE jacc >= $JaccThreshold),
+        r(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u),
+        comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM r GROUP BY u),
+        m AS (
+          SELECT comp.doc_id, comp.component, d.n_chars
+          FROM comp JOIN documents d USING (doc_id)),
+        k AS (
+          SELECT component, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members
+          FROM m)
+        SELECT component, doc_id AS keeper, n_chars AS keeper_n_chars,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM k WHERE rn = 1
+        ORDER BY component""",
+
+      // Integer-exact weighted gate: hash32·Σw < k·w·2^32 (see the query
+      // comment). The per-lang Σw is a scalar subquery-free window-free
+      // join, same as Spark's broadcast agg.
+      "q75_weighted_sample" -> {
+        val wsampHash = hex32.replace("md5(x)", "md5('wsamp|' || CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH w AS (
+          SELECT doc_id, lang, n_chars AS w FROM documents),
+        s AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS sum_w FROM w GROUP BY lang)
+        SELECT doc_id, w.lang, w.w,
+               (CAST($wsampHash AS BIGINT) * s.sum_w < 20 * w.w * ${1L << 32}) AS kept
+        FROM w JOIN s ON w.lang = s.lang
+        ORDER BY doc_id"""
+      }
     )
   }
 }
