@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SortedIntersectCountExpr, TrigramPackExpr, WordHitsExpr}
+import graft.expressions.{BigramStatsExpr, CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SortedIntersectCountExpr, TrigramPackExpr, WordHitsExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -95,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => CosineSimilarityExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "graft_cosine(a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bigram_stats"),
+      new ExpressionInfo(classOf[BigramStatsExpr].getName, "graft_bigram_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks) => BigramStatsExpr(toks)
+        case _ => throw new IllegalArgumentException(
+          "graft_bigram_stats(toks ARRAY<STRING>)")
       }))
   }
 }

@@ -431,23 +431,24 @@ object TextPipelineQueries extends QueryPack {
     // (top_gram_frac) and the fraction belonging to any repeated bigram
     // (dup_gram_frac) — plus the keep verdict at thresholds that actually
     // discriminate on this corpus (top <= 0.10 drops ~3%, dup <= 0.15
-    // drops ~7%). Shape: explode word-2-grams, two-level keyed agg
-    // ((doc_id, gram) counts, then per-doc max/sum) — both shuffles are
-    // partial-aggregated and keyed, the canonical repetition-stat plan at
-    // any corpus size (never a per-row O(n_grams^2) array scan).
+    // drops ~7%). The stats are PER-ROW facts, so the kernel is the native
+    // one-pass graft_bigram_stats expression: grams never leave the row
+    // and the query is a map-only scan plus the presentation sort — the
+    // explode → (doc, gram) agg → per-doc agg formulation (retained below
+    // as repetitionStatsGrouped, parity-pinned by BigramStatsParitySpec)
+    // paid two whole-corpus shuffles for the same answer.
     "q63_repetition_stats" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
+      Tables.documents(s, d)
         .select(col("doc_id"),
-          explode(TextFns.wordShingles(TextFns.tokens(col("text")), 2)).as("gram"))
-      grams.groupBy(col("doc_id"), col("gram"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(col("cnt")).as("n_grams"),
-          max(col("cnt")).as("max_gram_n"),
-          (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_gram_frac"),
-          (coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).cast("double") /
-            sum(col("cnt"))).as("dup_gram_frac"))
+          call_function("graft_bigram_stats",
+            TextFns.tokens(col("text"))).as("st"))
+        .select(col("doc_id"),
+          col("st.n_grams").as("n_grams"),
+          col("st.max_gram_n").as("max_gram_n"),
+          (col("st.max_gram_n").cast("double") / col("st.n_grams"))
+            .as("top_gram_frac"),
+          (col("st.dup_gram_n").cast("double") / col("st.n_grams"))
+            .as("dup_gram_frac"))
         .withColumn("keep",
           col("top_gram_frac") <= 0.10 && col("dup_gram_frac") <= 0.15)
         .orderBy(col("doc_id"))
@@ -662,8 +663,230 @@ object TextPipelineQueries extends QueryPack {
           (col("h") * col("sum_w") < lit(K.toLong) * col("w") * lit(1L << 32))
             .as("kept"))
         .orderBy(col("doc_id"))
+    }),
+
+    // One BPE merge round (vocab induction over the corpus): the top-10
+    // adjacent CHARACTER pairs weighted by token frequency — the argmax of
+    // exactly this table is the pair a byte-pair encoder would merge
+    // first. Plan shape is why this scales: the corpus collapses to the
+    // DISTINCT-token frequency relation first (one keyed shuffle agg,
+    // |vocab| rows — bounded by the language, not the corpus), and the
+    // pair explode runs over that tiny relation. All-integer weights; the
+    // final window ranks the |alphabet|²-bounded pair table, not data.
+    "q76_bpe_merge_step" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val pairs = tf
+        .select(col("f"), explode(TextFns.charShingles(col("tok"), 2)).as("pair"))
+        .filter(length(col("pair")) === 2) // drop the 1-char-token degenerate
+        .groupBy(col("pair")).agg(sum(col("f")).as("w"))
+      pairs
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("w").desc, col("pair"))).cast("int"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("pair"), col("w"))
+        .orderBy(col("rank"))
+    }),
+
+    // Per-group z-score normalization (feature scaling for mixture
+    // balancing): population mean/std of doc length per language from
+    // INTEGER sums (count, Σx, Σx² as longs — the shuffle agg carries no
+    // floats, so the derived doubles are bit-identical on both engines),
+    // broadcast back, z rounded to 6 dp before the outlier verdict so a
+    // last-ulp sqrt difference can never flip the gate. One agg + one
+    // broadcast join at any corpus size.
+    "q77_zscore" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val stats = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      docs.join(broadcast(stats), Seq("lang"))
+        .withColumn("mean", col("s1").cast("double") / col("n"))
+        .withColumn("sd", sqrt(col("s2").cast("double") / col("n")
+          - col("mean") * col("mean")))
+        .withColumn("z", round((col("n_chars") - col("mean")) / col("sd"), 6))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("mean"), 6).as("mean_len"), round(col("sd"), 6).as("sd_len"),
+          col("z"), (abs(col("z")) > 2.0).as("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winsorization at the exact per-group [p5, p95] nearest-rank
+    // percentiles — clamping composed from the SAME scale-safe histogram
+    // percentile operator as q13 (functions/Percentiles: no per-group
+    // whole-sort task at any size), demonstrating operator reuse: two
+    // percentile relations (one row per lang) broadcast back onto the
+    // corpus, then a per-row least/greatest clamp.
+    "q78_winsorize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val lens = docs.withColumn("len", col("n_chars").cast("double"))
+      val p05 = graft.functions.Percentiles
+        .nearestRankByGroup(lens, Seq("lang"), "len", 0.05)
+      val p95 = graft.functions.Percentiles
+        .nearestRankByGroup(lens, Seq("lang"), "len", 0.95)
+      docs.join(broadcast(p05), Seq("lang")).join(broadcast(p95), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("p5").cast("long").as("p05_len"),
+          col("p95").cast("long").as("p95_len"),
+          least(greatest(col("n_chars"), col("p5").cast("long")),
+            col("p95").cast("long")).as("clamped"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination (the GPT-3-style 8-gram overlap check):
+    // docs whose id is ≡ 0 (mod 10) stand in for the eval/benchmark set
+    // (large enough that the corpus's planted duplicate structure crosses
+    // the train/eval split — mod 97 caught zero dup partners); every
+    // training doc sharing ANY 8-token window with it is flagged.
+    // Scale shape: the benchmark gram set is tiny by construction (an
+    // eval suite, not a corpus) → distinct + broadcast left-semi join;
+    // the training side streams through map-side. Nothing all-pairs, no
+    // shuffle of the corpus beyond the per-doc hit count agg.
+    "q79_decontaminate" -> ((s, d) => {
+      val N = 8
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+      // wordShingles pads <N-token docs with one short gram — filter so
+      // they contribute no windows (oracle's generate_series is empty).
+      val grams = t.filter(col("n_toks") >= N)
+        .select(col("doc_id"), explode(TextFns.wordShingles(col("toks"), N)).as("gram"))
+      val bench = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("gram")).distinct()
+      val hits = grams.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), Seq("gram"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_hit"))
+      t.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("n_toks"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) > 0L).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mixture/domain balancing: hit a target language mixture (a uniform
+    // per-language quota of 3% of corpus size each — sized so the
+    // corpus's skewed languages split both ways: minority languages run
+    // under quota (uncapped), the majority one is downsampled) by
+    // per-language deterministic sampling. quota = (N·3) div 20 in pure
+    // integer arithmetic;
+    // keep iff hash32('mix|'||id)·n_l < quota_l·2^32 — the same
+    // integer-exact, partitioning-independent gate family as q49/q75
+    // (expected kept = quota, capped at n_l when the language is under
+    // quota — the inequality handles the clamp for free since
+    // hash32 < 2^32). The corpus total rides a window over the 5-row
+    // per-language aggregate, never a scalar collect.
+    "q80_mixture_balance" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val quotas = perLang
+        .withColumn("n_total", sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("quota", expr("(n_total * 3) div 20"))
+      docs.join(broadcast(quotas), Seq("lang"))
+        .withColumn("kept",
+          TextFns.hash32(concat(lit("mix|"), col("doc_id").cast("string")))
+            * col("n_docs") < col("quota") * lit(1L << 32))
+        .groupBy(col("lang"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          (max(col("quota")) >= max(col("n_docs"))).as("uncapped"))
+        .orderBy(col("lang"))
+    }),
+
+    // Per-doc bigram-LM surprisal (KenLM-style quality scoring): add-one
+    // smoothed corpus bigram model P(w2|w1) = (c2+1)/(c1+V), per-doc
+    // score = avg −ln P over its bigram positions, rounded to 6 dp on
+    // both engines BEFORE the keep verdict (summation-order ulps can
+    // never flip the gate). V = distinct predicted-word types, computed
+    // as a window over the bigram-TYPE relation (|vocab|²-bounded — by
+    // the language, not the corpus; the single-partition exchange sits on
+    // aggregate output, the sanctioned shape). The count relations join
+    // back keyed on gram/w1 — plain equi-joins, AQE free to broadcast.
+    "q81_bigram_surprisal" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+      val bi = t.filter(col("n_toks") >= 2)
+        .select(col("doc_id"), explode(TextFns.wordShingles(col("toks"), 2)).as("gram"))
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+      val c2 = bi.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+        .withColumn("v", size(collect_set(col("w2")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())).cast("long"))
+        .drop("w2")
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val scored = bi.join(c2, Seq("gram")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((col("c2") + lit(1)).cast("double")
+            / (col("c1") + col("v")))), 6).as("avg_nll"))
+      t.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_nll"),
+          when(col("n_bigrams").isNull, lit(true))
+            .otherwise(col("avg_nll") <= 3.43).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Robust per-group scaling (median/MAD — the outlier-resistant
+    // alternative to q77's z-score): per-language exact nearest-rank
+    // median of doc length, MAD = exact nearest-rank median of absolute
+    // deviations, robust score r = (x − med)/(1.4826·MAD) rounded to
+    // 6 dp, |r| > 1.35 flags the tail (cutoff where THIS corpus
+    // discriminates: uniform-ish lengths top out near |r| ≈ 1.8, so the
+    // textbook 3.0 would be vacuously false at every tier — same
+    // corpus-calibrated-threshold policy as q63). BOTH medians ride the SAME
+    // scale-safe histogram percentile operator as q13/q78 (one row per
+    // group out, broadcast back — no per-group whole-sort at any corpus
+    // size); a zero MAD (degenerate constant group) yields NULL scores,
+    // never a division blow-up.
+    "q82_robust_scale" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val lens = docs.withColumn("len", col("n_chars").cast("double"))
+      val med = graft.functions.Percentiles
+        .nearestRankByGroup(lens, Seq("lang"), "len", 0.50)
+        .withColumnRenamed("p50", "med")
+      val dev = docs.join(broadcast(med), Seq("lang"))
+        .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
+      val mad = graft.functions.Percentiles
+        .nearestRankByGroup(dev, Seq("lang"), "adev", 0.50)
+        .withColumnRenamed("p50", "mad")
+      docs.join(broadcast(med), Seq("lang")).join(broadcast(mad), Seq("lang"))
+        .withColumn("r", when(col("mad") > 0.0,
+          round((col("n_chars").cast("double") - col("med"))
+            / (lit(1.4826) * col("mad")), 6)))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("med"), col("mad"), col("r"),
+          when(col("r").isNotNull, abs(col("r")) > 1.35).as("is_outlier"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** The explode+two-shuffle formulation graft_bigram_stats replaces —
+    * retained as the parity reference for BigramStatsParitySpec. */
+  private[graft] def repetitionStatsGrouped(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(TextFns.wordShingles(TextFns.tokens(col("text")), 2)).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("max_gram_n"),
+        (coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)))
+          .as("dup_gram_n"))
+  }
 
   /** Hot-block guard threshold: blocks larger than this are sub-split so no
     * single task owns a whole block's n² comparison. */
@@ -1085,6 +1308,68 @@ object TextPipelineQueries extends QueryPack {
         FROM k WHERE rn = 1
         ORDER BY component""",
 
+      // The pair table is built over the DISTINCT-token tf relation on
+      // both engines; 1-char tokens contribute no pair (generate_series
+      // empty / length filter). SUM over BIGINT cast back from HUGEINT.
+      "q76_bpe_merge_step" -> """
+        WITH t AS (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents),
+        tf AS (SELECT tok, COUNT(*) AS f FROM t GROUP BY 1),
+        p AS (
+          SELECT substr(tok, i, 2) AS pair, CAST(SUM(f) AS BIGINT) AS w
+          FROM tf, UNNEST(generate_series(1, len(tok) - 1)) AS u(i)
+          GROUP BY 1),
+        r AS (SELECT pair, w, ROW_NUMBER() OVER (ORDER BY w DESC, pair) AS rank
+              FROM p)
+        SELECT CAST(rank AS INTEGER) AS rank, pair, w
+        FROM r WHERE rank <= 10 ORDER BY rank""",
+
+      // Mean/std derived from integer (n, Σx, Σx²) exactly as Spark does;
+      // both engines round z to 6 dp BEFORE the outlier compare.
+      "q77_zscore" -> """
+        WITH s AS (
+          SELECT lang, COUNT(*) AS n,
+                 CAST(SUM(n_chars) AS BIGINT) AS s1,
+                 CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+          FROM documents GROUP BY 1)
+        SELECT doc_id, d.lang, n_chars,
+               ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_len,
+               ROUND(sqrt(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS sd_len,
+               ROUND((n_chars - CAST(s1 AS DOUBLE) / n)
+                 / sqrt(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS z,
+               abs(ROUND((n_chars - CAST(s1 AS DOUBLE) / n)
+                 / sqrt(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6)) > 2.0
+                 AS is_outlier
+        FROM documents d JOIN s ON d.lang = s.lang
+        ORDER BY doc_id""",
+
+      // Same lower-nearest-rank selection as q13's oracle, per lang at
+      // p5/p95; ties interchangeable (the VALUE at the rank is unique).
+      "q78_winsorize" -> """
+        WITH r AS (
+          SELECT lang, doc_id, n_chars, CAST(n_chars AS DOUBLE) AS len,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS cnt
+          FROM documents),
+        p05 AS (SELECT lang, len AS p5 FROM r
+                WHERE rn = CAST(FLOOR(0.05 * (cnt - 1)) AS BIGINT) + 1),
+        p95 AS (SELECT lang, len AS p95 FROM r
+                WHERE rn = CAST(FLOOR(0.95 * (cnt - 1)) AS BIGINT) + 1)
+        SELECT doc_id, d.lang, n_chars,
+               CAST(p5 AS BIGINT) AS p05_len,
+               CAST(p95 AS BIGINT) AS p95_len,
+               LEAST(GREATEST(n_chars, CAST(p5 AS BIGINT)), CAST(p95 AS BIGINT))
+                 AS clamped
+        FROM documents d
+        JOIN p05 ON d.lang = p05.lang
+        JOIN p95 ON d.lang = p95.lang
+        ORDER BY doc_id""",
+
       // Integer-exact weighted gate: hash32·Σw < k·w·2^32 (see the query
       // comment). The per-lang Σw is a scalar subquery-free window-free
       // join, same as Spark's broadcast agg.
@@ -1098,7 +1383,109 @@ object TextPipelineQueries extends QueryPack {
                (CAST($wsampHash AS BIGINT) * s.sum_w < 20 * w.w * ${1L << 32}) AS kept
         FROM w JOIN s ON w.lang = s.lang
         ORDER BY doc_id"""
-      }
+      },
+
+      // 8-token windows via the same inclusive-slice idiom as q71; the
+      // benchmark set is doc_id ≡ 0 (mod 10); <8-token docs contribute no
+      // windows (empty generate_series) but stay in the output at 0 hits.
+      "q79_decontaminate" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, toks FROM t),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+          FROM n, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)),
+        b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        h AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_hit
+              FROM g WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM b)
+              GROUP BY doc_id)
+        SELECT n.doc_id, n.n_toks,
+               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               COALESCE(h.n_hit, 0) > 0 AS contaminated
+        FROM n LEFT JOIN h USING (doc_id)
+        WHERE n.doc_id % 10 <> 0
+        ORDER BY doc_id""",
+
+      // Integer-exact mixture gate: quota = (N·3) // 20 (integer div on
+      // both engines); kept iff hash32·n_l < quota·2^32 — same int64
+      // family as q49/q75.
+      "q80_mixture_balance" -> {
+        val mixHash = hex32.replace("md5(x)", "md5('mix|' || CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH pl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        q AS (SELECT lang, n_docs,
+                     (SELECT COUNT(*) FROM documents) * 3 // 20 AS quota
+              FROM pl)
+        SELECT d.lang, q.n_docs, CAST(q.quota AS BIGINT) AS quota,
+               CAST(SUM(CASE WHEN CAST($mixHash AS BIGINT) * q.n_docs
+                                  < q.quota * ${1L << 32}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               (q.quota >= q.n_docs) AS uncapped
+        FROM documents d JOIN q ON d.lang = q.lang
+        GROUP BY d.lang, q.n_docs, q.quota
+        ORDER BY d.lang"""
+      },
+
+      // Add-one bigram LM: both engines compute −ln((c2+1)/(c1+V)) per
+      // bigram POSITION, average per doc, and round to 6 dp before the
+      // keep compare. V = COUNT(DISTINCT second word) over bigram types.
+      "q81_bigram_surprisal" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram,
+                 toks[i] AS w1, toks[i+1] AS w2
+          FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+        c2 AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY gram),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1),
+        v AS (SELECT COUNT(DISTINCT w2) AS v FROM g),
+        sc AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 ROUND(AVG(-ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS avg_nll
+          FROM g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+          GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               sc.avg_nll,
+               CASE WHEN sc.n_bigrams IS NULL THEN TRUE
+                    ELSE sc.avg_nll <= 3.43 END AS keep
+        FROM t LEFT JOIN sc USING (doc_id)
+        ORDER BY doc_id""",
+
+      // Exact nearest-rank p50 twice (q78's selection idiom): median of
+      // length, then median of |x − med|; r rounded to 6 dp; MAD = 0
+      // yields NULL r / NULL verdict on both engines.
+      "q82_robust_scale" -> """
+        WITH r1 AS (
+          SELECT lang, doc_id, n_chars, CAST(n_chars AS DOUBLE) AS len,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS cnt
+          FROM documents),
+        med AS (SELECT lang, len AS med FROM r1
+                WHERE rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) + 1),
+        r2 AS (
+          SELECT d.lang, abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY abs(CAST(d.n_chars AS DOUBLE) - m.med)) AS rn,
+                 COUNT(*) OVER (PARTITION BY d.lang) AS cnt
+          FROM documents d JOIN med m ON d.lang = m.lang),
+        mad AS (SELECT lang, adev AS mad FROM r2
+                WHERE rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) + 1)
+        SELECT d.doc_id, d.lang, d.n_chars, m.med, x.mad,
+               CASE WHEN x.mad > 0.0
+                    THEN ROUND((CAST(d.n_chars AS DOUBLE) - m.med)
+                               / (1.4826 * x.mad), 6) END AS r,
+               CASE WHEN x.mad > 0.0
+                    THEN abs(ROUND((CAST(d.n_chars AS DOUBLE) - m.med)
+                                   / (1.4826 * x.mad), 6)) > 1.35 END AS is_outlier
+        FROM documents d
+        JOIN med m ON d.lang = m.lang
+        JOIN mad x ON d.lang = x.lang
+        ORDER BY doc_id"""
     )
   }
 }
