@@ -35,6 +35,16 @@ object BenchSlope {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
+          // Accumulated JVM state is the probe's main measurement hazard:
+          // ~170 executions in one JVM pile up unreferenced RDD/shuffle/
+          // localCheckpoint blocks faster than the async ContextCleaner
+          // retires them (it only acts on GC'd references), and late-
+          // alphabet queries at the LARGE sf read 10-50x inflated — the
+          // round-11 XL probe measured q50 at 86s in-probe vs 3.6s in an
+          // isolated JVM, all slope, no plan change. An explicit GC before
+          // each query's cold run lets the cleaner catch up; it costs
+          // ~100ms per query and is outside the timed window.
+          System.gc()
           once() // cold: JIT + MaterializeOnce index builds, not reported
           out(name) = once()
         } catch { case e: Throwable =>

@@ -870,6 +870,111 @@ object TextPipelineQueries extends QueryPack {
           col("med"), col("mad"), col("r"),
           when(col("r").isNotNull, abs(col("r")) > 1.35).as("is_outlier"))
         .orderBy(col("doc_id"))
+    }),
+
+    // EXACT set-containment join via prefix filtering (the PPJoin-family
+    // idea): detects sub-document duplication — a short doc swallowed by
+    // a long one scores high containment while its Jaccard stays low, so
+    // the q34 MinHash bands (tuned to Jaccard) systematically miss it.
+    // Guarantee: if C(A,B) = |A∩B|/|A| ≥ t, then A's ⌊(1−t)·|A|⌋+1
+    // smallest shingle hashes cannot ALL miss B (else |A∩B| < t·|A|), so
+    // joining every doc's hash-sorted prefix against the full posting
+    // index finds every qualifying pair — no recall loss, unlike LSH.
+    // Scale shape: prefix explode is ~(1−t) of the shingle volume; the
+    // posting join is a plain hash equi-join with data-bounded bucket
+    // sizes; exact confirm reuses the zero-allocation sorted-merge
+    // intersection kernel. Both sides read the standing materialized
+    // shingle table.
+    "q83_containment_pairs" -> ((s, d) => {
+      val t = 0.9
+      val shS = materializedShingles(s, d)
+        .select(col("doc_id"), array_sort(col("hs")).as("hs"))
+      val pref = shS.select(col("doc_id"),
+        explode(expr(s"slice(hs, 1, cast(floor(size(hs) * ${1 - t}) as int) + 1)")).as("h"))
+      val post = shS.select(col("doc_id").as("pid"), explode(col("hs")).as("h"))
+      val cand = pref.join(post, Seq("h"))
+        .filter(col("doc_id") =!= col("pid"))
+        .select(least(col("doc_id"), col("pid")).as("doc_a"),
+                greatest(col("doc_id"), col("pid")).as("doc_b"))
+        .distinct()
+      cand
+        .join(shS.select(col("doc_id").as("ida"), col("hs").as("ha")),
+          col("doc_a") === col("ida"))
+        .join(shS.select(col("doc_id").as("idb"), col("hs").as("hb")),
+          col("doc_b") === col("idb"))
+        .withColumn("isz", expr("graft_sorted_icount(ha, hb)"))
+        .withColumn("c_small",
+          col("isz").cast("double") / least(size(col("ha")), size(col("hb"))))
+        .filter(col("c_small") >= t)
+        .select(col("doc_a"), col("doc_b"),
+          col("isz").cast("long").as("n_common"),
+          round(col("c_small"), 6).as("containment"),
+          round(col("isz").cast("double")
+            / (size(col("ha")) + size(col("hb")) - col("isz")), 6).as("jacc"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-doc n-gram novelty (dataset-curation ordering stat): fraction
+    // of a doc's distinct shingle types it is the FIRST owner of, in
+    // doc_id (arrival) order — exact copies score 0, boilerplate-heavy
+    // docs score low, fresh content scores high. Two keyed shuffle aggs
+    // over the standing shingle table (gram → min owner, then per-doc
+    // counts); the first-owner rule is the same keep-lowest-id convention
+    // as q35/q51.
+    "q84_ngram_novelty" -> ((s, d) => {
+      val e = materializedShingles(s, d)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      val first = e.groupBy(col("h")).agg(min(col("doc_id")).as("first_owner"))
+      e.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("first_owner") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_types"), 6))
+        .withColumn("keep", col("novelty") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PMI phrase detection (collocation mining): top-20 word bigrams by
+    // pointwise mutual information ln(P(w1w2)/(P(w1)P(w2))) with a
+    // min-count floor of 5; PMI rounded to 6 dp BEFORE ranking (libm ulps
+    // never flip a tie), ties broken by gram. The corpus collapses to the
+    // unigram and bigram TYPE relations first (two keyed shuffle aggs,
+    // |vocab|- and |vocab|²-bounded); totals ride windows over those
+    // aggregates, and the global rank sorts a re-aggregated compact
+    // relation — every single-partition exchange sits on aggregate
+    // output, the sanctioned shape.
+    "q85_pmi_phrases" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      val uni = t.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("u"))
+        .withColumn("n1", sum(col("u")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      val bi = t.filter(size(col("toks")) >= 2)
+        .select(explode(TextFns.wordShingles(col("toks"), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+        .withColumn("n2", sum(col("c2")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+      val scored = bi.filter(col("c2") >= 5)
+        .join(uni.select(col("tok").as("w1"), col("u").as("u1"), col("n1")),
+          Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("u").as("u2")), Seq("w2"))
+        .withColumn("pmi", round(log(
+          (col("c2").cast("double") / col("n2")) /
+          ((col("u1").cast("double") / col("n1"))
+            * (col("u2").cast("double") / col("n1")))), 6))
+      scored.groupBy(col("gram"))
+        .agg(max(col("c2")).as("c2"), max(col("pmi")).as("pmi"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("pmi").desc, col("gram"))).cast("int"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("gram"), col("c2"), col("pmi"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -1485,7 +1590,90 @@ object TextPipelineQueries extends QueryPack {
         FROM documents d
         JOIN med m ON d.lang = m.lang
         JOIN mad x ON d.lang = x.lang
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+
+      // Prefix-filter containment is EXACT (no-recall-loss guarantee in
+      // the query comment), so the oracle replicates the same candidate
+      // generation over the same md5-derived hashes: hash-sorted prefix
+      // of ⌊0.1·|hs|⌋+1 joined against the full posting index, exact
+      // intersect confirm. Reuses pairsCtes' hashed CTE (unreferenced
+      // CTEs are inert).
+      "q83_containment_pairs" -> s"""
+        $pairsCtes,
+        sorted AS (SELECT doc_id, list_sort(hs) AS hs FROM hashed),
+        pref AS (
+          SELECT doc_id, unnest(hs[1:CAST(FLOOR(len(hs) * 0.1) AS INT) + 1]) AS h
+          FROM sorted),
+        post AS (SELECT doc_id AS pid, unnest(hs) AS h FROM sorted),
+        cand2 AS (
+          SELECT DISTINCT LEAST(p.doc_id, q.pid) AS doc_a,
+                          GREATEST(p.doc_id, q.pid) AS doc_b
+          FROM pref p JOIN post q USING (h) WHERE p.doc_id <> q.pid),
+        conf AS (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(a.hs, b.hs)) AS isz,
+                 len(a.hs) AS la, len(b.hs) AS lb
+          FROM cand2 c
+          JOIN sorted a ON c.doc_a = a.doc_id
+          JOIN sorted b ON c.doc_b = b.doc_id)
+        SELECT doc_a, doc_b, CAST(isz AS BIGINT) AS n_common,
+               ROUND(CAST(isz AS DOUBLE) / LEAST(la, lb), 6) AS containment,
+               ROUND(CAST(isz AS DOUBLE) / (la + lb - isz), 6) AS jacc
+        FROM conf
+        WHERE CAST(isz AS DOUBLE) / LEAST(la, lb) >= 0.9
+        ORDER BY doc_a, doc_b""",
+
+      // First-owner = MIN(doc_id) per shingle hash, same keep-lowest-id
+      // convention as q35/q51; counts are over DISTINCT shingle types per
+      // doc (hs is distinct by construction on both engines).
+      "q84_ngram_novelty" -> s"""
+        $pairsCtes,
+        e AS (SELECT doc_id, unnest(hs) AS h FROM hashed),
+        f AS (SELECT h, MIN(doc_id) AS first_owner FROM e GROUP BY h),
+        agg AS (
+          SELECT e.doc_id, COUNT(*) AS n_types,
+                 SUM(CASE WHEN f.first_owner = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+          FROM e JOIN f USING (h)
+          GROUP BY e.doc_id)
+        SELECT doc_id, CAST(n_types AS BIGINT) AS n_types,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               ROUND(CAST(n_novel AS DOUBLE) / n_types, 6) AS novelty,
+               ROUND(CAST(n_novel AS DOUBLE) / n_types, 6) >= 0.5 AS keep
+        FROM agg
+        ORDER BY doc_id""",
+
+      // Same division tree as the Spark twin — (c2/n2)/((u1/n1)·(u2/n1))
+      // in doubles, ln, 6-dp round BEFORE ranking; ties broken by gram.
+      "q85_pmi_phrases" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        u AS (SELECT unnest(toks) AS tok FROM t),
+        uc AS (SELECT tok, COUNT(*) AS u FROM u GROUP BY tok),
+        n1 AS (SELECT CAST(SUM(u) AS BIGINT) AS n1 FROM uc),
+        g AS (
+          SELECT array_to_string(toks[i:i+1], ' ') AS gram,
+                 toks[i] AS w1, toks[i+1] AS w2
+          FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS s(i)),
+        c2 AS (SELECT gram, MIN(w1) AS w1, MIN(w2) AS w2, COUNT(*) AS c2
+               FROM g GROUP BY gram),
+        n2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS n2 FROM c2),
+        p AS (
+          SELECT c2.gram, c2.c2,
+                 ROUND(ln((CAST(c2.c2 AS DOUBLE) / n2.n2) /
+                   ((CAST(a.u AS DOUBLE) / n1.n1)
+                     * (CAST(b.u AS DOUBLE) / n1.n1))), 6) AS pmi
+          FROM c2
+          CROSS JOIN n1 CROSS JOIN n2
+          JOIN uc a ON c2.w1 = a.tok
+          JOIN uc b ON c2.w2 = b.tok
+          WHERE c2.c2 >= 5),
+        r AS (SELECT gram, c2, pmi,
+                     ROW_NUMBER() OVER (ORDER BY pmi DESC, gram) AS rank
+              FROM p)
+        SELECT CAST(rank AS INTEGER) AS rank, gram, CAST(c2 AS BIGINT) AS c2, pmi
+        FROM r WHERE rank <= 20 ORDER BY rank"""
     )
   }
 }
