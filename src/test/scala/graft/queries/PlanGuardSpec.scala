@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkSpec {
   private val nestedLoopAllowed = Set(
     "q38_cosine_topk",   // query vectors (< 5 rows) cross corpus
     "q44_ann_ivf",       // centroids (~sqrt(n), broadcast) and probes (<= 10)
-    "q50_ann_recall")    // composes q38/q44, inheriting their bounded sides
+    "q50_ann_recall",    // composes q38/q44, inheriting their bounded sides
+    "q88_textrank")      // the 1-row node-count scalar aggregate, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
