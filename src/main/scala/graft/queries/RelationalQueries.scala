@@ -438,6 +438,30 @@ object RelationalQueries extends QueryPack {
       Tables.customer(s, d)
         .select(col("c_custkey"), toNum(col("c_name")).as("name_num"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Markov transition matrix over event streams (the sequence-model
+    // companion to q74's funnel): per-user next-event via ONE lead()
+    // window (partitioned by user — never global), transition counts by
+    // one keyed shuffle agg, and per-source totals ride a window over
+    // that |event_types|²-bounded AGGREGATE — the sanctioned shape.
+    // Both engines order by (µs timestamp, event_id): the ns→µs
+    // truncation is identical (Tables.events DIV 1000 ≡ DuckDB's
+    // internal cast), so window ties break the same way.
+    "q91_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val t = pairs.groupBy(col("event_type").as("src_type"), col("nxt").as("dst_type"))
+        .agg(count(lit(1)).as("n"))
+      t.withColumn("n_src", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src_type"))))
+        .select(col("src_type"), col("dst_type"), col("n"), col("n_src"),
+          round(col("n").cast("double") / col("n_src"), 6).as("p"))
+        .orderBy(col("src_type"), col("dst_type"))
     })
   )
 
@@ -483,6 +507,24 @@ object RelationalQueries extends QueryPack {
       FROM v LEFT JOIN c ON v.user_id = c.user_id
              LEFT JOIN p ON v.user_id = p.user_id
       ORDER BY v.user_id""",
+
+    // Same (ts, event_id) ordering on both engines (µs truncation is
+    // identical); totals partition the aggregated transition relation.
+    "q91_event_transitions" -> """
+      WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events),
+      t AS (
+        SELECT event_type AS src_type, nxt AS dst_type, COUNT(*) AS n
+        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      tot AS (
+        SELECT src_type, dst_type, n,
+               CAST(SUM(n) OVER (PARTITION BY src_type) AS BIGINT) AS n_src
+        FROM t)
+      SELECT src_type, dst_type, CAST(n AS BIGINT) AS n, n_src,
+             ROUND(CAST(n AS DOUBLE) / n_src, 6) AS p
+      FROM tot ORDER BY src_type, dst_type""",
 
     "q01_groupby_agg" -> """
       SELECT l_returnflag, l_linestatus,

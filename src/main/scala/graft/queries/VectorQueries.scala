@@ -449,6 +449,35 @@ object VectorQueries extends QueryPack {
           (coalesce(col("lh"), lit(0L)).cast("double") / col("ne")).as("recall_lsh"),
           (coalesce(col("ih"), lit(0L)).cast("double") / col("ne")).as("recall_ivf"))
         .orderBy(col("q_id"))
+    }),
+
+    // Semantic outlier detection (label-conditioned centroid distance —
+    // the embedding-space cousin of q77/q82's scalar outlier scores):
+    // per-label centroid as the per-dimension MEAN accumulated in
+    // FIXED-POINT int64 (each element rounded to 1e-6 before summing),
+    // so the centroid is bit-identical under any partitioning — float
+    // summation order never reaches a verdict. Per-vector cosine to the
+    // own-label centroid (index-ordered double fold), 6-dp rounded, and
+    // cos_c < 0 flags the outlier (corpus-calibrated: 10-40% of vectors
+    // across tiers, never vacuous). Scale shape: one (label, dim) keyed
+    // shuffle agg — labels·dims rows — broadcast back; per-vector work
+    // is one array fold, embarrassingly parallel.
+    "q92_semantic_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val fp = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xfp", round(col("x").cast("double") * 1000000).cast("long"))
+      val cent = fp.groupBy(col("label"), col("dim"))
+        .agg(sum(col("xfp")).as("sfp"), count(lit(1)).as("n"))
+        .withColumn("c", col("sfp").cast("double") / 1000000.0 / col("n"))
+      val carr = cent.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          e => e.getField("c")).as("centroid"))
+      emb.join(broadcast(carr), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(Vectors.cosineHof(col("embedding"), col("centroid")), 6).as("cos_c"))
+        .withColumn("is_outlier", col("cos_c") < 0.0)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -682,7 +711,29 @@ object VectorQueries extends QueryPack {
                list_max(list_transform(generate_series(1, dim),
                  i -> abs(CAST(embedding[i] AS DOUBLE) - deq[i]))) <= scale / 2 * 1.000000001 AS err_ok,
                ${cosSql("embedding", "deq")} >= 0.999 AS cos_ok
-        FROM r ORDER BY vec_id"""
+        FROM r ORDER BY vec_id""",
+
+      // Same fixed-point centroid (round-to-1e-6 longs summed exactly,
+      // HUGEINT absorbing DuckDB's SUM), same ordered-list assembly, and
+      // the cosine is the exact dotSql fold over (float, double) arrays
+      // cast to double on both engines; cos_c compared AFTER 6-dp round.
+      "q92_semantic_outliers" -> s"""
+        WITH fp AS (
+          SELECT label, i - 1 AS dim,
+                 CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xfp
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        cent AS (
+          SELECT label, dim, CAST(SUM(xfp) AS BIGINT) AS sfp, COUNT(*) AS n
+          FROM fp GROUP BY 1, 2),
+        carr AS (
+          SELECT label, list(CAST(sfp AS DOUBLE) / 1000000.0 / n ORDER BY dim) AS centroid
+          FROM cent GROUP BY label),
+        sc AS (
+          SELECT e.vec_id, e.label,
+                 ROUND(${cosSql("e.embedding", "c.centroid")}, 6) AS cos_c
+          FROM embeddings e JOIN carr c USING (label))
+        SELECT vec_id, label, cos_c, cos_c < 0.0 AS is_outlier
+        FROM sc ORDER BY vec_id"""
     )
   }
 }
