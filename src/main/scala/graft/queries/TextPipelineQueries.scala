@@ -163,11 +163,16 @@ object TextPipelineQueries extends QueryPack {
       val bi = t.filter(col("n_toks") >= 2)
         .select(col("doc_id"), explode(TextFns.wordShingles(col("toks"), 2)).as("gram"))
         .withColumn("w1", split(col("gram"), " ").getItem(0))
-      val c2 = bi.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+      val c2t = bi.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
         .withColumn("w2", split(col("gram"), " ").getItem(1))
-        .withColumn("v", size(collect_set(col("w2")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy())).cast("long"))
-        .drop("w2")
+      // |V| as a 1-row scalar aggregate broadcast back onto the bigram
+      // relation (the q88 node-count shape) — NEVER a global window over
+      // the bigram-TYPE relation, which would materialize the full
+      // vocabulary set in ONE task: that relation is |bigram types|-
+      // bounded, i.e. billions of rows for a real web corpus, and this
+      // is the warm path for both q81 and q90.
+      val vv = c2t.agg(countDistinct(col("w2")).as("v"))
+      val c2 = c2t.drop("w2").join(broadcast(vv), expr("true"))
       val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       bi.join(c2, Seq("gram")).join(c1, Seq("w1"))
         .groupBy(col("doc_id"))
@@ -675,13 +680,18 @@ object TextPipelineQueries extends QueryPack {
 
     // Deterministic WEIGHTED sampling (the mixture-building step of a
     // training-data pipeline: sample ~k docs per language with probability
-    // proportional to size): doc kept iff hash32 · Σw < k · w · 2^32 —
-    // pure int64 arithmetic on both engines (hash32 ≤ 2^32, Σw and k·w·2^32
-    // bounded far inside Long at any per-group Σw the driver corpus can
-    // produce), so the keep set is bit-reproducible under any partitioning,
-    // like q49's unweighted gate. Docs with w ≥ Σw/k are always kept
-    // (probability clamps at 1 — the standard expected-size semantics).
-    // One tiny per-lang Σw agg broadcast back; no window over the corpus.
+    // proportional to size): doc kept iff hash32 · Σw < k · w · 2^32,
+    // evaluated in exact WIDE-integer arithmetic — decimal(38,0) here,
+    // HUGEINT in the oracle — so the gate cannot overflow at ANY corpus
+    // scale (an int64 product h·Σw wraps silently in Spark once a
+    // language's Σ n_chars reaches 2^31 ≈ 2 GB of text, while DuckDB
+    // raises — exactly the scale this pipeline targets). Operand
+    // precisions (10,0)·(19,0) → (30,0) and (2,0)·(19,0)·(10,0) →
+    // (33,0) stay under 38, so every product is exact. The keep set is
+    // bit-reproducible under any partitioning, like q49's unweighted
+    // gate. Docs with w ≥ Σw/k are always kept (probability clamps at
+    // 1 — the standard expected-size semantics). One tiny per-lang Σw
+    // agg broadcast back; no window over the corpus.
     "q75_weighted_sample" -> ((s, d) => {
       val K = 20
       val docs = Tables.documents(s, d)
@@ -691,8 +701,9 @@ object TextPipelineQueries extends QueryPack {
         .withColumn("h", TextFns.hash32(
           concat(lit("wsamp|"), col("doc_id").cast("string"))))
         .select(col("doc_id"), col("lang"), col("w"),
-          (col("h") * col("sum_w") < lit(K.toLong) * col("w") * lit(1L << 32))
-            .as("kept"))
+          expr(s"cast(h as decimal(10,0)) * cast(sum_w as decimal(19,0))" +
+            s" < cast($K as decimal(2,0)) * cast(w as decimal(19,0))" +
+            s" * cast(${1L << 32} as decimal(10,0))").as("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -726,8 +737,11 @@ object TextPipelineQueries extends QueryPack {
     // INTEGER sums (count, Σx, Σx² as longs — the shuffle agg carries no
     // floats, so the derived doubles are bit-identical on both engines),
     // broadcast back, z rounded to 6 dp before the outlier verdict so a
-    // last-ulp sqrt difference can never flip the gate. One agg + one
-    // broadcast join at any corpus size.
+    // last-ulp sqrt difference can never flip the gate. A degenerate
+    // group (sd = 0: every doc one length) yields NULL z / NULL verdict
+    // on both engines — q82's MAD = 0 convention — instead of NaN/±Inf,
+    // whose compare/serialization semantics the engines need not share.
+    // One agg + one broadcast join at any corpus size.
     "q77_zscore" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -739,10 +753,11 @@ object TextPipelineQueries extends QueryPack {
         .withColumn("mean", col("s1").cast("double") / col("n"))
         .withColumn("sd", sqrt(col("s2").cast("double") / col("n")
           - col("mean") * col("mean")))
-        .withColumn("z", round((col("n_chars") - col("mean")) / col("sd"), 6))
+        .withColumn("z", when(col("sd") > 0.0,
+          round((col("n_chars") - col("mean")) / col("sd"), 6)))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(col("mean"), 6).as("mean_len"), round(col("sd"), 6).as("sd_len"),
-          col("z"), (abs(col("z")) > 2.0).as("is_outlier"))
+          col("z"), when(col("z").isNotNull, abs(col("z")) > 2.0).as("is_outlier"))
         .orderBy(col("doc_id"))
     }),
 
@@ -809,11 +824,14 @@ object TextPipelineQueries extends QueryPack {
     // per-language deterministic sampling. quota = (N·3) div 20 in pure
     // integer arithmetic;
     // keep iff hash32('mix|'||id)·n_l < quota_l·2^32 — the same
-    // integer-exact, partitioning-independent gate family as q49/q75
-    // (expected kept = quota, capped at n_l when the language is under
-    // quota — the inequality handles the clamp for free since
-    // hash32 < 2^32). The corpus total rides a window over the 5-row
-    // per-language aggregate, never a scalar collect.
+    // integer-exact, partitioning-independent gate family as q49/q75,
+    // evaluated like q75 in exact wide-integer arithmetic
+    // (decimal(38,0) / oracle HUGEINT: quota·2^32 would wrap int64 at
+    // ~2^31 corpus docs — a few-TB corpus) (expected kept = quota,
+    // capped at n_l when the language is under quota — the inequality
+    // handles the clamp for free since hash32 < 2^32). The corpus
+    // total rides a window over the 5-row per-language aggregate,
+    // never a scalar collect.
     "q80_mixture_balance" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
       val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -822,9 +840,11 @@ object TextPipelineQueries extends QueryPack {
           org.apache.spark.sql.expressions.Window.partitionBy()))
         .withColumn("quota", expr("(n_total * 3) div 20"))
       docs.join(broadcast(quotas), Seq("lang"))
+        .withColumn("h",
+          TextFns.hash32(concat(lit("mix|"), col("doc_id").cast("string"))))
         .withColumn("kept",
-          TextFns.hash32(concat(lit("mix|"), col("doc_id").cast("string")))
-            * col("n_docs") < col("quota") * lit(1L << 32))
+          expr(s"cast(h as decimal(10,0)) * cast(n_docs as decimal(19,0))" +
+            s" < cast(quota as decimal(19,0)) * cast(${1L << 32} as decimal(10,0))"))
         .groupBy(col("lang"))
         .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -837,10 +857,10 @@ object TextPipelineQueries extends QueryPack {
     // score = avg −ln P over its bigram positions, rounded to 6 dp on
     // both engines BEFORE the keep verdict (summation-order ulps can
     // never flip the gate). V = distinct predicted-word types, computed
-    // as a window over the bigram-TYPE relation (|vocab|²-bounded — by
-    // the language, not the corpus; the single-partition exchange sits on
-    // aggregate output, the sanctioned shape). The count relations join
-    // back keyed on gram/w1 — plain equi-joins, AQE free to broadcast.
+    // as a 1-row scalar aggregate and broadcast back (the q88 node-count
+    // shape — no task ever holds the vocabulary set). The count
+    // relations join back keyed on gram/w1 — plain equi-joins, AQE free
+    // to broadcast.
     "q81_bigram_surprisal" -> ((s, d) => {
       Tables.documents(s, d).select(col("doc_id"))
         .join(materializedSurprisal(s, d)
@@ -892,10 +912,14 @@ object TextPipelineQueries extends QueryPack {
     // idea): detects sub-document duplication — a short doc swallowed by
     // a long one scores high containment while its Jaccard stays low, so
     // the q34 MinHash bands (tuned to Jaccard) systematically miss it.
-    // Guarantee: if C(A,B) = |A∩B|/|A| ≥ t, then A's ⌊(1−t)·|A|⌋+1
-    // smallest shingle hashes cannot ALL miss B (else |A∩B| < t·|A|), so
-    // joining every doc's hash-sorted prefix against the full posting
-    // index finds every qualifying pair — no recall loss, unlike LSH.
+    // Guarantee: if C(A,B) = |A∩B|/|A| ≥ t, then A's |A|−⌈t·|A|⌉+1
+    // smallest shingle hashes cannot ALL miss B (else |A∩B| ≤ ⌈t·|A|⌉−1
+    // < t·|A|), so joining every doc's hash-sorted prefix against the
+    // full posting index finds every qualifying pair — no recall loss,
+    // unlike LSH. The prefix length is computed in pure INTEGER
+    // arithmetic (⌈9n/10⌉ = (9n+9) div 10) on BOTH engines: a float
+    // 1−t literal (0.0999…98) shortens the prefix by one whenever |A|
+    // is a multiple of 10, silently breaking the lemma.
     // Scale shape: prefix explode is ~(1−t) of the shingle volume; the
     // posting join is a plain hash equi-join with data-bounded bucket
     // sizes; exact confirm reuses the zero-allocation sorted-merge
@@ -906,7 +930,7 @@ object TextPipelineQueries extends QueryPack {
       val shS = materializedShingles(s, d)
         .select(col("doc_id"), array_sort(col("hs")).as("hs"))
       val pref = shS.select(col("doc_id"),
-        explode(expr(s"slice(hs, 1, cast(floor(size(hs) * ${1 - t}) as int) + 1)")).as("h"))
+        explode(expr("slice(hs, 1, cast(size(hs) - ((9 * size(hs) + 9) div 10) + 1 as int))")).as("h"))
       val post = shS.select(col("doc_id").as("pid"), explode(col("hs")).as("h"))
       val cand = pref.join(post, Seq("h"))
         .filter(col("doc_id") =!= col("pid"))
@@ -957,22 +981,20 @@ object TextPipelineQueries extends QueryPack {
     // min-count floor of 5; PMI rounded to 6 dp BEFORE ranking (libm ulps
     // never flip a tie), ties broken by gram. The corpus collapses to the
     // unigram and bigram TYPE relations first (two keyed shuffle aggs,
-    // |vocab|- and |vocab|²-bounded); totals ride windows over those
-    // aggregates, and the global rank sorts a re-aggregated compact
-    // relation — every single-partition exchange sits on aggregate
-    // output, the sanctioned shape.
+    // |vocab|- and |vocab|²-bounded); the N1/N2 totals are 1-row scalar
+    // aggregates broadcast back (the q88 node-count shape — no global
+    // window funnels a |vocab|²-bounded relation through one task), and
+    // the global rank sorts a re-aggregated compact relation.
     "q85_pmi_phrases" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      val uni = t.select(explode(col("toks")).as("tok"))
+      val uc = t.select(explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("u"))
-        .withColumn("n1", sum(col("u")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
-      val bi = t.filter(size(col("toks")) >= 2)
+      val uni = uc.join(broadcast(uc.agg(sum(col("u")).as("n1"))), expr("true"))
+      val bc = t.filter(size(col("toks")) >= 2)
         .select(explode(TextFns.wordShingles(col("toks"), 2)).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("c2"))
-        .withColumn("n2", sum(col("c2")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+      val bi = bc.join(broadcast(bc.agg(sum(col("c2")).as("n2"))), expr("true"))
         .withColumn("w1", split(col("gram"), " ").getItem(0))
         .withColumn("w2", split(col("gram"), " ").getItem(1))
       val scored = bi.filter(col("c2") >= 5)
@@ -1068,11 +1090,11 @@ object TextPipelineQueries extends QueryPack {
         .filter(col("rank") <= K)
       perDoc.join(broadcast(top), Seq("term"))
         .groupBy(col("rank"), col("term"), col("df"), col("cf"))
-        .agg(transform(
+        .agg(concat_ws("|", transform(
             array_sort(collect_list(struct(col("doc_id"), col("first_pos"), col("tf")))),
             e => concat_ws(":", e.getField("doc_id").cast("string"),
               e.getField("first_pos").cast("string"),
-              e.getField("tf").cast("string")))
+              e.getField("tf").cast("string"))))
           .as("postings"))
         .orderBy(col("rank"))
     }),
@@ -1653,24 +1675,26 @@ object TextPipelineQueries extends QueryPack {
 
       // Mean/std derived from integer (n, Σx, Σx²) exactly as Spark does;
       // both engines round z to 6 dp BEFORE the outlier compare.
+      // sd > 0 guard mirrors the Spark twin: degenerate groups get NULL
+      // z / NULL is_outlier on both engines (never NaN/±Inf).
       "q77_zscore" -> """
         WITH s AS (
           SELECT lang, COUNT(*) AS n,
                  CAST(SUM(n_chars) AS BIGINT) AS s1,
                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
-          FROM documents GROUP BY 1)
+          FROM documents GROUP BY 1),
+        m AS (
+          SELECT lang, CAST(s1 AS DOUBLE) / n AS mean,
+                 sqrt(CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+          FROM s)
         SELECT doc_id, d.lang, n_chars,
-               ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_len,
-               ROUND(sqrt(CAST(s2 AS DOUBLE) / n
-                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS sd_len,
-               ROUND((n_chars - CAST(s1 AS DOUBLE) / n)
-                 / sqrt(CAST(s2 AS DOUBLE) / n
-                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6) AS z,
-               abs(ROUND((n_chars - CAST(s1 AS DOUBLE) / n)
-                 / sqrt(CAST(s2 AS DOUBLE) / n
-                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6)) > 2.0
-                 AS is_outlier
-        FROM documents d JOIN s ON d.lang = s.lang
+               ROUND(mean, 6) AS mean_len,
+               ROUND(sd, 6) AS sd_len,
+               CASE WHEN sd > 0 THEN ROUND((n_chars - mean) / sd, 6) END AS z,
+               CASE WHEN sd > 0
+                    THEN abs(ROUND((n_chars - mean) / sd, 6)) > 2.0 END AS is_outlier
+        FROM documents d JOIN m ON d.lang = m.lang
         ORDER BY doc_id""",
 
       // Same lower-nearest-rank selection as q13's oracle, per lang at
@@ -1696,8 +1720,10 @@ object TextPipelineQueries extends QueryPack {
         ORDER BY doc_id""",
 
       // Integer-exact weighted gate: hash32·Σw < k·w·2^32 (see the query
-      // comment). The per-lang Σw is a scalar subquery-free window-free
-      // join, same as Spark's broadcast agg.
+      // comment), in HUGEINT (int128) so it cannot overflow at any
+      // corpus scale — mirroring the Spark twin's decimal(38,0). The
+      // per-lang Σw is a scalar subquery-free window-free join, same as
+      // Spark's broadcast agg.
       "q75_weighted_sample" -> {
         val wsampHash = hex32.replace("md5(x)", "md5('wsamp|' || CAST(doc_id AS VARCHAR))")
         s"""
@@ -1705,7 +1731,8 @@ object TextPipelineQueries extends QueryPack {
           SELECT doc_id, lang, n_chars AS w FROM documents),
         s AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS sum_w FROM w GROUP BY lang)
         SELECT doc_id, w.lang, w.w,
-               (CAST($wsampHash AS BIGINT) * s.sum_w < 20 * w.w * ${1L << 32}) AS kept
+               (CAST($wsampHash AS HUGEINT) * s.sum_w
+                  < CAST(20 AS HUGEINT) * w.w * ${1L << 32}) AS kept
         FROM w JOIN s ON w.lang = s.lang
         ORDER BY doc_id"""
       },
@@ -1734,8 +1761,9 @@ object TextPipelineQueries extends QueryPack {
         ORDER BY doc_id""",
 
       // Integer-exact mixture gate: quota = (N·3) // 20 (integer div on
-      // both engines); kept iff hash32·n_l < quota·2^32 — same int64
-      // family as q49/q75.
+      // both engines); kept iff hash32·n_l < quota·2^32 — same exact
+      // gate family as q49/q75, in HUGEINT like q75's oracle so the
+      // quota·2^32 product cannot overflow at any corpus size.
       "q80_mixture_balance" -> {
         val mixHash = hex32.replace("md5(x)", "md5('mix|' || CAST(doc_id AS VARCHAR))")
         s"""
@@ -1744,8 +1772,8 @@ object TextPipelineQueries extends QueryPack {
                      (SELECT COUNT(*) FROM documents) * 3 // 20 AS quota
               FROM pl)
         SELECT d.lang, q.n_docs, CAST(q.quota AS BIGINT) AS quota,
-               CAST(SUM(CASE WHEN CAST($mixHash AS BIGINT) * q.n_docs
-                                  < q.quota * ${1L << 32}
+               CAST(SUM(CASE WHEN CAST($mixHash AS HUGEINT) * q.n_docs
+                                  < CAST(q.quota AS HUGEINT) * ${1L << 32}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                (q.quota >= q.n_docs) AS uncapped
         FROM documents d JOIN q ON d.lang = q.lang
@@ -1815,14 +1843,15 @@ object TextPipelineQueries extends QueryPack {
       // Prefix-filter containment is EXACT (no-recall-loss guarantee in
       // the query comment), so the oracle replicates the same candidate
       // generation over the same md5-derived hashes: hash-sorted prefix
-      // of ⌊0.1·|hs|⌋+1 joined against the full posting index, exact
-      // intersect confirm. Reuses pairsCtes' hashed CTE (unreferenced
-      // CTEs are inert).
+      // of |hs|−⌈0.9·|hs|⌉+1 (pure integer arithmetic, mirroring the
+      // Spark twin exactly — no float 0.1 literal) joined against the
+      // full posting index, exact intersect confirm. Reuses pairsCtes'
+      // hashed CTE (unreferenced CTEs are inert).
       "q83_containment_pairs" -> s"""
         $pairsCtes,
         sorted AS (SELECT doc_id, list_sort(hs) AS hs FROM hashed),
         pref AS (
-          SELECT doc_id, unnest(hs[1:CAST(FLOOR(len(hs) * 0.1) AS INT) + 1]) AS h
+          SELECT doc_id, unnest(hs[1:(len(hs) - ((9 * len(hs) + 9) // 10) + 1)]) AS h
           FROM sorted),
         post AS (SELECT doc_id AS pid, unnest(hs) AS h FROM sorted),
         cand2 AS (
@@ -1936,8 +1965,11 @@ object TextPipelineQueries extends QueryPack {
         FROM documents d LEFT JOIN agg USING (doc_id)
         ORDER BY doc_id""",
 
-      // Postings pinned in doc_id order on both engines; BIGINT || VARCHAR
-      // concatenation renders integers without decimal points on both.
+      // Postings pinned in doc_id order on both engines and serialized to
+      // ONE pipe-joined string (the q23 house rule: gate output is
+      // scalars-only so the driver comparator can sort/hash every column);
+      // BIGINT || VARCHAR concatenation renders integers without decimal
+      // points on both.
       "q87_postings" -> """
         WITH t AS (
           SELECT doc_id,
@@ -1958,8 +1990,8 @@ object TextPipelineQueries extends QueryPack {
           FROM st)
         SELECT CAST(rank AS INTEGER) AS rank, r.term,
                CAST(df AS BIGINT) AS df, cf,
-               list(pd.doc_id || ':' || pd.first_pos || ':' || pd.tf
-                 ORDER BY pd.doc_id) AS postings
+               string_agg(pd.doc_id || ':' || pd.first_pos || ':' || pd.tf,
+                 '|' ORDER BY pd.doc_id) AS postings
         FROM r JOIN pd ON r.term = pd.term
         WHERE rank <= 20
         GROUP BY rank, r.term, df, cf

@@ -33,6 +33,7 @@ class PlanGuardSpec extends SparkSpec {
     "q38_cosine_topk",   // query vectors (< 5 rows) cross corpus
     "q44_ann_ivf",       // centroids (~sqrt(n), broadcast) and probes (<= 10)
     "q50_ann_recall",    // composes q38/q44, inheriting their bounded sides
+    "q85_pmi_phrases",   // the 1-row N1/N2 scalar-agg totals, broadcast
     "q88_textrank")      // the 1-row node-count scalar aggregate, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out

@@ -29,7 +29,7 @@ class PostingsSpec extends SparkSpec {
     val got = SparkEntry.queries("q87_postings")(spark, dir)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getSeq[String](4).toList))
+        r.getString(4).split('|').toList))
       .toList
 
     // Brute force: token positions are 1-based, postings in doc_id order.
