@@ -45,6 +45,19 @@ object AviCodec extends MediaCodec {
     Multimodal.decodeAviFeatures(bytes)
 }
 
+/** Built-in: hand-rolled BMP pixel decode from the public
+  * BITMAPINFOHEADER layout — BI_RGB 8/24/32 bpp AND the BI_RLE8
+  * compressed path (run/absolute/EOL/delta escapes), no ImageIO — the
+  * registry's proof that a compressed format can be claimed with a pure
+  * byte-math decoder. Same 8-dim feature contract as ImageIOCodec
+  * (shared imageStats). Other depths/compressions decode to None (→
+  * stub fallback). */
+object BmpCodec extends MediaCodec {
+  val formats: Set[String] = Set("bmp")
+  def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    Multimodal.decodeBmpFeatures(bytes)
+}
+
 /** The codec registry behind Multimodal.decodeFeatures. Format-keyed; last
   * registration wins, so a deployment can override a built-in (or claim a
   * format that currently stubs).
@@ -72,4 +85,5 @@ object Codecs {
   register(ImageIOCodec)
   register(Pcm16WavCodec)
   register(AviCodec)
+  register(BmpCodec)
 }

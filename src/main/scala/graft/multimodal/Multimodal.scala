@@ -89,6 +89,13 @@ object Multimodal {
           MediaMeta("wav", 0, 0, channels, rate, durMs)
         case _ => MediaMeta("wav", 0, 0, 0, 0, 0L)
       }
+    } else if (bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      // BMP: BITMAPINFOHEADER width/height as signed LE s32 at offsets
+      // 18/22 (negative height = top-down row order; magnitude is the
+      // pixel height either way).
+      val w = ByteBuffer.wrap(bytes, 18, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      val h = ByteBuffer.wrap(bytes, 22, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      MediaMeta("bmp", w, math.abs(h), channels = 0, sampleRateHz = 0, durationMs = 0L)
     } else MediaMeta("unknown", 0, 0, 0, 0, 0L)
   }
 
@@ -276,6 +283,122 @@ object Multimodal {
       (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
       math.log1p(w.toDouble).toFloat, math.log1p(h.toDouble).toFloat,
       (w.toDouble / h).toFloat)
+  }
+
+  /** REAL pixel decode for BMP, hand-rolled from the public Windows
+    * BITMAPINFOHEADER layout (no ImageIO): BI_RGB at 8 (palettized), 24,
+    * and 32 bpp, and the RLE8 COMPRESSED path (BI_RLE8, compression 1) —
+    * encoded runs (count, index), absolute mode (0x00 n≥3, word-aligned
+    * literals), end-of-line (0x00 0x00), end-of-bitmap (0x00 0x01), and
+    * delta (0x00 0x02 dx dy) escapes; pixels a delta/EOL skips stay
+    * palette index 0, per the format's convention. Decoded pixels feed
+    * the SAME imageStats as the PNG/JPEG path, so the 8-dim feature
+    * contract is identical across image codecs. None for other depths/
+    * compressions (→ registry stub fallback) and corrupt headers. */
+  def decodeBmpFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
+    val w = bb.getInt(18)
+    val hRaw = bb.getInt(22)
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val bpp = bb.getShort(28).toInt & 0xFFFF
+    val comp = bb.getInt(30)
+    if (w <= 0 || h == 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    if (dataOff < 0 || dataOff > bytes.length) return None
+    // Palette (BGRA quads) sits right after the info header; 8-bpp needs
+    // it, clrUsed 0 means the full 256 entries.
+    def palette(): Option[Array[Int]] = {
+      val clrUsed = if (hdrSize >= 36) bb.getInt(46) else 0
+      val n = if (clrUsed > 0) clrUsed else 256
+      val off = 14 + hdrSize
+      if (off + 4L * n > bytes.length) return None
+      Some(Array.tabulate(n) { i =>
+        val b = bytes(off + 4 * i) & 0xFF
+        val g = bytes(off + 4 * i + 1) & 0xFF
+        val r = bytes(off + 4 * i + 2) & 0xFF
+        (r << 16) | (g << 8) | b
+      })
+    }
+    // Decoded into bitmap space (row 0 = BOTTOM scanline unless topDown),
+    // flipped once when building the image.
+    val px = new Array[Int](w * h)
+    def setPx(x: Int, y: Int, rgb: Int): Unit =
+      if (x >= 0 && x < w && y >= 0 && y < h) px(y * w + x) = rgb
+    (bpp, comp) match {
+      case (24, 0) | (32, 0) =>
+        val bypp = bpp / 8
+        val stride = ((w * bypp + 3) / 4) * 4
+        if (dataOff.toLong + stride.toLong * h > bytes.length) return None
+        var y = 0
+        while (y < h) {
+          val ro = dataOff + y * stride
+          var x = 0
+          while (x < w) {
+            val o = ro + x * bypp
+            setPx(x, y, ((bytes(o + 2) & 0xFF) << 16) |
+              ((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF))
+            x += 1
+          }
+          y += 1
+        }
+      case (8, 0) =>
+        val pal = palette().getOrElse(return None)
+        val stride = ((w + 3) / 4) * 4
+        if (dataOff.toLong + stride.toLong * h > bytes.length) return None
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val idx = bytes(dataOff + y * stride + x) & 0xFF
+            setPx(x, y, if (idx < pal.length) pal(idx) else 0)
+            x += 1
+          }
+          y += 1
+        }
+      case (8, 1) => // BI_RLE8 — the compressed path
+        val pal = palette().getOrElse(return None)
+        java.util.Arrays.fill(px, pal(0))
+        var i = dataOff; var x = 0; var y = 0
+        var done = false
+        while (!done && i + 1 < bytes.length && y < h) {
+          val n = bytes(i) & 0xFF
+          val c = bytes(i + 1) & 0xFF
+          i += 2
+          if (n > 0) { // encoded run: n pixels of palette index c
+            val rgb = if (c < pal.length) pal(c) else 0
+            var k = 0
+            while (k < n) { setPx(x, y, rgb); x += 1; k += 1 }
+          } else c match {
+            case 0 => x = 0; y += 1 // end of line
+            case 1 => done = true // end of bitmap
+            case 2 => // delta: skip right dx, up dy (bitmap space)
+              if (i + 1 >= bytes.length) return None
+              x += bytes(i) & 0xFF; y += bytes(i + 1) & 0xFF; i += 2
+            case litN => // absolute mode: litN literal indices, word-aligned
+              if (i + litN > bytes.length) return None
+              var k = 0
+              while (k < litN) {
+                val idx = bytes(i + k) & 0xFF
+                setPx(x, y, if (idx < pal.length) pal(idx) else 0)
+                x += 1; k += 1
+              }
+              i += litN + (litN & 1)
+          }
+        }
+      case _ => return None
+    }
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      im.setRGB(0, y, w, 1, px, srcRow * w, w)
+      y += 1
+    }
+    Some(imageStats(im))
   }
 
   /** REAL sample decode for PCM16 WAV (pure byte math — PCM is just LE

@@ -1217,6 +1217,157 @@ object TextPipelineQueries extends QueryPack {
             .when(col("avg_nll") <= col("p67"), lit("middle"))
             .otherwise(lit("tail")).as("bucket"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 ranked retrieval (the IR scoring the q87 inverted index
+    // exists to serve): top-10 docs for a fixed 3-term disjunctive
+    // query, k1 = 1.2, b = 0.75, idf = ln((N−df+0.5)/(df+0.5)+1) (the
+    // always-positive Lucene form). Per-term contributions are
+    // FIXED-POINT (×1e9, rounded to int64) before the per-doc sum, so
+    // the score is independent of float summation order on both
+    // engines; 6-dp rounded before ranking. Scale shape: the term
+    // filter is a 3-literal isin pushed to the scan; tf is one keyed
+    // shuffle agg over matching positions only; df (3 rows) and the
+    // corpus N/avgdl (1 row) broadcast back; top-10 via orderBy+limit
+    // = per-partition top-k + driver merge (TakeOrderedAndProject),
+    // never a global sort of the scored relation.
+    "q93_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "join", "stream")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val g = t.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      val tf = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("tok")).join(broadcast(g), expr("true"))
+        .withColumn("contrib_fp", expr(
+          "cast(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)" +
+          " * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e9) as bigint)"))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("n_hit"), sum(col("contrib_fp")).as("sfp"))
+        .select(col("doc_id"), col("dl"), col("n_hit"),
+          round(col("sfp") / 1e9, 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+
+    // Per-source unigram KL divergence vs the corpus distribution (the
+    // domain-shift / provenance-drift audit a mixture pipeline runs
+    // before reweighting): KL(P_src ‖ P_corpus) = Σ_w p·ln(p/q) over
+    // the source's token types. Per-type contributions are fixed-point
+    // (×1e12 int64) before the per-source sum — order-independent like
+    // q88/q93. Scale shape: the corpus collapses to the (source, tok)
+    // count relation (one keyed shuffle agg, |sources|·|vocab|-bounded);
+    // per-source totals broadcast; the corpus-wide token counts join
+    // back KEYED ON TOK (never a global window); the 1-row corpus total
+    // broadcasts (q88 shape).
+    "q94_source_kl" -> ((s, d) => {
+      val u = Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val cs = u.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val ns = cs.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val cw = cs.groupBy(col("tok")).agg(sum(col("c")).as("c_w"))
+      val nn = cw.agg(sum(col("c_w")).as("n"))
+      cs.join(broadcast(ns), Seq("source"))
+        .join(cw, Seq("tok"))
+        .join(broadcast(nn), expr("true"))
+        .withColumn("kfp", expr(
+          "cast(round((cast(c as double) / n_s)" +
+          " * ln((cast(c as double) / n_s) / (cast(c_w as double) / n)) * 1e12) as bigint)"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_toks"), count(lit(1)).as("vocab"),
+          round(sum(col("kfp")) / 1e12, 6).as("kl"))
+        .orderBy(col("source"))
+    }),
+
+    // Per-doc token entropy + type-token ratio (the lexical-diversity
+    // quality signals CCNet-style filters threshold on): H = −Σ p·ln p
+    // over the doc's token types, fixed-point (×1e12) per-type
+    // contributions so the per-doc sum is order-independent; entropy
+    // 6-dp rounded BEFORE the keep verdict. Everything is doc-keyed:
+    // one (doc, tok) shuffle agg, one doc agg, one keyed join back —
+    // linear in token volume, no cross-doc stage at all.
+    "q95_doc_entropy" -> ((s, d) => {
+      val u = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val c = u.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val n = c.groupBy(col("doc_id")).agg(sum(col("c")).as("n"), count(lit(1)).as("types"))
+      c.join(n, Seq("doc_id"))
+        .withColumn("hfp", expr(
+          "cast(round(-(cast(c as double) / n) * ln(cast(c as double) / n) * 1e12) as bigint)"))
+        .groupBy(col("doc_id"), col("n"), col("types"))
+        .agg(round(sum(col("hfp")) / 1e12, 6).as("entropy"))
+        .select(col("doc_id"), col("n").as("n_toks"), col("types").as("n_types"),
+          round(col("types").cast("double") / col("n"), 6).as("ttr"),
+          col("entropy"), (col("entropy") >= 2.5).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sketch-vs-exact audit for the MinHash estimator (the q58/q61/q66
+    // governed-sketch discipline applied to the dedup family's own
+    // sketch): for every confirmed q34 pair, the 8-component signature
+    // agreement fraction IS the Jaccard estimate — reported next to the
+    // exact sorted-merge Jaccard with its absolute error, so a
+    // signature regression (permutation family, band wiring) shows up
+    // as a value diff, not just recall drift. Rides the standing
+    // shingle table; the signature join is doc-keyed; pair volume is
+    // q34's (LSH-bounded, never all-pairs).
+    "q96_minhash_estimate" -> ((s, d) => {
+      val sig = materializedShingles(s, d)
+        .select(col("doc_id"), TextFns.minhashSignature(col("hs"), NumHashes).as("mh"))
+      confirmedPairs(s, d)
+        .join(sig.select(col("doc_id").as("ida"), col("mh").as("ma")),
+          col("doc_a") === col("ida"))
+        .join(sig.select(col("doc_id").as("idb"), col("mh").as("mb")),
+          col("doc_b") === col("idb"))
+        .withColumn("n_match", expr(
+          "aggregate(zip_with(ma, mb, (x, y) -> if(x = y, 1, 0)), 0, (a, e) -> a + e)")
+          .cast("long"))
+        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"),
+          col("n_match"),
+          round(col("n_match") / lit(NumHashes.toDouble), 6).as("est_jacc"),
+          round(abs(col("n_match") / lit(NumHashes.toDouble) - col("jacc")), 6)
+            .as("abs_err"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Power-of-2 document-length histogram per language (the corpus
+    // shape profile batch sizing and packing policies read): bucket =
+    // ⌊log2(n_chars)⌋ computed as INTEGER bit-length − 1 on both
+    // engines (never float log2, whose behavior at exact powers of two
+    // is library-dependent). One keyed shuffle agg over (lang, bucket)
+    // — |langs|·64-bounded output, linear scan, nothing else.
+    "q97_length_buckets" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket", (length(expr("bin(n_chars)")) - 1).cast("int"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // Zipf head coverage per language: the fraction of token volume the
+    // top-10 tokens carry — the boilerplate/formulaic-content signal
+    // (natural corpora sit near Zipf; template farms spike the head).
+    // The corpus collapses to the (lang, tok) count relation first; the
+    // rank window partitions BY LANG over that |vocab|-bounded
+    // aggregate (the q62 shape — no global window, no corpus-sized
+    // sort); per-lang totals broadcast back.
+    "q98_head_coverage" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val r = c.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))))
+      val n = c.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      r.groupBy(col("lang"))
+        .agg(sum(when(col("rn") <= 10, col("c")).otherwise(0L)).as("head_count"))
+        .join(broadcast(n), Seq("lang"))
+        .select(col("lang"), col("n").as("n_toks"), col("head_count"),
+          round(col("head_count").cast("double") / col("n"), 6).as("head_cov"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -2101,7 +2252,133 @@ object TextPipelineQueries extends QueryPack {
                     WHEN b.avg_nll <= p67.p67 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM b JOIN p33 USING (lang) JOIN p67 USING (lang)
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+
+      // Same idf form, same left-associated contribution expression
+      // tree, same ×1e9 fixed-point round-then-int64-sum as the Spark
+      // twin (HUGEINT sum → double is exact at these magnitudes), same
+      // (score desc, doc_id) total order under LIMIT.
+      "q93_bm25" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM d),
+        qt AS (SELECT unnest(['spark', 'join', 'stream']) AS term),
+        tf AS (
+          SELECT d.doc_id, q.term, d.dl,
+                 CAST(len(list_filter(d.toks, x -> x = q.term)) AS BIGINT) AS tf
+          FROM d CROSS JOIN qt q
+          WHERE len(list_filter(d.toks, x -> x = q.term)) > 0),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        fp AS (
+          SELECT tf.doc_id, tf.dl,
+                 CAST(ROUND(ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))
+                   * 1e9) AS BIGINT) AS contrib_fp
+          FROM tf JOIN df USING (term) CROSS JOIN g)
+        SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_hit,
+               ROUND(SUM(contrib_fp) / 1e9, 6) AS score
+        FROM fp GROUP BY doc_id, dl
+        ORDER BY score DESC, doc_id LIMIT 10""",
+
+      // Same p·ln(p/q) tree, ×1e12 fixed-point per-type contributions,
+      // int64 sum — order-independent on both engines.
+      "q94_source_kl" -> """
+        WITH t AS (
+          SELECT source,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        u AS (SELECT source, unnest(toks) AS tok FROM t),
+        cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY source, tok),
+        ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cs GROUP BY source),
+        cw AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS c_w FROM cs GROUP BY tok),
+        nn AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+        fp AS (
+          SELECT cs.source,
+                 CAST(ROUND((CAST(cs.c AS DOUBLE) / ns.n_s)
+                   * ln((CAST(cs.c AS DOUBLE) / ns.n_s) / (CAST(cw.c_w AS DOUBLE) / nn.n))
+                   * 1e12) AS BIGINT) AS kfp
+          FROM cs JOIN ns USING (source) JOIN cw USING (tok) CROSS JOIN nn)
+        SELECT source, MAX(ns.n_s) AS n_toks, CAST(COUNT(*) AS BIGINT) AS vocab,
+               ROUND(SUM(kfp) / 1e12, 6) AS kl
+        FROM fp JOIN ns USING (source) GROUP BY source
+        ORDER BY source""",
+
+      // Same −p·ln p tree, ×1e12 fixed-point, 6-dp round before the
+      // keep compare.
+      "q95_doc_entropy" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY doc_id, tok),
+        n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS types
+              FROM c GROUP BY doc_id),
+        fp AS (
+          SELECT c.doc_id,
+                 CAST(ROUND(-(CAST(c.c AS DOUBLE) / n.n) * ln(CAST(c.c AS DOUBLE) / n.n)
+                   * 1e12) AS BIGINT) AS hfp
+          FROM c JOIN n USING (doc_id))
+        SELECT n.doc_id, n.n AS n_toks, n.types AS n_types,
+               ROUND(CAST(n.types AS DOUBLE) / n.n, 6) AS ttr,
+               ROUND(SUM(hfp) / 1e12, 6) AS entropy,
+               ROUND(SUM(hfp) / 1e12, 6) >= 2.5 AS keep
+        FROM fp JOIN n USING (doc_id) GROUP BY n.doc_id, n.n, n.types
+        ORDER BY n.doc_id""",
+
+      // Reuses pairsCtes' sig/pairs CTEs: the estimate is the fraction
+      // of the 8 signature components that agree; jacc is the exact
+      // sorted-set Jaccard both engines already compute for q34.
+      // abs_err is computed on the UNROUNDED jacc then 6-dp rounded,
+      // mirroring the Spark twin.
+      "q96_minhash_estimate" -> s"""
+        $pairsCtes,
+        est AS (
+          SELECT p.doc_a, p.doc_b, p.jacc,
+                 CAST(len(list_filter(generate_series(1, $NumHashes),
+                   j -> ma.mh[j] = mb.mh[j])) AS BIGINT) AS n_match
+          FROM pairs p
+          JOIN sig ma ON p.doc_a = ma.doc_id
+          JOIN sig mb ON p.doc_b = mb.doc_id
+          WHERE p.jacc >= $JaccThreshold)
+        SELECT doc_a, doc_b, ROUND(jacc, 6) AS jacc, n_match,
+               ROUND(n_match / ${NumHashes.toDouble}, 6) AS est_jacc,
+               ROUND(abs(n_match / ${NumHashes.toDouble} - jacc), 6) AS abs_err
+        FROM est ORDER BY doc_a, doc_b""",
+
+      // Integer bit-length − 1 on both engines (format('{:b}') here,
+      // bin() in Spark) — never float log2.
+      "q97_length_buckets" -> """
+        SELECT lang, CAST(length(format('{:b}', n_chars)) - 1 AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang, bucket
+        ORDER BY lang, bucket""",
+
+      // Rank ties broken by token on both engines; head_cov is a ratio
+      // of exact integer counts, 6-dp rounded.
+      "q98_head_coverage" -> """
+        WITH t AS (
+          SELECT lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        u AS (SELECT lang, unnest(toks) AS tok FROM t),
+        c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY lang, tok),
+        r AS (SELECT lang, tok, c,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+              FROM c),
+        n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY lang)
+        SELECT r.lang, MAX(n.n) AS n_toks,
+               CAST(SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT) AS head_count,
+               ROUND(CAST(SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS DOUBLE) / MAX(n.n), 6)
+                 AS head_cov
+        FROM r JOIN n USING (lang) GROUP BY r.lang
+        ORDER BY r.lang"""
     )
   }
 }

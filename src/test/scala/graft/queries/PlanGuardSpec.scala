@@ -34,7 +34,9 @@ class PlanGuardSpec extends SparkSpec {
     "q44_ann_ivf",       // centroids (~sqrt(n), broadcast) and probes (<= 10)
     "q50_ann_recall",    // composes q38/q44, inheriting their bounded sides
     "q85_pmi_phrases",   // the 1-row N1/N2 scalar-agg totals, broadcast
-    "q88_textrank")      // the 1-row node-count scalar aggregate, broadcast
+    "q88_textrank",      // the 1-row node-count scalar aggregate, broadcast
+    "q93_bm25",          // the 1-row corpus N/avgdl scalar aggregate, broadcast
+    "q94_source_kl")     // the 1-row corpus token total, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
