@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
-import graft.expressions.{BigramStatsExpr, CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SortedIntersectCountExpr, TrigramPackExpr, WordHitsExpr}
+import graft.expressions.{BigramStatsExpr, CosineSimilarityExpr, Hash16ArrayExpr, Hash32ArrayExpr, Hash48ArrayExpr, MinHashFromHashesExpr, MinHashSignatureExpr, ShingleHash32Expr, SimHash16Expr, SimHash48Expr, SortedIntersectCountExpr, TrigramPackExpr, WordHitsExpr}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions as SQL functions so both the DataFrame surface
@@ -87,6 +87,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(arr) => SimHash16Expr(arr)
         case _ => throw new IllegalArgumentException(
           "graft_simhash16(hs ARRAY<BIGINT>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash48_arr"),
+      new ExpressionInfo(classOf[Hash48ArrayExpr].getName, "graft_hash48_arr"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => Hash48ArrayExpr(arr)
+        case _ => throw new IllegalArgumentException(
+          "graft_hash48_arr(arr ARRAY<STRING>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash48"),
+      new ExpressionInfo(classOf[SimHash48Expr].getName, "graft_simhash48"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr) => SimHash48Expr(arr)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash48(hs ARRAY<BIGINT>)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),

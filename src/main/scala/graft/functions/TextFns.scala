@@ -87,6 +87,23 @@ object TextFns {
   def hash16Array(arr: Column): Column =
     call_function("graft_hash16_arr", arr)
 
+  /** 48-bit md5-prefix hash (first 12 hex chars), the SimHash near-dup
+    * JOIN fingerprint width — wide enough that a hamming<=3 match is
+    * evidence of shared content, not hash noise (random-pair collision
+    * P ~ 1.8e4 / 2^48), where 16 bits is only an audit fingerprint. */
+  def hash48(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  /** Vectorized [[hash48]] over a string array — native graft_hash48_arr. */
+  def hash48Array(arr: Column): Column =
+    call_function("graft_hash48_arr", arr)
+
+  /** Native 48-bit SimHash over a pre-hashed token array — one pass over
+    * all 48 bit-counters (graft_simhash48), same kernel family as q36's
+    * graft_simhash16. */
+  def simhash48(hashes: Column): Column =
+    call_function("graft_simhash48", hashes)
+
   /** Fused `hash32Array(array_distinct(wordShingles(toks, n)))` — native
     * graft_shingle_hash32: window, join, first-occurrence string dedup and
     * md5 prefix in one pass (ShingleHash32Expr). The shingle-table build's

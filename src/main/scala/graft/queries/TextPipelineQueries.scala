@@ -1368,6 +1368,130 @@ object TextPipelineQueries extends QueryPack {
         .select(col("lang"), col("n").as("n_toks"), col("head_count"),
           round(col("head_count").cast("double") / col("n"), 6).as("head_cov"))
         .orderBy(col("lang"))
+    }),
+
+    // Temperature-scaled mixture resampling (the multilingual-balance
+    // move: keep probability ∝ n_l^α with α = 0.5, so head languages are
+    // suppressed toward the tail — the standard temperature-sampling
+    // recipe): per-language weight w = √n_l is fix-pointed to 1e-6 BEFORE
+    // the total (Σ of 6-dp-rounded doubles is summation-order-dependent;
+    // Σ of their int64 images is exact), the keep threshold is derived
+    // from exact integers through one identical double expression tree on
+    // both engines, rounded once to an int32 gate, and each doc's verdict
+    // is the hash32 gate family (q49/q75/q80) — deterministic under any
+    // partitioning. Target volume = 30% of the corpus. Two tiny aggs
+    // broadcast back; one linear pass; output is |langs| rows.
+    "q101_temperature_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val pl = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+        .withColumn("w_fp",
+          expr("cast(round(sqrt(cast(n_l as double)) * 1000000) as bigint)"))
+      val tot = pl.agg(sum(col("w_fp")).as("sw_fp"), sum(col("n_l")).as("n"))
+      val thr = pl.join(broadcast(tot), expr("true"))
+        .withColumn("t_l", expr(
+          "least(cast(4294967296 as bigint), cast(round(" +
+          "cast((n * 3) div 10 as double) * w_fp / sw_fp * 4294967296 / n_l" +
+          ") as bigint))"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .withColumn("h",
+          TextFns.hash32(concat(lit("temp|"), col("doc_id").cast("string"))))
+        .groupBy(col("lang"))
+        .agg(max(col("n_l")).as("n_docs"),
+          round(max(col("w_fp")) / 1e6, 6).as("w_l"),
+          max(col("t_l")).as("t_l"),
+          sum(when(col("h") < col("t_l"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("w_l"), col("t_l"),
+          col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 6).as("keep_rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // SimHash near-dup JOIN (Manku et al., WWW'07 — the fingerprint-side
+    // complement of q34's MinHash-LSH: one 48-bit int per doc instead of
+    // an 8-long signature, hamming distance instead of band agreement):
+    // pairs within hamming ≤ 3 must agree exactly on ≥ 1 of 4 disjoint
+    // 12-bit bands (pigeonhole), so candidates come from a keyed
+    // (band, key) equi-join — never all-pairs — and the exact popcount
+    // confirm is one xor+bit_count per candidate. At 48 bits a random
+    // pair passes hamming ≤ 3 with P ≈ 1.8e4/2^48, so survivors are
+    // shared content, not hash noise (16-bit simhash, q36, is an audit
+    // fingerprint — its collision rate makes it unusable as a JOIN key).
+    // The fingerprint itself is the native one-pass graft_simhash48
+    // kernel over vectorized md5-prefix token hashes. Band width widens
+    // with corpus size in deployment (wider keys keep buckets data-
+    // bounded, the q39 derived-geometry discipline); 12 bits is corpus-
+    // calibrated here.
+    "q102_simhash_neardup" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.simhash48(TextFns.hash48Array(TextFns.tokens(col("text"))))
+            .as("sh"))
+      val bands = sh.select(col("doc_id"), col("sh"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("key",
+          expr("(sh div cast(power(4096, band) as bigint)) % 4096"))
+      bands.select(col("band"), col("key"),
+          col("doc_id").as("doc_a"), col("sh").as("sim_a"))
+        .join(bands.select(col("band"), col("key"),
+            col("doc_id").as("doc_b"), col("sh").as("sim_b")),
+          Seq("band", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Train/val/test split with LEAKAGE audit (the eval-integrity check a
+    // training pipeline runs before shipping a split): docs are assigned
+    // 90/5/5 by the deterministic hash32 gate, then every q34-confirmed
+    // near-dup pair is scored for whether it CROSSES the train/eval
+    // boundary — a val or test doc with a training-set near-duplicate
+    // invalidates the eval. Output is every confirmed pair with both
+    // split labels and the leak verdict. Scale shape: the split table is
+    // a per-row map; the pair relation is q34's (LSH-bounded); two keyed
+    // equi-joins attach splits.
+    "q103_split_leakage" -> ((s, d) => {
+      val sp = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("gate",
+          TextFns.hash32(concat(lit("split|"), col("doc_id").cast("string")))
+            % 100)
+        .withColumn("split",
+          when(col("gate") < 90, "train").when(col("gate") < 95, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("split"))
+      confirmedPairs(s, d)
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+          Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"),
+          col("split_a"), col("split_b"),
+          ((col("split_a") === "train") =!= (col("split_b") === "train"))
+            .as("leak"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Duplication-graph degree profile (the hotspot view of the q34 pair
+    // relation: template/boilerplate docs show up as high-degree nodes
+    // long before q59's full component resolution): per-doc near-dup
+    // degree, Jaccard-weighted degree, and strongest edge. The weighted
+    // degree sums 1e-6 fix-pointed Jaccards (exact int64, summation-
+    // order-free) and rounds once at the end. One union + one keyed agg
+    // over the (LSH-bounded) pair relation.
+    "q104_dup_degree" -> ((s, d) => {
+      val p = confirmedPairs(s, d)
+        .withColumn("jfp", expr("cast(round(jacc * 1000000) as bigint)"))
+      p.select(col("doc_a").as("doc_id"), col("jfp"))
+        .union(p.select(col("doc_b").as("doc_id"), col("jfp")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("degree"), sum(col("jfp")).as("wfp"),
+          max(col("jfp")).as("mfp"))
+        .select(col("doc_id"), col("degree"),
+          round(col("wfp") / 1e6, 6).as("wdegree"),
+          round(col("mfp") / 1e6, 6).as("max_jacc"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2378,7 +2502,123 @@ object TextPipelineQueries extends QueryPack {
                ROUND(CAST(SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS DOUBLE) / MAX(n.n), 6)
                  AS head_cov
         FROM r JOIN n USING (lang) GROUP BY r.lang
-        ORDER BY r.lang"""
+        ORDER BY r.lang""",
+
+      // Same 1e-6 fixed-point √n_l weights (so the weight TOTAL is an
+      // exact integer sum, never an order-dependent float sum), the same
+      // single double expression tree for the threshold, the same hash32
+      // gate.
+      "q101_temperature_resample" -> {
+        val tempHash = hex32.replace("md5(x)", "md5('temp|' || CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH pl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+                    FROM documents GROUP BY lang),
+        w AS (SELECT lang, n_l,
+                     CAST(ROUND(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT) AS w_fp
+              FROM pl),
+        tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS sw_fp,
+                       CAST(SUM(n_l) AS BIGINT) AS n FROM w),
+        thr AS (
+          SELECT lang, n_l, w_fp,
+                 LEAST(CAST(4294967296 AS BIGINT),
+                   CAST(ROUND(CAST((n * 3) // 10 AS DOUBLE)
+                     * w_fp / sw_fp * 4294967296 / n_l) AS BIGINT)) AS t_l
+          FROM w, tot),
+        k AS (
+          SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN CAST($tempHash AS BIGINT) < t.t_l
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM documents d JOIN thr t USING (lang) GROUP BY d.lang)
+        SELECT k.lang, k.n_docs, ROUND(t.w_fp / 1e6, 6) AS w_l, t.t_l,
+               k.n_kept,
+               ROUND(CAST(k.n_kept AS DOUBLE) / k.n_docs, 6) AS keep_rate
+        FROM k JOIN thr t USING (lang)
+        ORDER BY k.lang"""
+      },
+
+      // Same 48-bit md5-prefix token hashes, the same 48 ±1 bit-counter
+      // folds (list_sum per bit — the unfused image of graft_simhash48,
+      // integer-exact), the same 4×12-bit pigeonhole bands and xor/
+      // bit_count confirm.
+      "q102_simhash_neardup" -> {
+        val hex48 = (1 to 12).map { p =>
+          s"(strpos('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * ${1L << (4 * (12 - p))}"
+        }.mkString(" + ")
+        val sums = (0 until 48).map { i =>
+          s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s_$i"
+        }.mkString(",\n                 ")
+        val assemble = (0 until 48).map { i =>
+          s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                   t -> CAST($hex48 AS BIGINT)) AS hs
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 $sums
+          FROM t),
+        sh AS (
+          SELECT doc_id, CAST($assemble AS BIGINT) AS sh FROM b),
+        bands AS (
+          SELECT doc_id, sh, band,
+                 (sh // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 4096
+                         WHEN 2 THEN 16777216 ELSE 68719476736 END)) % 4096 AS key
+          FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+                 a.sh AS sim_a, bb.sh AS sim_b
+          FROM bands a JOIN bands bb
+            ON a.band = bb.band AND a.key = bb.key AND a.doc_id < bb.doc_id)
+        SELECT doc_a, doc_b, sim_a, sim_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        ORDER BY doc_a, doc_b"""
+      },
+
+      // The q34 pair relation (pairsCtes, jacc >= threshold like q96's
+      // oracle) joined against the same hash32 90/5/5 split gate; leak
+      // when exactly one endpoint is in train.
+      "q103_split_leakage" -> {
+        val splitHash = hex32.replace("md5(x)", "md5('split|' || CAST(doc_id AS VARCHAR))")
+        s"""
+        $pairsCtes,
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN CAST($splitHash AS BIGINT) % 100 < 90 THEN 'train'
+                      WHEN CAST($splitHash AS BIGINT) % 100 < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT p.doc_a, p.doc_b, ROUND(p.jacc, 6) AS jacc,
+               a.split AS split_a, b.split AS split_b,
+               (a.split = 'train') <> (b.split = 'train') AS leak
+        FROM pairs p
+        JOIN sp a ON p.doc_a = a.doc_id
+        JOIN sp b ON p.doc_b = b.doc_id
+        WHERE p.jacc >= $JaccThreshold
+        ORDER BY p.doc_a, p.doc_b"""
+      },
+
+      // Same 1e-6 fixed-point Jaccard weights summed exactly, rounded
+      // once at the end; degree/max are order-free already.
+      "q104_dup_degree" -> s"""
+        $pairsCtes,
+        conf AS (
+          SELECT doc_a, doc_b,
+                 CAST(ROUND(jacc * 1000000) AS BIGINT) AS jfp
+          FROM pairs WHERE jacc >= $JaccThreshold),
+        e AS (
+          SELECT doc_a AS doc_id, jfp FROM conf
+          UNION ALL SELECT doc_b, jfp FROM conf)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree,
+               ROUND(SUM(jfp) / 1e6, 6) AS wdegree,
+               ROUND(MAX(jfp) / 1e6, 6) AS max_jacc
+        FROM e GROUP BY doc_id
+        ORDER BY doc_id"""
     )
   }
 }

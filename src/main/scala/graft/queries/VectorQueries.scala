@@ -478,6 +478,97 @@ object VectorQueries extends QueryPack {
           round(Vectors.cosineHof(col("embedding"), col("centroid")), 6).as("cos_c"))
         .withColumn("is_outlier", col("cos_c") < 0.0)
         .orderBy(col("vec_id"))
+    }),
+
+    // Distributed PCA: top principal component of the embedding corpus by
+    // the power method, ENTIRELY in exact integer arithmetic so the
+    // component — and every per-vector projection score derived from it —
+    // is bit-identical under any partitioning or join order (the
+    // whitening / spectral-outlier screen of an embedding pipeline).
+    // Shape: elements fix-pointed at 1e-6 (the q92 idiom) and centered
+    // against per-dimension means; the dims×dims Gram matrix is ONE keyed
+    // shuffle agg over the exploded (vec, i)×(vec, j) self-join — per-
+    // vector fan-out is dims², the agg collapses to dims² rows with map-
+    // side partial combine, so corpus size only scans, never widens.
+    // Twelve power-method steps then run on the dims²-row aggregate
+    // (64-row matvecs, the q88 unrolled-iteration shape; each step
+    // localCheckpoints its 64-row state so the plan stays shallow —
+    // the q59 idiom); normalization is pure integer division
+    // (u div (max|u| div 1e12)), exact on both engines (both truncate
+    // toward zero), and the decimal(38,0)/HUGEINT matvec products cannot
+    // overflow at any corpus scale. Like q88's fixed 3-step PageRank,
+    // the operator is DEFINED as a fixed 12-step refinement: both
+    // engines run the same steps, so the gate is exact regardless of
+    // spectral gap. Sign fixed at the largest-|component| dimension
+    // (ties to lowest index). The projection join back to vectors is a
+    // 64-row broadcast; output is one row per vector.
+    "q99_pca_power" -> ((s, d) => {
+      val T = 12
+      val emb = Tables.embeddings(s, d)
+      val xf = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("xfp", expr("cast(round(cast(x as double) * 1000000) as bigint)"))
+      val mean = xf.groupBy(col("i"))
+        .agg(expr("cast(round(avg(xfp)) as bigint)").as("mfp"))
+      val cent = xf.join(broadcast(mean), Seq("i"))
+        .select(col("vec_id"), col("i"), (col("xfp") - col("mfp")).as("c"))
+      val g = graft.operators.MaterializeOnce(
+          s"pca_gram|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        cent.select(col("vec_id"), col("i").as("gi"), col("c").as("ca"))
+          .join(cent.select(col("vec_id"), col("i").as("gj"), col("c").as("cb")),
+            Seq("vec_id"))
+          .groupBy(col("gi"), col("gj"))
+          .agg(sum(expr("cast(ca as decimal(12,0)) * cast(cb as decimal(12,0))"))
+            .as("g"))
+      }
+      var v = mean.select(col("i"),
+        expr("cast(1000000000000 as decimal(38,0))").as("v"))
+      for (_ <- 1 to T) {
+        val u = g.join(v.select(col("i").as("gj"), col("v")), Seq("gj"))
+          .groupBy(col("gi"))
+          .agg(sum(expr("cast(g as decimal(38,0)) * v")).as("u"))
+        val m = u.agg(max(abs(col("u"))).as("m"))
+        v = u.join(broadcast(m), expr("true"))
+          .select(col("gi").as("i"),
+            expr("cast(u div (m div 1000000000000) as decimal(38,0))").as("v"))
+          .localCheckpoint(true)
+      }
+      val ma = v.agg(max(abs(col("v"))).as("ma"))
+      val sgn = v.join(broadcast(ma), expr("true"))
+        .filter(abs(col("v")) === col("ma"))
+        .agg(expr("min_by(CASE WHEN v > 0 THEN 1 ELSE -1 END, i)").as("sgn"))
+      val vf = v.join(broadcast(sgn), expr("true"))
+        .select(col("i"), expr("cast(v * sgn as decimal(38,0))").as("v"))
+      val proj = cent.join(broadcast(vf), Seq("i"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("cast(c as decimal(12,0)) * v")).as("pfp"))
+      proj.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("vec_id"), col("label"),
+          round(col("pfp").cast("double") / 1e18, 6).as("proj"),
+          (abs(round(col("pfp").cast("double") / 1e18, 6)) > 0.75).as("is_extreme"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Hard-negative mining (contrastive-training data prep): for each
+    // query vector, the top-5 most-similar vectors with a DIFFERENT
+    // label — the "looks similar, means different" pairs a contrastive
+    // loss needs. Same scale shape as q38: the tiny query side broadcasts
+    // across the corpus (whitelisted bounded-side NLJ, label-exclusion
+    // predicate evaluated in the stream), exact cosine via the fused
+    // native kernel, and per-query top-k goes through TopK.perKey
+    // (per-partition heap + final merge), never a corpus-wide sort.
+    "q100_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      val scored = emb.join(broadcast(qs), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
+      TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+          5, col("vec_id"))
+        .select(col("q_id"), col("q_label"), col("rank"), col("vec_id"),
+          col("label"), col("cos"))
+        .orderBy(col("q_id"), col("rank"))
     })
   )
 
@@ -733,7 +824,75 @@ object VectorQueries extends QueryPack {
                  ROUND(${cosSql("e.embedding", "c.centroid")}, 6) AS cos_c
           FROM embeddings e JOIN carr c USING (label))
         SELECT vec_id, label, cos_c, cos_c < 0.0 AS is_outlier
-        FROM sc ORDER BY vec_id"""
+        FROM sc ORDER BY vec_id""",
+
+      // The same exact-integer pipeline as the Spark twin: 1e-6 fixed-
+      // point elements, integer-rounded per-dimension means, HUGEINT Gram
+      // accumulation (mirrors decimal(38,0)), twelve unrolled power-method
+      // steps with the SAME integer normalization u // (max|u| // 1e12)
+      // (both engines truncate toward zero), the same largest-|component|
+      // sign rule, and the projection rounded from the exact integer at
+      // the very end. CTEs are MATERIALIZED: each step feeds two
+      // consumers, and inlined expansion would be exponential in steps.
+      "q99_pca_power" -> {
+        val S = 1000000000000L
+        val iters = (1 to 12).map { t =>
+          val prev = if (t == 1) "v0" else s"v${t - 1}"
+          s"""u$t AS MATERIALIZED (
+          SELECT g.gi, SUM(CAST(g.g AS HUGEINT) * $prev.v) AS u
+          FROM g JOIN $prev ON g.gj = $prev.i GROUP BY g.gi),
+        m$t AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u$t),
+        v$t AS MATERIALIZED (
+          SELECT gi AS i, CAST(u // (m // $S) AS HUGEINT) AS v FROM u$t, m$t)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH xf AS MATERIALIZED (
+          SELECT vec_id, CAST(i AS INTEGER) - 1 AS i,
+                 CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xfp
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        mean AS MATERIALIZED (
+          SELECT i, CAST(ROUND(AVG(xfp)) AS BIGINT) AS mfp FROM xf GROUP BY i),
+        c AS MATERIALIZED (
+          SELECT vec_id, xf.i, xfp - mfp AS c FROM xf JOIN mean USING (i)),
+        g AS MATERIALIZED (
+          SELECT a.i AS gi, b.i AS gj, SUM(CAST(a.c AS HUGEINT) * b.c) AS g
+          FROM c a JOIN c b USING (vec_id) GROUP BY a.i, b.i),
+        v0 AS (SELECT i, CAST($S AS HUGEINT) AS v FROM mean),
+        $iters,
+        mx AS (SELECT MAX(ABS(v)) AS ma FROM v12),
+        sg AS (SELECT MIN(i) AS si FROM v12, mx WHERE ABS(v) = ma),
+        sgn AS (SELECT CASE WHEN v > 0 THEN 1 ELSE -1 END AS s
+                FROM v12, sg WHERE i = si),
+        vf AS MATERIALIZED (SELECT i, v * s AS v FROM v12, sgn),
+        proj AS (
+          SELECT c.vec_id, SUM(CAST(c.c AS HUGEINT) * vf.v) AS pfp
+          FROM c JOIN vf USING (i) GROUP BY c.vec_id)
+        SELECT e.vec_id, e.label, ROUND(CAST(pfp AS DOUBLE) / 1e18, 6) AS proj,
+               ABS(ROUND(CAST(pfp AS DOUBLE) / 1e18, 6)) > 0.75 AS is_extreme
+        FROM proj JOIN embeddings e USING (vec_id)
+        ORDER BY e.vec_id"""
+      },
+
+      // Same unrounded cosine fold as q38's oracle, label-exclusion in
+      // the predicate, ties broken by vec_id under the rank.
+      "q100_hard_negatives" -> s"""
+        WITH q AS (
+          SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+          FROM embeddings WHERE vec_id < $NumQueries),
+        scored AS (
+          SELECT q.q_id, q.q_label, e.vec_id, e.label,
+                 ${cosSql("q.q_emb", "e.embedding")} AS cos
+          FROM q, embeddings e
+          WHERE e.label <> q.q_label),
+        ranked AS (
+          SELECT q_id, q_label, vec_id, label, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT q_id, q_label, rank, vec_id, label, cos
+        FROM ranked WHERE rank <= 5
+        ORDER BY q_id, rank"""
     )
   }
 }

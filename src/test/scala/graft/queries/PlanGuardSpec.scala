@@ -36,7 +36,10 @@ class PlanGuardSpec extends SparkSpec {
     "q85_pmi_phrases",   // the 1-row N1/N2 scalar-agg totals, broadcast
     "q88_textrank",      // the 1-row node-count scalar aggregate, broadcast
     "q93_bm25",          // the 1-row corpus N/avgdl scalar aggregate, broadcast
-    "q94_source_kl")     // the 1-row corpus token total, broadcast
+    "q94_source_kl",     // the 1-row corpus token total, broadcast
+    "q99_pca_power",     // 1-row max/sign scalar aggregates, broadcast
+    "q100_hard_negatives", // query vectors (< 5 rows) cross corpus, as q38
+    "q101_temperature_resample") // the 1-row corpus-total aggregate, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
