@@ -462,6 +462,41 @@ object RelationalQueries extends QueryPack {
         .select(col("src_type"), col("dst_type"), col("n"), col("n_src"),
           round(col("n").cast("double") / col("n_src"), 6).as("p"))
         .orderBy(col("src_type"), col("dst_type"))
+    }),
+
+    // CUSUM drift detection over the event stream (the pipeline-
+    // observability primitive: "did this event type's hourly rate shift,
+    // and when?"): per-(type, hour) counts are one keyed agg; the
+    // deviation-from-mean is computed in EXACT integer arithmetic
+    // (n·n_hours − total — the rational mean cleared of its denominator,
+    // so no float drift enters the cumulative sum), CUSUM is a running
+    // sum window PARTITIONED BY TYPE over the hour-level aggregate
+    // (|types|·|hours| rows, never raw events), and the peak |CUSUM|
+    // hour — the changepoint estimate — is a rank window on the same
+    // aggregate. Output is |types| rows; only the final drift score
+    // divides into a double, rounded to 6 dp on both engines.
+    "q110_cusum_drift" -> ((s, d) => {
+      val hb = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = hb.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("nh"))
+      val cs = hb.join(tot, Seq("event_type"))
+        .withColumn("cusum", sum(col("n") * col("nh") - col("total")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("hr"))))
+      cs.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))
+            .orderBy(abs(col("cusum")).desc, col("hr"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("total").as("n_events"),
+          col("nh").as("n_hours"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("peak_hour"),
+          col("cusum").as("peak_cusum_fp"),
+          round(abs(col("cusum")).cast("double") / (col("total") * col("nh")), 6)
+            .as("drift"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -525,6 +560,35 @@ object RelationalQueries extends QueryPack {
       SELECT src_type, dst_type, CAST(n AS BIGINT) AS n, n_src,
              ROUND(CAST(n AS DOUBLE) / n_src, 6) AS p
       FROM tot ORDER BY src_type, dst_type""",
+
+    // Same integer CUSUM (n·nh − total cleared of the mean's
+    // denominator), same (|cusum| DESC, hr) changepoint pick.
+    "q110_cusum_drift" -> """
+      WITH hb AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS nh
+        FROM hb GROUP BY 1),
+      cs AS (
+        SELECT hb.event_type, hb.hr, t.total, t.nh,
+               CAST(SUM(hb.n * t.nh - t.total)
+                 OVER (PARTITION BY hb.event_type ORDER BY hb.hr) AS BIGINT)
+                 AS cusum
+        FROM hb JOIN tot t USING (event_type)),
+      rk AS (
+        SELECT event_type, hr, total, nh, cusum,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY ABS(cusum) DESC, hr) AS rn
+        FROM cs)
+      SELECT event_type, total AS n_events, nh AS n_hours,
+             strftime(hr, '%Y-%m-%d %H:%M:%S') AS peak_hour,
+             cusum AS peak_cusum_fp,
+             ROUND(CAST(ABS(cusum) AS DOUBLE) / (total * nh), 6) AS drift
+      FROM rk WHERE rn = 1
+      ORDER BY event_type""",
 
     "q01_groupby_agg" -> """
       SELECT l_returnflag, l_linestatus,

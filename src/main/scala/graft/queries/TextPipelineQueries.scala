@@ -228,6 +228,91 @@ object TextPipelineQueries extends QueryPack {
         JOIN hashed sa ON c.doc_a = sa.doc_id
         JOIN hashed sb ON c.doc_b = sb.doc_id)"""
 
+  /** Oracle CTE chain for the 48-bit SimHash candidate pairs (q102's
+    * fingerprint→band→bucket-join), names sx_-prefixed so it composes
+    * with pairsCtes in one WITH clause (q111). No leading WITH. */
+  private val simhashCtes: String = {
+    val hex48 = (1 to 12).map { p =>
+      s"(strpos('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * ${1L << (4 * (12 - p))}"
+    }.mkString(" + ")
+    val sums = (0 until 48).map { i =>
+      s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s_$i"
+    }.mkString(",\n                 ")
+    val assemble = (0 until 48).map { i =>
+      s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""sxt AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                   t -> CAST($hex48 AS BIGINT)) AS hs
+          FROM documents),
+        sxb AS (
+          SELECT doc_id,
+                 $sums
+          FROM sxt),
+        sxsh AS (
+          SELECT doc_id, CAST($assemble AS BIGINT) AS sh FROM sxb),
+        sxbands AS (
+          SELECT doc_id, sh, band,
+                 (sh // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 4096
+                         WHEN 2 THEN 16777216 ELSE 68719476736 END)) % 4096 AS key
+          FROM sxsh, (SELECT unnest([0, 1, 2, 3]) AS band)),
+        sxcand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+                 a.sh AS sim_a, bb.sh AS sim_b
+          FROM sxbands a JOIN sxbands bb
+            ON a.band = bb.band AND a.key = bb.key AND a.doc_id < bb.doc_id)"""
+  }
+
+  /** Shared by q105/q106: per-doc linear quality-model score in 1e-9
+    * fixed-point (each weighted feature contribution rounded to an int64
+    * BEFORE the sum, so the score is bit-identical on both engines and
+    * under any partitioning — the q93 idiom applied to model inference).
+    * Features: log doc length vs the 50-token sweet spot, type-token
+    * ratio vs 0.5, mean token length vs 4.5, and an English prior —
+    * stand-ins for a trained filter's coefficients; the POINT is the
+    * shape: applying a linear model at corpus scale is one per-row map,
+    * no shuffle. */
+  private def qualityScores(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        expr("cast(aggregate(toks, 0L, (a, x) -> a + length(x)) as bigint)")
+          .as("sum_len"))
+      .filter(col("n_toks") > 0)
+      .withColumn("sfp", expr(
+        "cast(round(1.2 * ln(cast(n_toks as double) / 50) * 1000000000) as bigint)" +
+        " + cast(round(2.0 * (cast(n_types as double) / n_toks - 0.5) * 1000000000) as bigint)" +
+        " + cast(round(0.8 * (cast(sum_len as double) / n_toks - 4.5) * 1000000000) as bigint)" +
+        " + CASE WHEN lang = 'en' THEN cast(500000000 as bigint) ELSE cast(0 as bigint) END"))
+
+  /** q102's confirmed near-dup pair relation (48-bit SimHash, 4×12-bit
+    * pigeonhole bands, hamming ≤ 3) — shared with the dedup-method
+    * agreement audit (q111). */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.simhash48(TextFns.hash48Array(TextFns.tokens(col("text"))))
+          .as("sh"))
+    val bands = sh.select(col("doc_id"), col("sh"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key",
+        expr("(sh div cast(power(4096, band) as bigint)) % 4096"))
+    bands.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"), col("sh").as("sim_a"))
+      .join(bands.select(col("band"), col("key"),
+          col("doc_id").as("doc_b"), col("sh").as("sim_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+      .filter(col("hamming") <= 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text stats + quality scoring: token count, BPE-ish subword count,
     // distinct-token count, mean token length, stopword ratio — the
@@ -1421,27 +1506,8 @@ object TextPipelineQueries extends QueryPack {
     // with corpus size in deployment (wider keys keep buckets data-
     // bounded, the q39 derived-geometry discipline); 12 bits is corpus-
     // calibrated here.
-    "q102_simhash_neardup" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          TextFns.simhash48(TextFns.hash48Array(TextFns.tokens(col("text"))))
-            .as("sh"))
-      val bands = sh.select(col("doc_id"), col("sh"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("key",
-          expr("(sh div cast(power(4096, band) as bigint)) % 4096"))
-      bands.select(col("band"), col("key"),
-          col("doc_id").as("doc_a"), col("sh").as("sim_a"))
-        .join(bands.select(col("band"), col("key"),
-            col("doc_id").as("doc_b"), col("sh").as("sim_b")),
-          Seq("band", "key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-        .distinct()
-        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
-        .filter(col("hamming") <= 3)
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "q102_simhash_neardup" -> ((s, d) =>
+      simhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
     // Train/val/test split with LEAKAGE audit (the eval-integrity check a
     // training pipeline runs before shipping a split): docs are assigned
@@ -1492,6 +1558,123 @@ object TextPipelineQueries extends QueryPack {
           round(col("wfp") / 1e6, 6).as("wdegree"),
           round(col("mfp") / 1e6, 6).as("max_jacc"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Model-based quality filtering (the "apply the trained classifier"
+    // stage of a corpus pipeline — FastText/logistic quality filters at
+    // web scale are exactly this shape): a linear model over per-doc
+    // features, evaluated in 1e-9 fixed-point per-contribution so the
+    // score — and the keep verdict — is bit-exact on both engines (see
+    // qualityScores). Pure per-row map + presentation sort; nothing
+    // shuffles at any corpus size.
+    "q105_quality_score" -> ((s, d) => {
+      // 6-dp score via exact integer rounding of the fixed-point value:
+      // sfp/1000.0 has fractional part k/1000 — representable exactly at
+      // the only hazardous point (.5 is dyadic) and 1e-3 from the
+      // boundary everywhere else — where round(sfp/1e9, 6) lands ON a
+      // decimal half for ~1/1000 of rows and the engines' HALF_UP vs
+      // binary-value rounding disagree (bit at the XL tier).
+      qualityScores(s, d)
+        .select(col("doc_id"), col("lang"), col("n_toks"),
+          (expr("cast(round(sfp / 1000.0) as bigint)") / 1e6).as("score"),
+          (col("sfp") > 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Threshold sweep / ROC audit of the q105 model against a weak label
+    // (lang = en — the label the en-prior feature makes informative):
+    // the SCALE-SAFE sweep shape is histogram-then-cumulate — scores
+    // bucket at 0.2 width by integer-exact floor, ONE keyed agg collapses
+    // the corpus to ~15 bucket rows, and the TPR/FPR curve is a
+    // cumulative window DOWN the score axis over that aggregate (the
+    // sanctioned aggregate-compacted global window), never a per-
+    // threshold corpus rescan and never a corpus-wide sort.
+    "q106_score_roc" -> ((s, d) => {
+      val bk = qualityScores(s, d)
+        .select((col("lang") === "en").as("pos"),
+          expr("cast(floor(sfp / 2e8) as int)").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(when(col("pos"), 1L).otherwise(0L)).as("pos"))
+      val tot = bk.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+      bk.withColumn("tp", sum(col("pos")).over(w))
+        .withColumn("pp", sum(col("n")).over(w))
+        .join(broadcast(tot), expr("true"))
+        .select(col("bucket"), round(col("bucket") * 0.2, 1).as("thr"),
+          col("n"), col("pos"), col("tp"), (col("pp") - col("tp")).as("fp"),
+          round(col("tp").cast("double") / col("pt"), 6).as("tpr"),
+          round((col("pp") - col("tp")).cast("double") / (col("nt") - col("pt")), 6)
+            .as("fpr"))
+        .orderBy(col("bucket").desc)
+    }),
+
+    // GOVERNED Bloom-filter membership audit (the q58/q61/q66 error-
+    // contract discipline applied to the set-membership sketch a pipeline
+    // uses for "seen this doc before?" at ingest): the filter over the
+    // reference half of the corpus (even doc_ids) is a DISTRIBUTED
+    // bit-position relation (≤ m rows) — never a driver-side bitset —
+    // built with k=5 md5-derived hashes into m = 2^ceil(log2(8·n_ref))
+    // bits (≈8 bits/key, derived from corpus size like q39's geometry).
+    // Membership-testing the whole corpus is one keyed equi-join of the
+    // k·n probe relation against the bit relation. The CONTRACT is the
+    // gate: zero false negatives (a Bloom filter's hard guarantee — any
+    // FN is an implementation bug) and observed FPR within 3× of the
+    // (1-e^(-kn/m))^k theoretical rate, both as verdict columns an exact
+    // DuckDB twin recomputes.
+    "q109_bloom_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("is_ref", col("doc_id") % 2 === 0)
+      val p = docs.filter(col("is_ref")).agg(count(lit(1)).as("n_ref"))
+        .withColumn("m", expr(
+          "shiftleft(cast(1 as bigint), length(bin(8 * n_ref - 1)))"))
+      val probes = docs.join(broadcast(p), expr("true"))
+        .select(col("doc_id"), col("lang"), col("is_ref"), col("m"),
+          explode(expr("sequence(0, 4)")).as("i"))
+        .withColumn("pos",
+          TextFns.hash32(concat(lit("bloom"), col("i").cast("string"),
+            lit("|"), col("doc_id").cast("string"))) % col("m"))
+      val bits = probes.filter(col("is_ref")).select(col("pos")).distinct()
+        .withColumn("hit", lit(1))
+      val mem = probes.join(bits, Seq("pos"), "left")
+        .groupBy(col("doc_id"), col("lang"), col("is_ref"))
+        .agg((min(coalesce(col("hit"), lit(0))) === 1).as("member"))
+      mem.groupBy(col("lang"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref_l"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("is_ref") && !col("member"), 1L).otherwise(0L)).as("n_fn"),
+          sum(when(!col("is_ref") && col("member"), 1L).otherwise(0L)).as("n_fp"))
+        .join(broadcast(p), expr("true"))
+        .withColumn("fpr_obs", round(col("n_fp").cast("double") / col("n_test"), 6))
+        .withColumn("fpr_exp", round(
+          pow(lit(1.0) - exp(lit(-5.0) * col("n_ref") / col("m")), 5), 6))
+        .select(col("lang"), col("n_ref_l"), col("n_test"), col("n_fn"),
+          col("n_fp"), col("m"), col("fpr_obs"), col("fpr_exp"),
+          (col("n_fn") === 0 && col("fpr_obs") <= lit(3.0) * col("fpr_exp"))
+            .as("within_bound"))
+        .orderBy(col("lang"))
+    }),
+
+    // Dedup-method AGREEMENT audit: the q34 MinHash-Jaccard pair relation
+    // and the q102 SimHash-hamming pair relation, full-outer-joined on
+    // the pair key — the method-comparison view a pipeline owner reads
+    // before trusting either dedup pass (token-set similarity and
+    // bit-fingerprint similarity catch overlapping but not identical pair
+    // sets). One keyed full-outer join of two already-bounded relations;
+    // jacc is NULL on simhash-only pairs and hamming NULL on
+    // minhash-only pairs, by construction.
+    "q111_dedup_agreement" -> ((s, d) => {
+      val mh = confirmedPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jacc"),
+          lit(true).as("in_minhash"))
+      val sh = simhashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          lit(true).as("in_simhash"))
+      mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+        .select(col("doc_a"), col("doc_b"),
+          coalesce(col("in_minhash"), lit(false)).as("in_minhash"),
+          coalesce(col("in_simhash"), lit(false)).as("in_simhash"),
+          col("jacc"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -2540,45 +2723,13 @@ object TextPipelineQueries extends QueryPack {
       // folds (list_sum per bit — the unfused image of graft_simhash48,
       // integer-exact), the same 4×12-bit pigeonhole bands and xor/
       // bit_count confirm.
-      "q102_simhash_neardup" -> {
-        val hex48 = (1 to 12).map { p =>
-          s"(strpos('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * ${1L << (4 * (12 - p))}"
-        }.mkString(" + ")
-        val sums = (0 until 48).map { i =>
-          s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s_$i"
-        }.mkString(",\n                 ")
-        val assemble = (0 until 48).map { i =>
-          s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END"
-        }.mkString(" + ")
-        s"""
-        WITH t AS (
-          SELECT doc_id,
-                 list_transform(
-                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-                   t -> CAST($hex48 AS BIGINT)) AS hs
-          FROM documents),
-        b AS (
-          SELECT doc_id,
-                 $sums
-          FROM t),
-        sh AS (
-          SELECT doc_id, CAST($assemble AS BIGINT) AS sh FROM b),
-        bands AS (
-          SELECT doc_id, sh, band,
-                 (sh // (CASE band WHEN 0 THEN 1 WHEN 1 THEN 4096
-                         WHEN 2 THEN 16777216 ELSE 68719476736 END)) % 4096 AS key
-          FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
-                 a.sh AS sim_a, bb.sh AS sim_b
-          FROM bands a JOIN bands bb
-            ON a.band = bb.band AND a.key = bb.key AND a.doc_id < bb.doc_id)
+      "q102_simhash_neardup" -> s"""
+        WITH $simhashCtes
         SELECT doc_a, doc_b, sim_a, sim_b,
                CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
-        FROM cand
+        FROM sxcand
         WHERE bit_count(xor(sim_a, sim_b)) <= 3
-        ORDER BY doc_a, doc_b"""
-      },
+        ORDER BY doc_a, doc_b""",
 
       // The q34 pair relation (pairsCtes, jacc >= threshold like q96's
       // oracle) joined against the same hash32 90/5/5 split gate; leak
@@ -2618,7 +2769,131 @@ object TextPipelineQueries extends QueryPack {
                ROUND(SUM(jfp) / 1e6, 6) AS wdegree,
                ROUND(MAX(jfp) / 1e6, 6) AS max_jacc
         FROM e GROUP BY doc_id
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+
+      // Same fixed-point per-contribution rounding, same expression
+      // trees over exact integer features.
+      "q105_quality_score" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id, lang, n_toks,
+                 CAST(ROUND(1.2 * ln(CAST(n_toks AS DOUBLE) / 50) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(2.0 * (CAST(n_types AS DOUBLE) / n_toks - 0.5) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(0.8 * (CAST(sum_len AS DOUBLE) / n_toks - 4.5) * 1000000000) AS BIGINT)
+                 + CASE WHEN lang = 'en' THEN 500000000 ELSE 0 END AS sfp
+          FROM f)
+        SELECT doc_id, lang, n_toks,
+               CAST(ROUND(sfp / 1000.0) AS BIGINT) / 1e6 AS score,
+               sfp > 0 AS keep
+        FROM s ORDER BY doc_id""",
+
+      // Same integer-exact bucketing, same cumulative-down-the-axis
+      // window over the bucket aggregate.
+      "q106_score_roc" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id, lang,
+                 CAST(ROUND(1.2 * ln(CAST(n_toks AS DOUBLE) / 50) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(2.0 * (CAST(n_types AS DOUBLE) / n_toks - 0.5) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(0.8 * (CAST(sum_len AS DOUBLE) / n_toks - 4.5) * 1000000000) AS BIGINT)
+                 + CASE WHEN lang = 'en' THEN 500000000 ELSE 0 END AS sfp
+          FROM f),
+        bk AS (
+          SELECT CAST(FLOOR(sfp / 2e8) AS INTEGER) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+          FROM s GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt FROM bk),
+        cum AS (
+          SELECT bucket, n, pos,
+                 CAST(SUM(pos) OVER (ORDER BY bucket DESC) AS BIGINT) AS tp,
+                 CAST(SUM(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS pp
+          FROM bk)
+        SELECT bucket, CAST(ROUND(bucket * 0.2, 1) AS DOUBLE) AS thr, n, pos, tp,
+               pp - tp AS fp,
+               ROUND(CAST(tp AS DOUBLE) / pt, 6) AS tpr,
+               ROUND(CAST(pp - tp AS DOUBLE) / (nt - pt), 6) AS fpr
+        FROM cum, tot
+        ORDER BY bucket DESC""",
+
+      // Same k=5 md5 probe hashes into the same derived m, same
+      // bit-relation join, same contract arithmetic (rounded on both
+      // sides before the bound comparison).
+      "q109_bloom_audit" -> {
+        val bloomHash = hex32.replace("md5(x)",
+          "md5('bloom' || CAST(i AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH p AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_ref,
+                 (CAST(1 AS BIGINT) << length(bin(8 * COUNT(*) - 1))) AS m
+          FROM documents WHERE doc_id % 2 = 0),
+        pr AS (
+          SELECT doc_id, lang, doc_id % 2 = 0 AS is_ref,
+                 CAST($bloomHash AS BIGINT) % p.m AS pos
+          FROM documents, generate_series(0, 4) g(i), p),
+        bits AS (SELECT DISTINCT pos FROM pr WHERE is_ref),
+        mem AS (
+          SELECT pr.doc_id, pr.lang, pr.is_ref,
+                 MIN(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) = 1 AS member
+          FROM pr LEFT JOIN bits ON pr.pos = bits.pos
+          GROUP BY 1, 2, 3),
+        agg AS (
+          SELECT lang,
+                 CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_l,
+                 CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+                 CAST(SUM(CASE WHEN is_ref AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+                 CAST(SUM(CASE WHEN NOT is_ref AND member THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+          FROM mem GROUP BY 1)
+        SELECT a.lang, a.n_ref_l, a.n_test, a.n_fn, a.n_fp, p.m,
+               ROUND(CAST(a.n_fp AS DOUBLE) / a.n_test, 6) AS fpr_obs,
+               ROUND(POWER(1.0 - EXP(-5.0 * p.n_ref / p.m), 5), 6) AS fpr_exp,
+               a.n_fn = 0 AND
+                 ROUND(CAST(a.n_fp AS DOUBLE) / a.n_test, 6)
+                   <= 3.0 * ROUND(POWER(1.0 - EXP(-5.0 * p.n_ref / p.m), 5), 6)
+                 AS within_bound
+        FROM agg a, p
+        ORDER BY a.lang"""
+      },
+
+      // pairsCtes (MinHash side) and simhashCtes (SimHash side) composed
+      // in one WITH; same 6-dp jacc, same hamming, same full-outer pair
+      // alignment.
+      "q111_dedup_agreement" -> s"""
+        $pairsCtes,
+        $simhashCtes,
+        shp AS (
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+          FROM sxcand WHERE bit_count(xor(sim_a, sim_b)) <= 3),
+        mhp AS (
+          SELECT doc_a, doc_b, ROUND(jacc, 6) AS jacc
+          FROM pairs WHERE jacc >= $JaccThreshold)
+        SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+               COALESCE(m.doc_b, s.doc_b) AS doc_b,
+               m.doc_a IS NOT NULL AS in_minhash,
+               s.doc_a IS NOT NULL AS in_simhash,
+               m.jacc, s.hamming
+        FROM mhp m FULL OUTER JOIN shp s
+          ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+        ORDER BY doc_a, doc_b"""
     )
   }
 }

@@ -569,8 +569,87 @@ object VectorQueries extends QueryPack {
         .select(col("q_id"), col("q_label"), col("rank"), col("vec_id"),
           col("label"), col("cos"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Mutual-kNN similarity graph (the clustering / UMAP / label-prop
+    // preprocessing structure): an edge (a, b) exists when b is in a's
+    // top-5 AND a is in b's top-5 — mutuality prunes hub vectors'
+    // asymmetric edges, the standard kNN-graph cleanup. See
+    // mutualKnnEdges for the build; fully derived from the shared index
+    // geometry, so the graph is deterministic at every tier.
+    "q107_mutual_knn" -> ((s, d) =>
+      mutualKnnEdges(s, d).orderBy(col("vec_a"), col("vec_b"))),
+
+    // Label-propagation smoothing over the mutual-kNN graph (the label-
+    // denoising / weak-supervision-cleanup stage: a vector whose graph
+    // neighborhood consistently disagrees with its dataset label is
+    // probably mislabeled): three SYNCHRONOUS iterations — fixed count,
+    // like q88's PageRank and q99's power method, so the result is a
+    // deterministic function of the graph, not of a convergence race —
+    // of take-the-mode-of-neighbor-labels with a self-vote (damps
+    // oscillation) and smallest-label tie-break. Each iteration is one
+    // keyed join + two keyed aggs + a per-vector rank window over the
+    // vote aggregate; edges come from the materialized q107 relation, so
+    // the expensive graph build happens once per corpus.
+    "q108_label_prop" -> ((s, d) => {
+      val ed = mutualKnnEdges(s, d)
+      val e = ed.select(col("vec_a").as("u"), col("vec_b").as("v"))
+        .union(ed.select(col("vec_b").as("u"), col("vec_a").as("v")))
+      val l0 = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      var lab = l0
+      for (_ <- 1 to 3) {
+        val votes = e.join(lab.withColumnRenamed("vec_id", "v"), Seq("v"))
+          .select(col("u").as("vec_id"), col("label"))
+          .groupBy(col("vec_id"), col("label")).agg(count(lit(1)).as("c"))
+          .union(lab.select(col("vec_id"), col("label"), lit(1L).as("c")))
+          .groupBy(col("vec_id"), col("label")).agg(sum(col("c")).as("c"))
+        lab = votes.withColumn("rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("vec_id")).orderBy(col("c").desc, col("label"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("label"))
+      }
+      l0.join(lab.withColumnRenamed("label", "label_smooth"), Seq("vec_id"))
+        .select(col("vec_id"), col("label").as("label_orig"), col("label_smooth"),
+          (col("label") =!= col("label_smooth")).as("changed"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** The mutual-kNN graph (q107's edge relation), materialized once per
+    * (geometry, corpus fingerprint) and shared with the label-propagation
+    * smoother (q108) — the index-build/serve split applied to the graph:
+    * candidates from the standing band index (keyed equi-join, never
+    * all-pairs), exact cosine on candidates, per-vector top-5 by a keyed
+    * window (bounded per vector by its band-bucket population), and
+    * mutuality by one keyed self-join of the ranked relation. */
+  private def mutualKnnEdges(s: SparkSession, d: String): DataFrame =
+    graft.operators.MaterializeOnce(
+      s"mutual_knn|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+      val emb = Tables.embeddings(s, d)
+      val np = planesPerBand(embStats(s, d).n)
+      val bd = materializedBands(s, d, emb, np)
+      val cand = bd.as("x").join(bd.as("y"),
+          col("x.key") === col("y.key") && col("x.band") === col("y.band") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+      val scored = cand
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+        .select(col("a"), col("b"), Vectors.cosine(col("ea"), col("eb")).as("cos"))
+      val dir = scored.union(
+        scored.select(col("b").as("a"), col("a").as("b"), col("cos")))
+      val ranked = dir.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a")).orderBy(col("cos").desc, col("b"))).cast("int"))
+        .filter(col("rank") <= 5)
+      val g = ranked.select(col("a").as("ga"), col("b").as("gb"),
+        col("rank").as("rank_ba"))
+      ranked.join(g, col("b") === col("ga") && col("a") === col("gb"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cos"),
+          col("rank").as("rank_ab"), col("rank_ba"))
+    }
 
   val oracles: Map[String, String] = {
     // Index-order left fold, elements cast to double — mirrors
@@ -773,6 +852,37 @@ object VectorQueries extends QueryPack {
         LEFT JOIN ih ON ih.q_id = q.q_id
         ORDER BY q.q_id"""
 
+    // CTE chain producing the mutual-kNN edge relation
+    // `mut(a, b, cos, rank_ab, rank_ba)` — shared by q107 and q108.
+    val mutualCtes = s"""
+        WITH $paramsCte,
+        b AS (
+          ${(0 until NumBands).map(b =>
+            s"SELECT vec_id, $b AS band, CAST(${bandKeySql(b)} AS BIGINT) AS key FROM embeddings, params p")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM b x JOIN b y
+            ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        sc AS (
+          SELECT c.a, c.b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.a
+          JOIN embeddings eb ON eb.vec_id = c.b),
+        dir AS (
+          SELECT a, b, cos FROM sc
+          UNION ALL SELECT b AS a, a AS b, cos FROM sc),
+        rk AS (
+          SELECT a, b, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY a
+                   ORDER BY cos DESC, b) AS INTEGER) AS rank
+          FROM dir),
+        f AS (SELECT * FROM rk WHERE rank <= 5),
+        mut AS (
+          SELECT f.a, f.b, f.cos, f.rank AS rank_ab, g.rank AS rank_ba
+          FROM f JOIN f g ON f.b = g.a AND f.a = g.b
+          WHERE f.a < f.b)"""
+
     Map(
       "q38_cosine_topk" -> q38Sql,
       "q39_ann_lsh" -> q39Sql,
@@ -892,7 +1002,46 @@ object VectorQueries extends QueryPack {
           FROM scored)
         SELECT q_id, q_label, rank, vec_id, label, cos
         FROM ranked WHERE rank <= 5
-        ORDER BY q_id, rank"""
+        ORDER BY q_id, rank""",
+
+      // Same band index (paramsCte + the identical plane pool), same
+      // unrounded cosine fold, same (cos DESC, neighbor) rank, same
+      // mutual join.
+      "q107_mutual_knn" -> s"""
+        $mutualCtes
+        SELECT a AS vec_a, b AS vec_b, cos, rank_ab, rank_ba
+        FROM mut ORDER BY vec_a, vec_b""",
+
+      // Same three unrolled mode-with-self-vote iterations; DuckDB's
+      // SUM(HUGEINT) only orders the rank window, never crosses engines.
+      "q108_label_prop" -> {
+        def iter(i: Int): String = {
+          val p = s"l${i - 1}"
+          s"""
+        v$i AS (
+          SELECT e.u AS vec_id, n.label, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e JOIN $p n ON e.v = n.vec_id
+          GROUP BY 1, 2
+          UNION ALL
+          SELECT vec_id, label, 1 AS c FROM $p),
+        a$i AS (SELECT vec_id, label, SUM(c) AS c FROM v$i GROUP BY 1, 2),
+        l$i AS (
+          SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY c DESC, label) AS rn
+            FROM a$i) WHERE rn = 1)"""
+        }
+        s"""
+        $mutualCtes,
+        e AS (SELECT a AS u, b AS v FROM mut UNION ALL SELECT b, a FROM mut),
+        l0 AS (SELECT vec_id, label FROM embeddings),
+        ${(1 to 3).map(iter).mkString(",")}
+        SELECT l0.vec_id, l0.label AS label_orig, l3.label AS label_smooth,
+               l0.label <> l3.label AS changed
+        FROM l0 JOIN l3 ON l0.vec_id = l3.vec_id
+        ORDER BY l0.vec_id"""
+      }
     )
   }
 }

@@ -39,7 +39,9 @@ class PlanGuardSpec extends SparkSpec {
     "q94_source_kl",     // the 1-row corpus token total, broadcast
     "q99_pca_power",     // 1-row max/sign scalar aggregates, broadcast
     "q100_hard_negatives", // query vectors (< 5 rows) cross corpus, as q38
-    "q101_temperature_resample") // the 1-row corpus-total aggregate, broadcast
+    "q101_temperature_resample", // the 1-row corpus-total aggregate, broadcast
+    "q106_score_roc",    // the 1-row bucket-total scalar aggregate, broadcast
+    "q109_bloom_audit")  // the 1-row filter-geometry (n_ref, m) aggregate, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.

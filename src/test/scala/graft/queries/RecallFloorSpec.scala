@@ -55,4 +55,20 @@ class RecallFloorSpec extends SparkSpec {
     assert(lsh > 0.0, s"mean LSH recall@10 $lsh collapsed to zero")
     assert(ivf >= 0.60, s"mean IVF recall@10 $ivf below floor 0.60")
   }
+
+  // Fourth geometry point (20,000 embeddings → planes 10, centroids 141,
+  // Lloyd sample gate ~0.21) — the 2×-XL tier generated with
+  // `runMain graft.GenCorpusXl testdata_xxl 50000 20000`. Same floor
+  // semantics as the XL case above.
+  test("ANN recall floors hold at the XXL tier (when generated)") {
+    val xxl = new java.io.File("testdata_xxl/embeddings.parquet")
+    assume(xxl.exists(),
+      "testdata_xxl not generated — runMain graft.GenCorpusXl testdata_xxl 50000 20000")
+    val rows = VectorQueries.queries("q50_ann_recall")(spark, "testdata_xxl")
+      .select(col("recall_lsh"), col("recall_ivf")).collect()
+    val lsh = rows.map(_.getDouble(0)).sum / rows.length
+    val ivf = rows.map(_.getDouble(1)).sum / rows.length
+    assert(lsh > 0.0, s"mean LSH recall@10 $lsh collapsed to zero")
+    assert(ivf >= 0.60, s"mean IVF recall@10 $ivf below floor 0.60")
+  }
 }
