@@ -25,22 +25,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as a raw long (legacy conf) and truncate to
-    * microseconds with integer division — the same ns→µs truncation DuckDB
-    * applies internally, so both engines see identical timestamps. The
-    * division stays in long space: ns-since-epoch (~1.7e18) exceeds double's
-    * 53-bit mantissa, so a float path would corrupt timestamps.
+  /** `events.ts` normalized to session-zoned TimestampType (µs), whatever
+    * physical type the generated parquet carries — the driver has shipped
+    * BOTH layouts across rounds:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; under the
+    *    `nanosAsLong` legacy conf (GraftSession sets it at build) it reads
+    *    as a raw long, truncated here to µs with integer division — the
+    *    same ns→µs truncation DuckDB applies internally. The division
+    *    stays in long space: ns-since-epoch (~1.7e18) exceeds double's
+    *    53-bit mantissa, so a float path would corrupt timestamps.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads natively as
+    *    TIMESTAMP_NTZ; cast to TimestampType under the UTC session zone —
+    *    the identical instants the legacy path produced, so every
+    *    downstream date_trunc/date_format/window keeps its semantics.
+    * Dispatch is on the READ schema, not the conf, so either layout works
+    * in any session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // The read path needs the legacy conf (see GraftSession, which sets it
-    // at session build). Set-if-absent here keeps standalone callers working
-    // without clobbering an explicit caller choice; the conf only affects
-    // TIMESTAMP(NANOS) parquet columns, which no other corpus table has.
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
