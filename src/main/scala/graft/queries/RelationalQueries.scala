@@ -497,6 +497,86 @@ object RelationalQueries extends QueryPack {
           round(abs(col("cusum")).cast("double") / (col("total") * col("nh")), 6)
             .as("drift"))
         .orderBy(col("event_type"))
+    }),
+
+    // Cohort retention matrix (the engagement view every event pipeline
+    // ships): cohort = each user's first active day, cell (cohort, day
+    // offset) = distinct users from that cohort active that day. The
+    // corpus collapses to the DISTINCT (user, day) relation first (one
+    // keyed agg, |users|·|days|-bounded), the cohort day is a per-user
+    // min (keyed agg on user), and the matrix is one keyed agg over the
+    // joined compact relations — |days|²-bounded output, no window over
+    // raw events at any scale. All-integer until the final ratio.
+    "q113_retention" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val sizes = cohort.groupBy(col("d0")).agg(count(lit(1)).as("cohort_n"))
+      ud.join(cohort, Seq("user_id"))
+        .groupBy(col("d0"), datediff(col("day"), col("d0")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("d0"))
+        .select(date_format(col("d0"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_active"), col("cohort_n"),
+          round(col("n_active").cast("double") / col("cohort_n"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Last-touch attribution (the marketing twin of q74's funnel): each
+    // purchase is credited to the user's most recent PRECEDING
+    // non-purchase event. One last(ignoreNulls) window per user over
+    // (ts, event_id) — the same deterministic ordering as q91 — with a
+    // strictly-preceding row frame, then one keyed agg over |event
+    // types| rows. Revenue sums ride 1e-2 fixed-point longs (the q01
+    // cents discipline) so the total is order-independent and
+    // hash-exact. Window is user-partitioned — never global.
+    "q116_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("attr", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attr"), lit("none")).as("attr_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum(expr("cast(round(value * 100) as bigint)")) / 100.0)
+            .as("revenue"))
+        .orderBy(col("attr_type"))
+    }),
+
+    // Event-type co-occurrence lift (market-basket association over the
+    // behavioral log): for each unordered type pair, lift =
+    // P(a,b) / (P(a)·P(b)) over users. The corpus collapses to the
+    // DISTINCT (user, type) relation (≤ |users|·|types| rows), the pair
+    // relation is a user-keyed self-equi-join of that compact relation
+    // (≤ C(|types|,2) rows per user — constant-bounded fan-out), and
+    // the per-type totals and the 1-row user count broadcast back
+    // (whitelisted scalar-agg NLJ, the q88 shape). Output ≤ C(|types|,2)
+    // rows; integers exact until the final lift division.
+    "q118_type_lift" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val nU = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val per = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      ut.as("a").join(ut.as("b"), "user_id")
+        .filter(col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(per.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a")), Seq("type_a"))
+        .join(per.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b")), Seq("type_b"))
+        .join(broadcast(nU), expr("true"))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+          col("n_b"), col("n_users"),
+          round(col("n_both").cast("double") * col("n_users")
+            / (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
@@ -825,6 +905,58 @@ object RelationalQueries extends QueryPack {
                   ELSE TRY_CAST(REGEXP_REPLACE(c_name, '[^0-9.\-]', '', 'g') AS DOUBLE)
              END AS name_num
       FROM customer
-      ORDER BY c_custkey"""
+      ORDER BY c_custkey""",
+
+    // Same distinct-(user, day) collapse, per-user min cohort day, and
+    // integer day_diff; UTC wall-clock dates on both engines.
+    "q113_retention" -> """
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      cohort AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1),
+      sizes AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM cohort GROUP BY 1),
+      cell AS (
+        SELECT c.d0, CAST(date_diff('day', c.d0, ud.day) AS INTEGER) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM ud JOIN cohort c USING (user_id)
+        GROUP BY 1, 2)
+      SELECT strftime(cell.d0, '%Y-%m-%d') AS cohort_day, day_offset,
+             n_active, cohort_n,
+             ROUND(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention
+      FROM cell JOIN sizes USING (d0)
+      ORDER BY cohort_day, day_offset""",
+
+    // Same strictly-preceding last(ignore nulls) frame over the same
+    // (ts, event_id) ordering; revenue via the identical cents
+    // fixed-point longs.
+    "q116_attribution" -> """
+      WITH a AS (
+        SELECT event_type, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+        FROM events)
+      SELECT COALESCE(attr, 'none') AS attr_type,
+             COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS revenue
+      FROM a WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1""",
+
+    // Same distinct-(user, type) collapse, user-keyed pair self-join,
+    // exact integer counts, final lift division identical.
+    "q118_type_lift" -> """
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+      per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+      p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n_both, pa.n_t AS n_a, pb.n_t AS n_b, n.n_users,
+             ROUND(CAST(n_both AS DOUBLE) * n.n_users / (pa.n_t * pb.n_t), 6) AS lift
+      FROM p
+      JOIN per pa ON pa.event_type = p.type_a
+      JOIN per pb ON pb.event_type = p.type_b, n
+      ORDER BY type_a, type_b"""
   )
 }

@@ -1675,6 +1675,60 @@ object TextPipelineQueries extends QueryPack {
           coalesce(col("in_simhash"), lit(false)).as("in_simhash"),
           col("jacc"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // CORPUS-INDUCED stopword list + per-doc density (q31 scores against
+    // a FIXED per-language list; real pipelines induce theirs from
+    // document frequency). The corpus collapses to the |vocab|-bounded
+    // token→df relation (distinct (doc, tok) then one keyed agg); the
+    // induced list is a deterministic top-5 by (df DESC, tok ASC) — a
+    // TakeOrdered over the compact vocab relation, never a corpus sort —
+    // broadcast back against the exploded token relation (keyed join).
+    // All-integer until the final density ratio.
+    "q114_stopword_induction" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val dfRel = tok.distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val top = dfRel.orderBy(col("df").desc, col("tok")).limit(5)
+        .select(col("tok"), lit(1L).as("is_stop"))
+      tok.join(broadcast(top), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(coalesce(col("is_stop"), lit(0L))).as("n_stop"))
+        .select(col("doc_id"), col("n_toks"), col("n_stop"),
+          round(col("n_stop").cast("double") / col("n_toks"), 6)
+            .as("stop_density"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Population-stability (PSI) drift audit of the q105 quality score
+    // between the even and odd doc_id halves — the "did my scoring model
+    // drift between corpus snapshots?" check, run here on a split with a
+    // known no-drift expectation. Reuses q106's integer-exact 0.2-wide
+    // buckets: the corpus collapses to ~15 bucket rows in ONE keyed agg,
+    // the halves' totals are a 1-row scalar aggregate broadcast back
+    // (whitelisted NLJ, the q88 shape), and each bucket's PSI term
+    // (p−q)·ln(p/q) is NULL-guarded when either half is empty — the
+    // degenerate-bucket rule q82 established for MAD = 0.
+    "q117_score_psi" -> ((s, d) => {
+      val sc = qualityScores(s, d)
+        .select(expr("cast(floor(sfp / 2e8) as int)").as("bucket"),
+          (col("doc_id") % 2 === 0).as("even"))
+      val bk = sc.groupBy(col("bucket"))
+        .agg(sum(when(col("even"), 1L).otherwise(0L)).as("n_even"),
+          sum(when(!col("even"), 1L).otherwise(0L)).as("n_odd"))
+      val tot = bk.agg(sum(col("n_even")).as("t_even"),
+        sum(col("n_odd")).as("t_odd"))
+      bk.join(broadcast(tot), expr("true"))
+        .withColumn("p", col("n_even").cast("double") / col("t_even"))
+        .withColumn("q", col("n_odd").cast("double") / col("t_odd"))
+        .select(col("bucket"), col("n_even"), col("n_odd"),
+          round(col("p"), 6).as("p_even"), round(col("q"), 6).as("p_odd"),
+          when(col("n_even") > 0 && col("n_odd") > 0,
+            round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+            .as("psi_term"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -2893,7 +2947,64 @@ object TextPipelineQueries extends QueryPack {
                m.jacc, s.hamming
         FROM mhp m FULL OUTER JOIN shp s
           ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
-        ORDER BY doc_a, doc_b"""
+        ORDER BY doc_a, doc_b""",
+
+      // Same distinct-(doc, tok) df relation, same (df DESC, tok ASC)
+      // top-5 tie-break, same left-join density arithmetic.
+      "q114_stopword_induction" -> """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+          FROM documents),
+        df AS (
+          SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY 1),
+        top AS (SELECT tok FROM df ORDER BY df DESC, tok LIMIT 5)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(CASE WHEN tok IN (SELECT tok FROM top) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+               ROUND(CAST(SUM(CASE WHEN tok IN (SELECT tok FROM top) THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS stop_density
+        FROM tok GROUP BY doc_id ORDER BY doc_id""",
+
+      // Same sfp fixed-point score and 2e8-wide buckets as q105/q106,
+      // same NULL-guarded (p−q)·ln(p/q) term.
+      "q117_score_psi" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id,
+                 CAST(ROUND(1.2 * ln(CAST(n_toks AS DOUBLE) / 50) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(2.0 * (CAST(n_types AS DOUBLE) / n_toks - 0.5) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(0.8 * (CAST(sum_len AS DOUBLE) / n_toks - 4.5) * 1000000000) AS BIGINT)
+                 + CASE WHEN lang = 'en' THEN 500000000 ELSE 0 END AS sfp
+          FROM f),
+        bk AS (
+          SELECT CAST(FLOOR(sfp / 2e8) AS INTEGER) AS bucket,
+                 CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+                 CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_odd
+          FROM s GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_even) AS BIGINT) AS t_even,
+                 CAST(SUM(n_odd) AS BIGINT) AS t_odd
+          FROM bk),
+        pq AS (
+          SELECT bucket, n_even, n_odd,
+                 CAST(n_even AS DOUBLE) / t_even AS p,
+                 CAST(n_odd AS DOUBLE) / t_odd AS q
+          FROM bk, tot)
+        SELECT bucket, n_even, n_odd,
+               ROUND(p, 6) AS p_even, ROUND(q, 6) AS p_odd,
+               CASE WHEN n_even > 0 AND n_odd > 0
+                    THEN ROUND((p - q) * ln(p / q), 6) END AS psi_term
+        FROM pq ORDER BY bucket"""
     )
   }
 }

@@ -613,6 +613,74 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id"), col("label").as("label_orig"), col("label_smooth"),
           (col("label") =!= col("label_smooth")).as("changed"))
         .orderBy(col("vec_id"))
+    }),
+
+    // IVF index-balance audit (the ops view of q44's index: a skewed
+    // cluster-size distribution means hot probe partitions and wasted
+    // scan at serve time). Reads the SAME materialized centroids as q44
+    // (one training pass per corpus fingerprint), one keyed agg over the
+    // assignment, and the 1-row (total, occupied-cluster-count) scalar
+    // aggregate broadcast back (whitelisted NLJ). Output is ≤ √n rows;
+    // balance = n_assigned·k/n (1.0 = perfectly even), is_hot flags > 2×
+    // the even share — the signal that a 100 TB serving tier would
+    // sub-split that cluster's posting list.
+    "q112_ivf_balance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embStats(s, d).n
+      val cents = graft.operators.MaterializeOnce(
+        s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        trainIvfCentroids(emb, n)
+      }
+      val sz = assignTo(emb, cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_assigned"))
+      val tot = sz.agg(sum(col("n_assigned")).as("n_total"),
+        count(lit(1)).as("k_occ"))
+      sz.join(broadcast(tot), expr("true"))
+        .select(col("cluster").as("c_id"), col("n_assigned"),
+          round(col("n_assigned").cast("double") / col("n_total"), 6)
+            .as("share"),
+          round(col("n_assigned").cast("double") * col("k_occ")
+            / col("n_total"), 6).as("balance"))
+        .withColumn("is_hot", col("balance") > 2.0)
+        .orderBy(col("c_id"))
+    }),
+
+    // Label-cohesion audit: mean intra-label vs label-vs-rest cosine,
+    // WITHOUT materializing any pair — the sum-vector identity
+    // Σ_{i≠j} x_i·x_j = |Σx|² − Σ|x_i|² turns all-pairs mean similarity
+    // into one O(n·d) fixed-point aggregate. Components quantize to
+    // 1e-3 longs (identical rounding both engines); per-(label, dim)
+    // sums, their squares and the label×global dots accumulate in
+    // decimal(38,0)/HUGEINT so no scale overflows; the 64-row global
+    // dim-sum relation and the 1-row corpus total broadcast back
+    // (whitelisted NLJ). Output |labels| rows; doubles only in the final
+    // ratios, rounded at 6 dp from identical integers.
+    "q115_label_cohesion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val fp = emb.select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xfp", round(col("x").cast("double") * 1000.0).cast("long"))
+      val sums = fp.groupBy(col("label"), col("dim"))
+        .agg(sum(col("xfp")).as("sfp"))
+      val sq = fp.groupBy(col("label"))
+        .agg(sum(col("xfp") * col("xfp")).as("sq"))
+      val gs = sums.groupBy(col("dim")).agg(sum(col("sfp")).as("gfp"))
+      val perL = sums.join(broadcast(gs), Seq("dim"))
+        .groupBy(col("label"))
+        .agg(sum(expr("cast(sfp as decimal(38,0)) * sfp")).as("ss"),
+          sum(expr("cast(sfp as decimal(38,0)) * gfp")).as("sg"))
+      val nL = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val tot = nL.agg(sum(col("n")).as("n_total"))
+      perL.join(sq, Seq("label")).join(nL, Seq("label"))
+        .join(broadcast(tot), expr("true"))
+        .withColumn("ia", (col("ss") - col("sq")).cast("double") / 1e6
+          / (col("n") * (col("n") - 1)))
+        .withColumn("ie", (col("sg") - col("ss")).cast("double") / 1e6
+          / (col("n") * (col("n_total") - col("n"))))
+        .select(col("label"), col("n"), round(col("ia"), 6).as("intra_cos"),
+          round(col("ie"), 6).as("inter_cos"),
+          round(col("ia") - col("ie"), 6).as("cohesion"))
+        .orderBy(col("label"))
     })
   )
 
@@ -755,7 +823,9 @@ object VectorQueries extends QueryPack {
         FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vb
         ORDER BY e.vec_id"""
 
-    val q44Sql = {
+    // Shared IVF train+assign CTE prefix (through `assigned`) — the q44
+    // serve path and the q112 balance audit read the same index.
+    val ivfAssignCtes = {
       // One Lloyd round as CTEs: assignment against centroid relation
       // `prev` -> fixed-point per-dimension means -> centroid relation
       // `next`, over the deterministic training SAMPLE (the full corpus is
@@ -800,7 +870,10 @@ object VectorQueries extends QueryPack {
           SELECT vec_id, embedding, c_id AS cluster FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
             FROM aF)
-          WHERE rn = 1),
+          WHERE rn = 1)"""
+    }
+
+    val q44Sql = s"""$ivfAssignCtes,
         q AS (
           SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
         p0 AS (
@@ -824,7 +897,6 @@ object VectorQueries extends QueryPack {
         FROM ranked
         WHERE rank <= $K
         ORDER BY q_id, rank"""
-    }
 
     // Recall@K of each approximate index against the exact ranking —
     // the three inputs are the gate queries above, composed as subqueries
@@ -1041,7 +1113,49 @@ object VectorQueries extends QueryPack {
                l0.label <> l3.label AS changed
         FROM l0 JOIN l3 ON l0.vec_id = l3.vec_id
         ORDER BY l0.vec_id"""
-      }
+      },
+
+      // Same shared train+assign CTE prefix as q44, one GROUP BY over
+      // the assignment, identical ratio arithmetic.
+      "q112_ivf_balance" -> s"""$ivfAssignCtes,
+        sz AS (
+          SELECT cluster AS c_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
+          FROM assigned GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_assigned) AS BIGINT) AS n_total,
+                 CAST(COUNT(*) AS BIGINT) AS k_occ
+          FROM sz)
+        SELECT c_id, n_assigned,
+               ROUND(CAST(n_assigned AS DOUBLE) / n_total, 6) AS share,
+               ROUND(CAST(n_assigned AS DOUBLE) * k_occ / n_total, 6) AS balance,
+               CAST(n_assigned AS DOUBLE) * k_occ / n_total > 2.0 AS is_hot
+        FROM sz, tot ORDER BY c_id""",
+
+      // Same 1e-3 fixed-point quantization, HUGEINT mirroring
+      // decimal(38,0) accumulation, identical final double ratios.
+      "q115_label_cohesion" -> """
+        WITH fp AS (
+          SELECT label, i - 1 AS dim,
+                 CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xfp
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        sums AS (SELECT label, dim, CAST(SUM(xfp) AS BIGINT) AS sfp FROM fp GROUP BY 1, 2),
+        sq AS (SELECT label, CAST(SUM(xfp * xfp) AS BIGINT) AS sq FROM fp GROUP BY 1),
+        gs AS (SELECT dim, CAST(SUM(sfp) AS BIGINT) AS gfp FROM sums GROUP BY 1),
+        perl AS (
+          SELECT label,
+                 SUM(CAST(sfp AS HUGEINT) * sfp) AS ss,
+                 SUM(CAST(sfp AS HUGEINT) * gfp) AS sg
+          FROM sums JOIN gs USING (dim) GROUP BY label),
+        nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM nl),
+        x AS (
+          SELECT p.label, nl.n,
+                 CAST(p.ss - sq.sq AS DOUBLE) / 1e6 / (nl.n * (nl.n - 1)) AS ia,
+                 CAST(p.sg - p.ss AS DOUBLE) / 1e6 / (nl.n * (tot.n_total - nl.n)) AS ie
+          FROM perl p JOIN sq USING (label) JOIN nl USING (label), tot)
+        SELECT label, n, ROUND(ia, 6) AS intra_cos, ROUND(ie, 6) AS inter_cos,
+               ROUND(ia - ie, 6) AS cohesion
+        FROM x ORDER BY label"""
     )
   }
 }

@@ -41,7 +41,11 @@ class PlanGuardSpec extends SparkSpec {
     "q100_hard_negatives", // query vectors (< 5 rows) cross corpus, as q38
     "q101_temperature_resample", // the 1-row corpus-total aggregate, broadcast
     "q106_score_roc",    // the 1-row bucket-total scalar aggregate, broadcast
-    "q109_bloom_audit")  // the 1-row filter-geometry (n_ref, m) aggregate, broadcast
+    "q109_bloom_audit",  // the 1-row filter-geometry (n_ref, m) aggregate, broadcast
+    "q112_ivf_balance",  // centroids (~sqrt(n)) as q44, plus the 1-row totals aggregate
+    "q115_label_cohesion", // the 1-row corpus-total scalar aggregate, broadcast
+    "q117_score_psi",    // the 1-row halves-total scalar aggregate, broadcast
+    "q118_type_lift")    // the 1-row distinct-user-count aggregate, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
