@@ -1729,6 +1729,147 @@ object TextPipelineQueries extends QueryPack {
             round((col("p") - col("q")) * log(col("p") / col("q")), 6))
             .as("psi_term"))
         .orderBy(col("bucket"))
+    }),
+
+    // Document split-continuity detection (truncation/continuation audit:
+    // a scrape that cut one page into two docs leaves doc A's tail
+    // equal to doc B's head). Each doc contributes ONE 3-token suffix key
+    // and ONE 3-token prefix key; continuations are the suffix→prefix
+    // keyed equi-join — two rows per doc in, candidate pairs out, never
+    // all-pairs. Key cardinality grows with the corpus vocabulary, so
+    // bucket sizes stay bounded the same way q34's bands do.
+    "q119_split_continuity" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 6)
+      val suf = t.select(col("doc_id").as("doc_a"),
+        concat_ws(" ", slice(col("toks"), -3, 3)).as("key"))
+      val pre = t.select(col("doc_id").as("doc_b"),
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("key"))
+      suf.join(pre, Seq("key"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("key").as("boundary_gram"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-language QUANTILE normalization of document length (the 4th
+    // member of the q77/q78/q82 normalization family — rank-based, so
+    // immune to the heavy tails that skew z-scores): deterministic rank
+    // by (n_chars, doc_id) inside each language partition, normalized to
+    // [0,1] and bucketed to deciles. One lang-partitioned window over
+    // the slim (doc_id, lang, n_chars) projection — q68's skew caveat
+    // applies; the shard key composes with lang at real-corpus scale.
+    // NULL quantile for single-doc languages (the q82 degenerate rule).
+    "q120_quantile_normalize" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      val nW = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(nW))
+        .withColumn("q", when(col("n_lang") > 1,
+          round((col("rn") - 1).cast("double") / (col("n_lang") - 1), 6)))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rn"),
+          col("n_lang"), col("q"),
+          when(col("q").isNotNull,
+            least(lit(9), floor(col("q") * 10)).cast("int")).as("decile"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget data selection (training-set curation under a token
+    // budget): per language, keep the highest-q105-quality docs until
+    // 30% of that language's token volume is spent. Exact integer
+    // budget (3·Σtoks DIV 10), cumulative token spend via ONE
+    // lang-partitioned window ordered by the already-exact (sfp DESC,
+    // doc_id) key over the per-doc aggregate — unique ordering, so the
+    // default RANGE frame degenerates to ROWS on both engines. Keep
+    // verdict all-integer; the only doubles are presentation ratios.
+    "q121_token_budget" -> ((s, d) => {
+      val sc = qualityScores(s, d)
+      val tot = sc.groupBy(col("lang"))
+        .agg(sum(col("n_toks")).as("lang_toks"))
+        .withColumn("budget", expr("3 * lang_toks DIV 10"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("sfp").desc, col("doc_id"))
+      sc.join(tot, Seq("lang"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_toks"),
+          col("budget"), (col("cum_toks") <= col("budget")).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EMPIRICAL LSH S-curve audit (the q58/q61/q66 governed-sketch
+    // discipline applied to q34's banding parameters): over a
+    // DETERMINISTIC linear pair sample (each doc against its next 10
+    // ids — 10n pairs, never all-pairs), measure per-Jaccard-bucket
+    // detection rate of the 4×2 banding and report it against the
+    // theoretical S-curve 1−(1−s^r)^b. Exact Jaccard rides the sorted
+    // shingle tables and the native sorted-merge kernel; detection is a
+    // (band, key)-keyed equi-join of the sample against the band
+    // relation. The tuning view a pipeline owner reads before trusting
+    // the q34/q35 dedup pass at a new similarity threshold.
+    "q122_minhash_scurve" -> ((s, d) => {
+      val sh = materializedShingles(s, d)
+      val shS = sh.select(col("doc_id"), array_sort(col("hs")).as("hs"))
+      val pr = sh.select(col("doc_id").as("doc_a"),
+          explode(expr("sequence(1, 10)")).as("k"))
+        .withColumn("doc_b", col("doc_a") + col("k"))
+        .select(col("doc_a"), col("doc_b"))
+      val jx = pr
+        .join(shS.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+        .join(shS.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+        .withColumn("isz", expr("graft_sorted_icount(ha, hb)"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("isz").cast("double")
+            / (size(col("ha")) + size(col("hb")) - col("isz"))).as("jacc"))
+      val bd = bands(sh)
+      val det = pr
+        .join(bd.select(col("doc_id").as("doc_a"), col("b"), col("key")), Seq("doc_a"))
+        .join(bd.select(col("doc_id").as("doc_b"), col("b"), col("key")),
+          Seq("doc_b", "b", "key"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .withColumn("det", lit(1L))
+      jx.join(det, Seq("doc_a", "doc_b"), "left")
+        .withColumn("bucket", least(lit(9L), floor(col("jacc") * 10)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("det"), lit(0L))).as("n_detected"))
+        .withColumn("s_mid", (col("bucket") + lit(0.5)) / 10.0)
+        .select(col("bucket"), col("n_pairs"), col("n_detected"),
+          round(col("n_detected").cast("double") / col("n_pairs"), 6)
+            .as("det_rate"),
+          round(col("s_mid"), 2).as("s_mid"),
+          round(lit(1.0) - pow(lit(1.0) - pow(col("s_mid"), 2.0), 4.0), 6)
+            .as("p_theory"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Language-ID confusion matrix (the audit view over q32's per-doc
+    // heuristic: where does the n-gram classifier disagree with the
+    // labeled language, and how often?). The corpus collapses to
+    // ≤ |langs|·(|langs|+1) cells in ONE keyed agg; per-label totals
+    // ride a window over that bounded aggregate (the sanctioned shape).
+    "q123_lang_confusion" -> ((s, d) => {
+      val langs = Seq("en", "es", "de", "fr", "zh")
+      val base = Tables.documents(s, d)
+        .withColumn("toks", TextFns.tokens(col("text")))
+      val withHits = langs.foldLeft(base) { (df, l) =>
+        df.withColumn(s"h_$l",
+          TextFns.stopwordHits(col("toks"), TextFns.stopwords(l)))
+      }
+      val mx = greatest(langs.map(l => col(s"h_$l")): _*)
+      val predicted = langs.reverse.foldLeft(lit("und"): Column) { (acc, l) =>
+        when(col(s"h_$l") === mx, lit(l)).otherwise(acc)
+      }
+      val cells = withHits.select(col("lang"), predicted.as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      cells.withColumn("n_lang", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+          round(col("n").cast("double") / col("n_lang"), 6).as("frac"),
+          (col("lang") === col("pred_lang")).as("agree"))
+        .orderBy(col("lang"), col("pred_lang"))
     })
   )
 
@@ -3004,7 +3145,138 @@ object TextPipelineQueries extends QueryPack {
                ROUND(p, 6) AS p_even, ROUND(q, 6) AS p_odd,
                CASE WHEN n_even > 0 AND n_odd > 0
                     THEN ROUND((p - q) * ln(p / q), 6) END AS psi_term
-        FROM pq ORDER BY bucket"""
+        FROM pq ORDER BY bucket""",
+
+      // Same 3-token boundary keys (1-based inclusive slices), same
+      // suffix→prefix equi-join.
+      "q119_split_continuity" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 6),
+        suf AS (
+          SELECT doc_id AS doc_a,
+                 array_to_string(toks[len(toks)-2:len(toks)], ' ') AS key
+          FROM f),
+        pre AS (
+          SELECT doc_id AS doc_b, array_to_string(toks[1:3], ' ') AS key
+          FROM f)
+        SELECT doc_a, doc_b, key AS boundary_gram
+        FROM suf JOIN pre USING (key)
+        WHERE doc_a <> doc_b
+        ORDER BY doc_a, doc_b""",
+
+      // Same (n_chars, doc_id) deterministic rank, same NULL rule for
+      // single-doc languages, decile from the ROUNDED quantile.
+      "q120_quantile_normalize" -> """
+        WITH r AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+          FROM documents),
+        q AS (
+          SELECT doc_id, lang, n_chars, rn, n_lang,
+                 CASE WHEN n_lang > 1
+                      THEN ROUND(CAST(rn - 1 AS DOUBLE) / (n_lang - 1), 6) END AS q
+          FROM r)
+        SELECT doc_id, lang, n_chars, rn, n_lang, q,
+               CASE WHEN q IS NOT NULL
+                    THEN CAST(LEAST(9, FLOOR(q * 10)) AS INTEGER) END AS decile
+        FROM q ORDER BY doc_id""",
+
+      // Same sfp fixed-point ordering key, same exact integer budget
+      // (3·Σtoks // 10), same cumulative frame over a unique ordering.
+      "q121_token_budget" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id, lang, n_toks,
+                 CAST(ROUND(1.2 * ln(CAST(n_toks AS DOUBLE) / 50) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(2.0 * (CAST(n_types AS DOUBLE) / n_toks - 0.5) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(0.8 * (CAST(sum_len AS DOUBLE) / n_toks - 4.5) * 1000000000) AS BIGINT)
+                 + CASE WHEN lang = 'en' THEN 500000000 ELSE 0 END AS sfp
+          FROM f),
+        tot AS (
+          SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_toks,
+                 CAST((3 * SUM(n_toks)) // 10 AS BIGINT) AS budget
+          FROM s GROUP BY 1),
+        c AS (
+          SELECT s.doc_id, s.lang, s.n_toks,
+                 CAST(SUM(s.n_toks) OVER (PARTITION BY s.lang
+                   ORDER BY s.sfp DESC, s.doc_id) AS BIGINT) AS cum_toks,
+                 tot.budget
+          FROM s JOIN tot USING (lang))
+        SELECT doc_id, lang, n_toks, cum_toks, budget,
+               cum_toks <= budget AS kept
+        FROM c ORDER BY doc_id""",
+
+      // Same deterministic next-10 pair sample over the SAME shingle/
+      // signature/band CTEs as q34; identical Jaccard rationals, same
+      // double bucket floor, same theoretical curve arithmetic.
+      "q122_minhash_scurve" -> s"""$pairsCtes,
+        pr AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM documents a JOIN documents b
+            ON b.doc_id - a.doc_id BETWEEN 1 AND 10),
+        jx AS (
+          SELECT p.doc_a, p.doc_b,
+                 CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.hs, sb.hs))) AS jacc
+          FROM pr p JOIN hashed sa ON sa.doc_id = p.doc_a
+                    JOIN hashed sb ON sb.doc_id = p.doc_b),
+        det AS (
+          SELECT DISTINCT p.doc_a, p.doc_b
+          FROM pr p JOIN bands x ON x.doc_id = p.doc_a
+                    JOIN bands y ON y.doc_id = p.doc_b
+                      AND y.b = x.b AND y.key = x.key),
+        bk AS (
+          SELECT LEAST(9, CAST(FLOOR(jacc * 10) AS BIGINT)) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected
+          FROM jx LEFT JOIN det d USING (doc_a, doc_b)
+          GROUP BY 1)
+        SELECT CAST(bucket AS INTEGER) AS bucket, n_pairs, n_detected,
+               ROUND(CAST(n_detected AS DOUBLE) / n_pairs, 6) AS det_rate,
+               ROUND((bucket + 0.5) / 10.0, 2) AS s_mid,
+               ROUND(1 - POWER(1 - POWER((bucket + 0.5) / 10.0, 2), 4), 6) AS p_theory
+        FROM bk ORDER BY bucket""",
+
+      // Same per-language stopword-hit counts and first-match-wins
+      // argmax as q32's oracle, collapsed to the confusion matrix.
+      "q123_lang_confusion" -> s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang,
+                 ${langs.map(l => s"${hits(l)} AS h_$l").mkString(",\n                 ")}
+          FROM t),
+        p AS (
+          SELECT doc_id, lang,
+                 CASE ${langs.map(l => s"WHEN h_$l = greatest(${langs.map(x => s"h_$x").mkString(",")}) THEN '$l'").mkString(" ")}
+                      ELSE 'und' END AS pred_lang
+          FROM h),
+        cells AS (
+          SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+        w AS (
+          SELECT lang, pred_lang, n,
+                 CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+          FROM cells)
+        SELECT lang, pred_lang, n, n_lang,
+               ROUND(CAST(n AS DOUBLE) / n_lang, 6) AS frac,
+               lang = pred_lang AS agree
+        FROM w ORDER BY lang, pred_lang"""
     )
   }
 }
