@@ -1736,8 +1736,14 @@ object TextPipelineQueries extends QueryPack {
     // equal to doc B's head). Each doc contributes ONE 3-token suffix key
     // and ONE 3-token prefix key; continuations are the suffix→prefix
     // keyed equi-join — two rows per doc in, candidate pairs out, never
-    // all-pairs. Key cardinality grows with the corpus vocabulary, so
-    // bucket sizes stay bounded the same way q34's bands do.
+    // all-pairs. Real-corpus boundary grams are ZIPFIAN (generic phrase
+    // endings shared by thousands of docs would make one key's pair
+    // output quadratic), so keys hotter than MaxBoundaryFanout on EITHER
+    // side are excluded by two vocab-bounded key-count aggs — those keys
+    // are boilerplate boundaries, not continuations; the same hot-block
+    // principle as q37's MaxBlock. Nothing trips the cap in this corpus
+    // (max key fan-out ≪ 1000 at every tier), so the guard is pure
+    // plan-shape insurance here.
     "q119_split_continuity" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
@@ -1746,7 +1752,11 @@ object TextPipelineQueries extends QueryPack {
         concat_ws(" ", slice(col("toks"), -3, 3)).as("key"))
       val pre = t.select(col("doc_id").as("doc_b"),
         concat_ws(" ", slice(col("toks"), 1, 3)).as("key"))
-      suf.join(pre, Seq("key"))
+      val admitted = suf.groupBy(col("key")).agg(count(lit(1)).as("ns"))
+        .join(pre.groupBy(col("key")).agg(count(lit(1)).as("np")), Seq("key"))
+        .filter(col("ns") <= MaxBoundaryFanout && col("np") <= MaxBoundaryFanout)
+        .select(col("key"))
+      suf.join(admitted, Seq("key")).join(pre, Seq("key"))
         .filter(col("doc_a") =!= col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("key").as("boundary_gram"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1891,6 +1901,11 @@ object TextPipelineQueries extends QueryPack {
   /** Hot-block guard threshold: blocks larger than this are sub-split so no
     * single task owns a whole block's n² comparison. */
   private val MaxBlock = 1000
+
+  /** q119 hot-key guard: boundary grams shared by more docs than this on
+    * either side are boilerplate boundaries, excluded from the
+    * continuity join so no key's pair output goes quadratic. */
+  private val MaxBoundaryFanout = 1000L
 
   /** All within-block pairs with their trigram Jaccard, with oversized
     * blocks SALTED: a block of size n > maxBlock is split into
@@ -3161,9 +3176,15 @@ object TextPipelineQueries extends QueryPack {
           FROM f),
         pre AS (
           SELECT doc_id AS doc_b, array_to_string(toks[1:3], ' ') AS key
-          FROM f)
+          FROM f),
+        admitted AS (
+          SELECT s.key FROM
+            (SELECT key, COUNT(*) AS ns FROM suf GROUP BY 1) s
+            JOIN (SELECT key, COUNT(*) AS np FROM pre GROUP BY 1) p
+              USING (key)
+          WHERE ns <= 1000 AND np <= 1000)
         SELECT doc_a, doc_b, key AS boundary_gram
-        FROM suf JOIN pre USING (key)
+        FROM suf JOIN admitted USING (key) JOIN pre USING (key)
         WHERE doc_a <> doc_b
         ORDER BY doc_a, doc_b""",
 
