@@ -60,11 +60,13 @@ class RecallFloorSpec extends SparkSpec {
   // Lloyd sample gate ~0.21) — the 2×-XL tier generated with
   // `runMain graft.GenCorpusXl testdata_xxl 50000 20000`. Same floor
   // semantics as the XL case above.
-  test("ANN recall floors hold at the XXL tier (when generated)") {
-    val xxl = new java.io.File("testdata_xxl/embeddings.parquet")
-    assume(xxl.exists(),
-      "testdata_xxl not generated — runMain graft.GenCorpusXl testdata_xxl 50000 20000")
-    val rows = VectorQueries.queries("q50_ann_recall")(spark, "testdata_xxl")
+  test("ANN recall floors hold at the XL2 tier (when generated)") {
+    // 16k embeddings: the second corpus size inside the 9-plane LSH band
+    // (planesPerBand is 9 for any n in (8192, 16384]) — see TESTDATA_XL.md.
+    val xl2 = new java.io.File("testdata_xl2/embeddings.parquet")
+    assume(xl2.exists(),
+      "testdata_xl2 not generated — runMain graft.GenCorpusXl testdata_xl2 50000 16000")
+    val rows = VectorQueries.queries("q50_ann_recall")(spark, "testdata_xl2")
       .select(col("recall_lsh"), col("recall_ivf")).collect()
     val lsh = rows.map(_.getDouble(0)).sum / rows.length
     val ivf = rows.map(_.getDouble(1)).sum / rows.length
