@@ -58,6 +58,16 @@ object BmpCodec extends MediaCodec {
     Multimodal.decodeBmpFeatures(bytes)
 }
 
+/** Built-in: hand-rolled QOI pixel decode from the public qoiformat.org
+  * spec — a true COMPRESSED image format (run/index/diff/luma chunk
+  * stream) claimed with ~60 lines of byte math and no third-party code.
+  * Same 8-dim feature contract as the other image codecs. */
+object QoiCodec extends MediaCodec {
+  val formats: Set[String] = Set("qoi")
+  def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    Multimodal.decodeQoiFeatures(bytes)
+}
+
 /** The codec registry behind Multimodal.decodeFeatures. Format-keyed; last
   * registration wins, so a deployment can override a built-in (or claim a
   * format that currently stubs).
@@ -86,4 +96,5 @@ object Codecs {
   register(Pcm16WavCodec)
   register(AviCodec)
   register(BmpCodec)
+  register(QoiCodec)
 }

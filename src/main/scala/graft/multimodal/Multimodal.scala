@@ -96,6 +96,11 @@ object Multimodal {
       val w = ByteBuffer.wrap(bytes, 18, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
       val h = ByteBuffer.wrap(bytes, 22, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
       MediaMeta("bmp", w, math.abs(h), channels = 0, sampleRateHz = 0, durationMs = 0L)
+    } else if (bytes.length >= 14 && bytes.startsWith("qoif".getBytes)) {
+      // QOI (qoiformat.org): width/height as BE u32 at offsets 4/8,
+      // channel count (3/4) at 12.
+      MediaMeta("qoi", u32be(4).toInt, u32be(8).toInt,
+        channels = bytes(12) & 0xFF, sampleRateHz = 0, durationMs = 0L)
     } else MediaMeta("unknown", 0, 0, 0, 0, 0L)
   }
 
@@ -398,6 +403,76 @@ object Multimodal {
       im.setRGB(0, y, w, 1, px, srcRow * w, w)
       y += 1
     }
+    Some(imageStats(im))
+  }
+
+  /** REAL pixel decode for QOI (the "Quite OK Image" format,
+    * qoiformat.org — a genuinely COMPRESSED lossless format decodable in
+    * ~60 lines of pure byte math, no third-party code): all six chunk
+    * ops — QOI_OP_RGB (0xFE), QOI_OP_RGBA (0xFF), QOI_OP_INDEX (0b00…,
+    * 64-slot running array keyed by (3r+5g+7b+11a) mod 64), QOI_OP_DIFF
+    * (0b01…, 2-bit channel deltas biased −2), QOI_OP_LUMA (0b10…, 6-bit
+    * green delta biased −32 with 4-bit red/blue deltas relative to it),
+    * QOI_OP_RUN (0b11…, run 1..62) — with wrapping byte arithmetic per
+    * the spec. Decoded pixels feed the SAME imageStats as PNG/JPEG/BMP,
+    * so the 8-dim feature contract is identical across image codecs.
+    * None for bad magic, truncated streams, or pixel counts that do not
+    * fill width×height exactly. */
+  def decodeQoiFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 22 || !bytes.startsWith("qoif".getBytes)) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val w = bb.getInt(4); val h = bb.getInt(8)
+    val channels = bytes(12) & 0xFF
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    if (channels != 3 && channels != 4) return None
+    val px = new Array[Int](w * h)
+    val index = new Array[Int](64) // packed ARGB, zero-initialized per spec
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var i = 14; var p = 0
+    val end = bytes.length - 8 // trailing 7×0x00 + 0x01 marker
+    def put(): Unit = { px(p) = (r << 16) | (g << 8) | b; p += 1 }
+    def hash: Int = (r * 3 + g * 5 + b * 7 + a * 11) & 63
+    while (p < px.length && i < end) {
+      val b1 = bytes(i) & 0xFF; i += 1
+      if (b1 == 0xFE) { // QOI_OP_RGB
+        if (i + 3 > end) return None
+        r = bytes(i) & 0xFF; g = bytes(i + 1) & 0xFF; b = bytes(i + 2) & 0xFF
+        i += 3; index(hash) = (a << 24) | (r << 16) | (g << 8) | b; put()
+      } else if (b1 == 0xFF) { // QOI_OP_RGBA
+        if (i + 4 > end) return None
+        r = bytes(i) & 0xFF; g = bytes(i + 1) & 0xFF; b = bytes(i + 2) & 0xFF
+        a = bytes(i + 3) & 0xFF
+        i += 4; index(hash) = (a << 24) | (r << 16) | (g << 8) | b; put()
+      } else (b1 >> 6) match {
+        case 0 => // QOI_OP_INDEX
+          val v = index(b1 & 63)
+          a = (v >>> 24) & 0xFF; r = (v >> 16) & 0xFF
+          g = (v >> 8) & 0xFF; b = v & 0xFF
+          put()
+        case 1 => // QOI_OP_DIFF: 2-bit per-channel deltas, bias −2
+          r = (r + ((b1 >> 4) & 3) - 2) & 0xFF
+          g = (g + ((b1 >> 2) & 3) - 2) & 0xFF
+          b = (b + (b1 & 3) - 2) & 0xFF
+          index(hash) = (a << 24) | (r << 16) | (g << 8) | b; put()
+        case 2 => // QOI_OP_LUMA: green delta −32, red/blue relative, −8
+          if (i + 1 > end) return None
+          val dg = (b1 & 63) - 32
+          val b2 = bytes(i) & 0xFF; i += 1
+          r = (r + dg - 8 + ((b2 >> 4) & 15)) & 0xFF
+          g = (g + dg) & 0xFF
+          b = (b + dg - 8 + (b2 & 15)) & 0xFF
+          index(hash) = (a << 24) | (r << 16) | (g << 8) | b; put()
+        case _ => // QOI_OP_RUN: 1..62 repeats of the previous pixel
+          var run = (b1 & 63) + 1
+          if (p + run > px.length) return None
+          while (run > 0) { put(); run -= 1 }
+      }
+    }
+    if (p != px.length) return None
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { im.setRGB(0, y, w, 1, px, y * w, w); y += 1 }
     Some(imageStats(im))
   }
 
