@@ -182,6 +182,35 @@ object TextPipelineQueries extends QueryPack {
         .join(t.select(col("doc_id"), col("lang")), Seq("doc_id"))
     }
 
+  /** Query terms for the IR family (q93 BM25, q127 query-likelihood,
+    * q128 nDCG) — one definition so the three views rank the same ad-hoc
+    * query. */
+  private val IrTerms = Seq("spark", "join", "stream")
+
+  /** q93's fixed-point BM25-scored relation — (doc_id, dl, n_hit, sfp)
+    * over docs matching ≥ 1 query term, sfp the ×1e9 int64 score sum —
+    * shared by q93 (presentation top-10) and q128 (nDCG ranking audit).
+    * Shape: one (doc, term) keyed agg over the exploded-and-filtered
+    * token stream (3·matches rows, never corpus-wide), term df and the
+    * 1-row corpus stats broadcast. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val g = t.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(IrTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("tok")).join(broadcast(g), expr("true"))
+      .withColumn("contrib_fp", expr(
+        "cast(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)" +
+        " * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e9) as bigint)"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("tf")).as("tf_total"),
+        sum(col("contrib_fp")).as("sfp"))
+  }
+
   /** 8-hex-char md5 prefix → 32-bit int via strpos arithmetic (mirrors
     * TextFns.hash32 exactly). Shared with StreamingQueries' q53 oracle so
     * the fingerprint SQL has exactly one definition. */
@@ -1317,21 +1346,7 @@ object TextPipelineQueries extends QueryPack {
     // = per-partition top-k + driver merge (TakeOrderedAndProject),
     // never a global sort of the scored relation.
     "q93_bm25" -> ((s, d) => {
-      val terms = Seq("spark", "join", "stream")
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")).cast("long"))
-      val g = t.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-      val tf = t.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-        .filter(col("tok").isin(terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), Seq("tok")).join(broadcast(g), expr("true"))
-        .withColumn("contrib_fp", expr(
-          "cast(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)" +
-          " * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e9) as bigint)"))
-        .groupBy(col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("n_hit"), sum(col("contrib_fp")).as("sfp"))
+      bm25Scored(s, d)
         .select(col("doc_id"), col("dl"), col("n_hit"),
           round(col("sfp") / 1e9, 6).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
@@ -1880,6 +1895,181 @@ object TextPipelineQueries extends QueryPack {
           round(col("n").cast("double") / col("n_lang"), 6).as("frac"),
           (col("lang") === col("pred_lang")).as("agree"))
         .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // Interpolated Kneser-Ney bigram smoothing (the production LM
+    // estimator next to q81's add-one baseline — the standard choice for
+    // n-gram data-quality scoring): P_KN(w2|w1) = max(c12−D,0)/c1 +
+    // D·N1+(w1,·)/c1 · N1+(·,w2)/|bigram types|, D = 0.75. The corpus
+    // collapses to the bigram-TYPE relation in one keyed agg; fan-out
+    // (distinct successors) and continuation (distinct predecessors)
+    // counts are keyed aggs OVER that bounded relation; the 1-row type
+    // total broadcasts (the q88 shape — never a global window). Per-row
+    // probability is fixed-pointed (×1e9 int64) so the top-20 selection
+    // key is exact on both engines.
+    "q124_kneser_ney" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = t.select(explode(TextFns.wordShingles(col("toks"), 2)).as("gram"))
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+      val c12 = bi.groupBy(col("gram"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
+      val ct = c12.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+      val tt = c12.agg(count(lit(1)).as("nt"))
+      c12.join(c1, Seq("w1")).join(ct, Seq("w2")).join(broadcast(tt), expr("true"))
+        .withColumn("p_fp", expr(
+          "cast(round((greatest(cast(c12 as double) - 0.75, cast(0 as double)) / c1" +
+          " + 0.75 * (cast(fanout as double) / c1) * (cast(cont as double) / nt))" +
+          " * 1e9) as bigint)"))
+        .select(col("gram"), col("c12"), col("c1"), col("fanout"), col("cont"),
+          col("p_fp"), round(col("p_fp") / 1e9, 6).as("p_kn"))
+        .orderBy(col("p_fp").desc, col("gram")).limit(20)
+        .drop("p_fp")
+    }),
+
+    // Heaps'-law vocabulary-growth fit per source (the corpus-audit view
+    // that says whether a source's vocabulary scales like natural text,
+    // V ≈ K·nᵝ): OLS of ln(n_types) on ln(n_toks) over the source's
+    // per-doc points. Per-doc logs are fixed-pointed (×1e9 int64) and the
+    // OLS moment sums run in EXACT decimal(38,0) integer arithmetic
+    // (HUGEINT in the oracle) — order-independent under any partitioning;
+    // only the final β/ln K/r² division happens in doubles, over exact
+    // inputs. One keyed agg per source, nothing corpus-wide.
+    "q125_heaps_fit" -> ((s, d) => {
+      val p = Tables.documents(s, d)
+        .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("source"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"))
+        .select(col("source"),
+          expr("cast(round(ln(cast(n_toks as double)) * 1e9) as bigint)").as("x"),
+          expr("cast(round(ln(cast(n_types as double)) * 1e9) as bigint)").as("y"))
+      p.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("cast(x as decimal(18,0)) * cast(y as decimal(18,0))")).as("sxy"),
+          sum(expr("cast(x as decimal(18,0)) * cast(x as decimal(18,0))")).as("sxx"),
+          sum(expr("cast(y as decimal(18,0)) * cast(y as decimal(18,0))")).as("syy"))
+        .withColumn("num", expr(
+          "cast(n_docs as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)"))
+        .withColumn("den", expr(
+          "cast(n_docs as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)"))
+        .withColumn("deny", expr(
+          "cast(n_docs as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)"))
+        .select(col("source"), col("n_docs"),
+          expr("case when den > 0 then round(num / den, 6) end").as("beta"),
+          expr("case when den > 0 then round((cast(sy as double) - num / den" +
+            " * cast(sx as double)) / n_docs / 1e9, 6) end").as("ln_k"),
+          expr("case when den > 0 and deny > 0" +
+            " then round(num * num / (den * deny), 6) end").as("r2"))
+        .orderBy(col("source"))
+    }),
+
+    // 95% token-coverage vocabulary cutoff per language (the tokenizer-
+    // sizing audit: how many frequency-ranked types cover 95% of token
+    // volume?). The corpus collapses to the (lang, tok) count relation in
+    // one keyed agg; the rank/cumsum window partitions BY LANG over that
+    // vocab-bounded aggregate with a unique (c desc, tok) ordering (the
+    // q121 exact-frame convention), and the threshold test is exact
+    // integer arithmetic (20·cum ≥ 19·total). At real-corpus scale a
+    // single language's vocabulary is window-task-sized (~100M types,
+    // not corpus-sized); the two-level path (prefix sums over (lang,
+    // count-bucket) partials) is the documented next tier, same answer.
+    "q126_vocab_coverage" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
+      val tot = c.groupBy(col("lang"))
+        .agg(sum(col("c")).as("t"), count(lit(1)).as("vocab"))
+      c.withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .join(tot, Seq("lang"))
+        .filter(col("cum") * 20 >= col("t") * 19)
+        .groupBy(col("lang"), col("t"), col("vocab"))
+        .agg(min(col("rk")).as("k95"), min_by(col("cum"), col("rk")).as("cum95"))
+        .select(col("lang"), col("vocab"), col("t").as("total_toks"), col("k95"),
+          round(col("cum95").cast("double") / col("t"), 6).as("cov95"))
+        .orderBy(col("lang"))
+    }),
+
+    // Dirichlet-smoothed query-likelihood retrieval (the LM-based
+    // ranking next to q93's BM25 — the other classic IR scorer):
+    // score(d) = Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)), μ = 100, over the
+    // SAME query terms as q93. Every doc is scored (tf = 0 contributes
+    // the background probability), so the scored stream is 3·n rows —
+    // linear, keyed on doc. Term corpus-frequencies and the 1-row corpus
+    // total broadcast. Per-term contributions fixed-pointed (×1e9 int64)
+    // before the per-doc sum; the top-10 selection key is the exact
+    // integer sum.
+    "q127_query_likelihood" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val u = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(IrTerms: _*))
+      val tf = u.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val cf = u.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+      val cTot = t.agg(sum(col("dl")).as("c"))
+      t.select(col("doc_id"), col("dl"),
+          explode(array(IrTerms.map(lit): _*)).as("tok"))
+        .join(broadcast(cf), Seq("tok"))
+        .join(tf, Seq("doc_id", "tok"), "left_outer")
+        .join(broadcast(cTot), expr("true"))
+        .withColumn("contrib_fp", expr(
+          "cast(round(ln((coalesce(tf, cast(0 as bigint)) + 100.0 * (cast(cf as double) / c))" +
+          " / (cast(dl as double) + 100.0)) * 1e9) as bigint)"))
+        .groupBy(col("doc_id"), col("dl"))
+        .agg(sum(col("contrib_fp")).as("sfp"))
+        .select(col("doc_id"), col("dl"), col("sfp"),
+          round(col("sfp") / 1e9, 6).as("score"))
+        .orderBy(col("sfp").desc, col("doc_id")).limit(10)
+        .drop("sfp")
+    }),
+
+    // nDCG@10 of the BM25 ranking (the IR-evaluation audit over q93's
+    // scorer): graded relevance = the doc's TOTAL query-term frequency
+    // (tf-weighted — distinct-term grades saturate on this corpus and
+    // would make every ndcg vacuously 1.0), linear gains, log2
+    // discounts. Ranks come from a pair-count against the BROADCAST
+    // top-10 itself (both sides ≤ K rows by construction — the
+    // sanctioned constant-bounded NLJ), never a global row_number
+    // window; cumulative DCG@k is an explode-to-k equi-shuffle over
+    // ≤ K·K rows. Per-position gains fixed-pointed (×1e9 int64) so
+    // every cumulative sum and the final nDCG ratio are
+    // exact-integer-derived on both engines.
+    "q128_ndcg" -> ((s, d) => {
+      val sc0 = bm25Scored(s, d)
+        .select(col("doc_id"), col("tf_total").as("rel"), col("sfp"))
+      val gainExpr = "cast(round(cast(rel as double)" +
+        " / (ln(cast(rk as double) + 1.0) / ln(2.0)) * 1e9) as bigint)"
+      def cumGains(top: DataFrame, better: Column, outCol: String): DataFrame =
+        top.join(broadcast(top.select(col("doc_id").as("bid"),
+            col("rel").as("bh"), col("sfp").as("bs"))), better)
+          .groupBy(col("doc_id"), col("rel")).agg(count(lit(1)).as("rk"))
+          .withColumn("gfp", expr(gainExpr))
+          .select(explode(expr("sequence(rk, 10)")).as("k"), col("gfp"))
+          .groupBy(col("k")).agg(sum(col("gfp")).as(outCol))
+      val bm10 = sc0.orderBy(col("sfp").desc, col("doc_id")).limit(10)
+      val id10 = sc0.orderBy(col("rel").desc, col("doc_id")).limit(10)
+      val dcg = cumGains(bm10,
+        col("bs") > col("sfp") ||
+          (col("bs") === col("sfp") && col("bid") <= col("doc_id")), "dfp")
+      val icg = cumGains(id10,
+        col("bh") > col("rel") ||
+          (col("bh") === col("rel") && col("bid") <= col("doc_id")), "ifp")
+      dcg.join(icg, Seq("k"))
+        .select(col("k"), round(col("dfp") / 1e9, 6).as("dcg"),
+          round(col("ifp") / 1e9, 6).as("idcg"),
+          round(col("dfp").cast("double") / col("ifp"), 6).as("ndcg"))
+        .orderBy(col("k"))
     })
   )
 
@@ -1980,6 +2170,35 @@ object TextPipelineQueries extends QueryPack {
     val hex16 = (1 to 4).map { p =>
       s"(strpos('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * ${1L << (4 * (4 - p))}"
     }.mkString(" + ")
+
+    // bm25Scored's oracle twin: the fixed-point BM25 CTE chain shared by
+    // q93 (presentation top-10) and q128 (nDCG ranking audit) — ends at
+    // `sc(doc_id, dl, n_hit, sfp)`.
+    val bm25Ctes = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM d),
+        qt AS (SELECT unnest(['spark', 'join', 'stream']) AS term),
+        tf AS (
+          SELECT d.doc_id, q.term, d.dl,
+                 CAST(len(list_filter(d.toks, x -> x = q.term)) AS BIGINT) AS tf
+          FROM d CROSS JOIN qt q
+          WHERE len(list_filter(d.toks, x -> x = q.term)) > 0),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        fp AS (
+          SELECT tf.doc_id, tf.dl, tf.tf,
+                 CAST(ROUND(ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))
+                   * 1e9) AS BIGINT) AS contrib_fp
+          FROM tf JOIN df USING (term) CROSS JOIN g),
+        sc AS (
+          SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_hit,
+                 CAST(SUM(tf) AS BIGINT) AS tf_total,
+                 CAST(SUM(contrib_fp) AS BIGINT) AS sfp
+          FROM fp GROUP BY doc_id, dl)"""
 
     Map(
       "q31_text_stats" -> """
@@ -2775,29 +2994,9 @@ object TextPipelineQueries extends QueryPack {
       // tree, same ×1e9 fixed-point round-then-int64-sum as the Spark
       // twin (HUGEINT sum → double is exact at these magnitudes), same
       // (score desc, doc_id) total order under LIMIT.
-      "q93_bm25" -> """
-        WITH t AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
-          FROM documents),
-        d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
-        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM d),
-        qt AS (SELECT unnest(['spark', 'join', 'stream']) AS term),
-        tf AS (
-          SELECT d.doc_id, q.term, d.dl,
-                 CAST(len(list_filter(d.toks, x -> x = q.term)) AS BIGINT) AS tf
-          FROM d CROSS JOIN qt q
-          WHERE len(list_filter(d.toks, x -> x = q.term)) > 0),
-        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        fp AS (
-          SELECT tf.doc_id, tf.dl,
-                 CAST(ROUND(ln((g.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-                   * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / g.avgdl))
-                   * 1e9) AS BIGINT) AS contrib_fp
-          FROM tf JOIN df USING (term) CROSS JOIN g)
-        SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_hit,
-               ROUND(SUM(contrib_fp) / 1e9, 6) AS score
-        FROM fp GROUP BY doc_id, dl
+      "q93_bm25" -> s"""$bm25Ctes
+        SELECT doc_id, dl, n_hit, ROUND(sfp / 1e9, 6) AS score
+        FROM sc
         ORDER BY score DESC, doc_id LIMIT 10""",
 
       // Same p·ln(p/q) tree, ×1e12 fixed-point per-type contributions,
@@ -3297,7 +3496,158 @@ object TextPipelineQueries extends QueryPack {
         SELECT lang, pred_lang, n, n_lang,
                ROUND(CAST(n AS DOUBLE) / n_lang, 6) AS frac,
                lang = pred_lang AS agree
-        FROM w ORDER BY lang, pred_lang"""
+        FROM w ORDER BY lang, pred_lang""",
+
+      // Same bigram-type collapse, same D = 0.75 discount tree with the
+      // identical double evaluation order, same ×1e9 fixed-point
+      // selection key.
+      "q124_kneser_ney" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT array_to_string(toks[i:i+1], ' ') AS gram,
+                 toks[i] AS w1, toks[i+1] AS w2
+          FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+          WHERE len(toks) >= 2),
+        c12 AS (SELECT gram, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM g GROUP BY gram, w1, w2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                      CAST(COUNT(*) AS BIGINT) AS fanout
+               FROM c12 GROUP BY w1),
+        ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont FROM c12 GROUP BY w2),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM c12),
+        p AS (
+          SELECT gram, c12.c12, c1.c1, c1.fanout, ct.cont,
+                 CAST(ROUND((GREATEST(CAST(c12.c12 AS DOUBLE) - 0.75, CAST(0 AS DOUBLE)) / c1.c1
+                   + 0.75 * (CAST(c1.fanout AS DOUBLE) / c1.c1) * (CAST(ct.cont AS DOUBLE) / tt.nt))
+                   * 1e9) AS BIGINT) AS p_fp
+          FROM c12 JOIN c1 USING (w1) JOIN ct USING (w2) CROSS JOIN tt)
+        SELECT gram, c12, c1, fanout, cont, ROUND(p_fp / 1e9, 6) AS p_kn
+        FROM p ORDER BY p_fp DESC, gram LIMIT 20""",
+
+      // Same ×1e9 per-doc log points, exact HUGEINT moment sums (the
+      // decimal(38,0) twin), identical final double expression order.
+      "q125_heaps_fit" -> """
+        WITH t AS (
+          SELECT source,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        p AS (
+          SELECT source,
+                 CAST(ROUND(ln(CAST(len(toks) AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+                 CAST(ROUND(ln(CAST(len(list_distinct(toks)) AS DOUBLE)) * 1e9) AS BIGINT) AS y
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM p GROUP BY source),
+        m AS (
+          SELECT source, n_docs, sx, sy,
+                 CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                 CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                 CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+          FROM s)
+        SELECT source, n_docs,
+               CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS beta,
+               CASE WHEN den > 0 THEN ROUND((CAST(sy AS DOUBLE) - num / den
+                 * CAST(sx AS DOUBLE)) / n_docs / 1e9, 6) END AS ln_k,
+               CASE WHEN den > 0 AND deny > 0
+                    THEN ROUND(num * num / (den * deny), 6) END AS r2
+        FROM m ORDER BY source""",
+
+      // Same (lang, tok) collapse, same unique-ordered rank/cumsum
+      // window, same exact 20·cum ≥ 19·total integer threshold.
+      "q126_vocab_coverage" -> """
+        WITH u AS (
+          SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                   x -> x <> '')) AS tok
+          FROM documents),
+        c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY lang, tok),
+        tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS vocab
+                FROM c GROUP BY lang),
+        r AS (
+          SELECT lang, c,
+                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+                 CAST(SUM(c) OVER w AS BIGINT) AS cum
+          FROM c WINDOW w AS (PARTITION BY lang ORDER BY c DESC, tok)),
+        hit AS (
+          SELECT r.lang, tot.t, tot.vocab,
+                 MIN(r.rk) AS k95, MIN_BY(r.cum, r.rk) AS cum95
+          FROM r JOIN tot USING (lang)
+          WHERE r.cum * 20 >= tot.t * 19
+          GROUP BY r.lang, tot.t, tot.vocab)
+        SELECT lang, vocab, t AS total_toks, k95,
+               ROUND(CAST(cum95 AS DOUBLE) / t, 6) AS cov95
+        FROM hit ORDER BY lang""",
+
+      // Same 3·n scored stream (tf = 0 rows included), same μ = 100
+      // Dirichlet tree with identical double order, same exact int64
+      // selection key.
+      "q127_query_likelihood" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
+              WHERE len(toks) > 0),
+        qt AS (SELECT unnest(['spark', 'join', 'stream']) AS tok),
+        tf AS (
+          SELECT d.doc_id, q.tok,
+                 CAST(len(list_filter(d.toks, x -> x = q.tok)) AS BIGINT) AS tf
+          FROM d CROSS JOIN qt q
+          WHERE len(list_filter(d.toks, x -> x = q.tok)) > 0),
+        cf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY tok),
+        ctot AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM d),
+        fp AS (
+          SELECT d.doc_id, d.dl,
+                 CAST(ROUND(ln((COALESCE(tf.tf, CAST(0 AS BIGINT))
+                   + 100.0 * (CAST(cf.cf AS DOUBLE) / ctot.c))
+                   / (CAST(d.dl AS DOUBLE) + 100.0)) * 1e9) AS BIGINT) AS contrib_fp
+          FROM d CROSS JOIN qt q
+          JOIN cf ON cf.tok = q.tok
+          LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = q.tok
+          CROSS JOIN ctot),
+        s AS (
+          SELECT doc_id, dl, CAST(SUM(contrib_fp) AS BIGINT) AS sfp
+          FROM fp GROUP BY doc_id, dl)
+        SELECT doc_id, dl, ROUND(sfp / 1e9, 6) AS score
+        FROM s ORDER BY sfp DESC, doc_id LIMIT 10""",
+
+      // Same exact (sfp, doc_id) / (tf_total, doc_id) ranking keys over
+      // the shared BM25 CTEs, same per-position linear ×1e9 gains, same
+      // cumulative integer sums and fp-ratio nDCG.
+      "q128_ndcg" -> s"""$bm25Ctes,
+        bm AS (SELECT doc_id, tf_total AS rel,
+                      ROW_NUMBER() OVER (ORDER BY sfp DESC, doc_id) AS rk
+               FROM sc),
+        bmg AS (SELECT rk,
+                       CAST(ROUND(CAST(rel AS DOUBLE)
+                         / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0))
+                         * 1e9) AS BIGINT) AS gfp
+                FROM bm WHERE rk <= 10),
+        id AS (SELECT doc_id, tf_total AS rel,
+                      ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS rk
+               FROM sc),
+        idg AS (SELECT rk,
+                       CAST(ROUND(CAST(rel AS DOUBLE)
+                         / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0))
+                         * 1e9) AS BIGINT) AS gfp
+                FROM id WHERE rk <= 10),
+        ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+        dcg AS (SELECT ks.k, CAST(SUM(bmg.gfp) AS BIGINT) AS dfp
+                FROM ks JOIN bmg ON bmg.rk <= ks.k GROUP BY ks.k),
+        icg AS (SELECT ks.k, CAST(SUM(idg.gfp) AS BIGINT) AS ifp
+                FROM ks JOIN idg ON idg.rk <= ks.k GROUP BY ks.k)
+        SELECT k, ROUND(dfp / 1e9, 6) AS dcg, ROUND(ifp / 1e9, 6) AS idcg,
+               ROUND(CAST(dfp AS DOUBLE) / ifp, 6) AS ndcg
+        FROM dcg JOIN icg USING (k)
+        ORDER BY k"""
     )
   }
 }

@@ -681,6 +681,37 @@ object VectorQueries extends QueryPack {
           round(col("ie"), 6).as("inter_cos"),
           round(col("ia") - col("ie"), 6).as("cohesion"))
         .orderBy(col("label"))
+    }),
+
+    // Dimension-truncation recall audit (the matryoshka-embedding
+    // question: how much of the top-10 survives serving only a prefix of
+    // the vector?): recall@K of exact cosine search over the first 16
+    // and 32 of the 64 dims against the full-dim exact ranking (q38's).
+    // Same q50 composition discipline — three cosineTopK passes (query
+    // side broadcast, corpus never shuffled), two keyed joins over
+    // K·NumQueries rows. The number that sizes a 4×-cheaper serving tier
+    // before anyone ships it.
+    "q129_dim_truncation" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val e = cosineTopK(emb, qs, K).select(col("q_id"), col("vec_id"))
+      def truncHits(dim: Int, name: String): DataFrame = {
+        val embT = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, dim).as("embedding"))
+        val qsT = qs.select(col("q_id"), slice(col("q_emb"), 1, dim).as("q_emb"))
+        val a = cosineTopK(embT, qsT, K).select(col("q_id"), col("vec_id"))
+        e.as("e").join(a.as("a"),
+            col("e.q_id") === col("a.q_id") && col("e.vec_id") === col("a.vec_id"))
+          .groupBy(col("e.q_id").as("q_id")).agg(count(lit(1)).as(name))
+      }
+      e.groupBy(col("q_id")).agg(count(lit(1)).as("ne"))
+        .join(truncHits(16, "h16"), Seq("q_id"), "left_outer")
+        .join(truncHits(32, "h32"), Seq("q_id"), "left_outer")
+        .select(col("q_id"),
+          (coalesce(col("h16"), lit(0L)).cast("double") / col("ne")).as("recall_d16"),
+          (coalesce(col("h32"), lit(0L)).cast("double") / col("ne")).as("recall_d32"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -924,6 +955,46 @@ object VectorQueries extends QueryPack {
         LEFT JOIN ih ON ih.q_id = q.q_id
         ORDER BY q.q_id"""
 
+    // Exact top-K over a DIM-prefix truncation of the vectors (q129):
+    // the q38 chain with embedding[1:dim] on both sides; the cosine is
+    // the same dotSql fold, just over the shorter list.
+    def truncTopSql(dim: Int): String = s"""
+        WITH q AS (
+          SELECT vec_id AS q_id, embedding[1:$dim] AS q_emb
+          FROM embeddings WHERE vec_id < $NumQueries),
+        scored AS (
+          SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", s"e.embedding[1:$dim]")} AS cos
+          FROM q, embeddings e
+          WHERE e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT q_id, vec_id FROM ranked WHERE rank <= $K"""
+
+    // Recall of the truncated rankings against the full-dim exact top-K
+    // (the q50 composition over q129's inputs).
+    val q129Sql = s"""
+        WITH exact AS (SELECT q_id, vec_id FROM ($q38Sql)),
+        t16 AS (SELECT q_id, vec_id FROM (${truncTopSql(16)})),
+        t32 AS (SELECT q_id, vec_id FROM (${truncTopSql(32)})),
+        h16 AS (
+          SELECT e.q_id, COUNT(*) AS h FROM exact e
+          JOIN t16 a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+          GROUP BY e.q_id),
+        h32 AS (
+          SELECT e.q_id, COUNT(*) AS h FROM exact e
+          JOIN t32 a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+          GROUP BY e.q_id),
+        qs AS (SELECT q_id, COUNT(*) AS ne FROM exact GROUP BY q_id)
+        SELECT q.q_id,
+               CAST(COALESCE(h16.h, 0) AS DOUBLE) / q.ne AS recall_d16,
+               CAST(COALESCE(h32.h, 0) AS DOUBLE) / q.ne AS recall_d32
+        FROM qs q
+        LEFT JOIN h16 ON h16.q_id = q.q_id
+        LEFT JOIN h32 ON h32.q_id = q.q_id
+        ORDER BY q.q_id"""
+
     // CTE chain producing the mutual-kNN edge relation
     // `mut(a, b, cos, rank_ab, rank_ba)` — shared by q107 and q108.
     val mutualCtes = s"""
@@ -964,6 +1035,7 @@ object VectorQueries extends QueryPack {
       "q52_embed_dedup_incremental" -> q47Sql,
       "q44_ann_ivf" -> q44Sql,
       "q50_ann_recall" -> q50Sql,
+      "q129_dim_truncation" -> q129Sql,
 
       // Mirrors the Spark HOFs op-for-op (round half-away-from-zero in
       // both engines; list_max is order-free; the cosine is the exact

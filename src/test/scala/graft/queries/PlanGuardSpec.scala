@@ -45,7 +45,11 @@ class PlanGuardSpec extends SparkSpec {
     "q112_ivf_balance",  // centroids (~sqrt(n)) as q44, plus the 1-row totals aggregate
     "q115_label_cohesion", // the 1-row corpus-total scalar aggregate, broadcast
     "q117_score_psi",    // the 1-row halves-total scalar aggregate, broadcast
-    "q118_type_lift")    // the 1-row distinct-user-count aggregate, broadcast
+    "q118_type_lift",    // the 1-row distinct-user-count aggregate, broadcast
+    "q124_kneser_ney",   // the 1-row bigram-type-total aggregate, broadcast
+    "q127_query_likelihood", // the 1-row corpus token total, broadcast (q93 shape)
+    "q128_ndcg",         // rank pair-count against the BROADCAST top-10 itself (≤ K rows)
+    "q129_dim_truncation")   // composes q38 thrice, inheriting its bounded query side
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
