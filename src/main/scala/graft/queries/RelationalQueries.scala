@@ -577,6 +577,35 @@ object RelationalQueries extends QueryPack {
           round(col("n_both").cast("double") * col("n_users")
             / (col("n_a") * col("n_b")), 6).as("lift"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Gap-based sessionization (the boundary operator q74/q91/q113 assume
+    // upstream: a session breaks when a user's inter-event gap exceeds
+    // 30 min): ONE lag() + ONE cumulative-sum window, both partitioned BY
+    // USER over the unique (µs, event_id) order — user-bounded tasks,
+    // never a global sort — then a keyed per-session agg. All gap/
+    // duration arithmetic is exact µs integers (the ns→µs truncation is
+    // identical cross-engine, see q91), so session boundaries can never
+    // drift between engines.
+    "q130_sessionization" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("brk", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(w))
+      ev.groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("us")).as("min_us"), max(col("us")).as("max_us"),
+          min(col("event_id")).as("first_event"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("n_types"), expr("(max_us - min_us) div 1000000").as("dur_s"),
+          col("first_event"))
+        .orderBy(col("user_id"), col("session_idx"))
     })
   )
 
@@ -957,6 +986,34 @@ object RelationalQueries extends QueryPack {
       FROM p
       JOIN per pa ON pa.event_type = p.type_a
       JOIN per pb ON pb.event_type = p.type_b, n
-      ORDER BY type_a, type_b"""
+      ORDER BY type_a, type_b""",
+
+    // Same unique (µs, event_id) window order, same exact-µs gap test,
+    // same cumulative break-sum session index; RANGE-vs-ROWS default
+    // frames agree because the ordering is unique.
+    "q130_sessionization" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      o AS (
+        SELECT user_id, event_id, event_type, us,
+               LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        FROM e),
+      f AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM o),
+      sid AS (
+        SELECT user_id, event_id, event_type, us,
+               CAST(SUM(brk) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS BIGINT) AS session_idx
+        FROM f)
+      SELECT user_id, session_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS dur_s,
+             CAST(MIN(event_id) AS BIGINT) AS first_event
+      FROM sid GROUP BY 1, 2
+      ORDER BY user_id, session_idx"""
   )
 }

@@ -2070,6 +2070,206 @@ object TextPipelineQueries extends QueryPack {
           round(col("ifp") / 1e9, 6).as("idcg"),
           round(col("dfp").cast("double") / col("ifp"), 6).as("ndcg"))
         .orderBy(col("k"))
+    }),
+
+    // Gopher/C4-style quality-rule cascade (the multi-rule boolean filter
+    // audit every production corpus ships with): four per-doc rules —
+    // word count in [5, 1000], mean word length in [2, 12], >= 1
+    // own-language stopword, most-common-token share <= 20% — evaluated
+    // in EXACT integer arithmetic (2n <= sum_len, 5·max_rep <= n: no
+    // fp ratio ever compared), then ONE keyed agg per language counting
+    // per-rule failures and survivors. Per-doc work is a bounded HOF map
+    // (doc length <= corpus max); nothing corpus-wide — embarrassingly
+    // parallel at any scale.
+    "q131_rule_cascade" -> ((s, d) => {
+      val langs = Seq("en", "es", "de", "fr", "zh")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("sum_len",
+          expr("cast(aggregate(toks, 0L, (a, x) -> a + length(x)) as bigint)"))
+        .withColumn("max_rep", expr(
+          "cast(array_max(transform(array_distinct(toks)," +
+          " x -> size(filter(toks, y -> y = x)))) as bigint)"))
+        .withColumn("stop_hits", coalesce(
+          langs.map(l => when(col("lang") === l,
+            TextFns.stopwordHits(col("toks"), TextFns.stopwords(l)))): _*))
+      val r = t.select(col("lang"),
+        (col("n") >= 5 && col("n") <= 1000).as("p_words"),
+        (lit(2) * col("n") <= col("sum_len") &&
+          col("sum_len") <= lit(12) * col("n")).as("p_avglen"),
+        (col("stop_hits") >= 1).as("p_stop"),
+        (lit(5) * col("max_rep") <= col("n")).as("p_rep"))
+      r.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("p_words"), 1L).otherwise(0L)).as("fail_words"),
+          sum(when(!col("p_avglen"), 1L).otherwise(0L)).as("fail_avglen"),
+          sum(when(!col("p_stop"), 1L).otherwise(0L)).as("fail_stop"),
+          sum(when(!col("p_rep"), 1L).otherwise(0L)).as("fail_rep"),
+          sum(when(col("p_words") && col("p_avglen") && col("p_stop") &&
+            col("p_rep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // Min-k% surprisal membership audit (the memorization probe: a doc
+    // whose LOWEST-surprisal token quintile is still cheap under the
+    // corpus LM is likely duplicated/templated content — the batch twin
+    // of the min-k%-prob membership-inference test): per-gram add-one
+    // bigram surprisal (q81's LM — |V| as a 1-row scalar-agg broadcast,
+    // never a global window), fixed-pointed ×1e9 BEFORE selection so the
+    // per-doc rank order is exact, then a PER-DOC rank window (doc-
+    // bounded tasks) selects the lowest k = max(1, n/5) grams. Both
+    // means divide exact int sums, so the 6-dp values are bit-identical
+    // cross-engine.
+    "q132_mink_surprisal" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = t.select(col("doc_id"),
+          posexplode(TextFns.wordShingles(col("toks"), 2)).as(Seq("i", "gram")))
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+      val c2t = bi.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+      val vv = c2t.agg(countDistinct(col("w2")).as("v"))
+      val c2 = c2t.drop("w2").join(broadcast(vv), expr("true"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val scored = bi.join(c2, Seq("gram")).join(c1, Seq("w1"))
+        .select(col("doc_id"), col("i"), expr(
+          "cast(round(-ln((c2 + 1.0) / (c1 + v)) * 1e9) as bigint)").as("nll_fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("nll_fp"), col("i"))
+      val ranked = scored.withColumn("rn", row_number().over(w))
+      val tot = scored.groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_bigrams"), sum(col("nll_fp")).as("sum_fp"))
+        .withColumn("k", greatest(lit(1L), expr("n_bigrams div 5")))
+      ranked.join(tot, Seq("doc_id"))
+        .filter(col("rn") <= col("k"))
+        .groupBy(col("doc_id"), col("n_bigrams"), col("k"), col("sum_fp"))
+        .agg(sum(col("nll_fp")).as("mink_fp"))
+        .withColumn("mink_nll", round(col("mink_fp") / col("k") / 1e9, 6))
+        .select(col("doc_id"), col("n_bigrams"), col("k"), col("mink_nll"),
+          round(col("sum_fp") / col("n_bigrams") / 1e9, 6).as("avg_nll"),
+          (col("mink_nll") <= 3.0).as("suspect"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Governed count-min sketch (completes the sketch family next to
+    // HLL/GK/MG/Bloom): depth 4 × width 1024, row hashes from salted
+    // md5 prefixes (the cross-engine hash family). The sketch is built
+    // from the EXACT token-count relation by weighted insert — identical
+    // to streaming every token, but the build is vocab-bounded, not
+    // corpus-bounded. Audit: for the top-50 tokens, est = min over rows
+    // of the bucket cell; the gate reports the one-sided error and the
+    // ε=2/width Markov bound as exact integers (err·512 <= N).
+    "q133_cms_audit" -> ((s, d) => {
+      val exact = Tables.documents(s, d)
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      val nTot = exact.agg(sum(col("exact")).as("n_total"))
+      val tb = exact.select(col("tok"), col("exact"),
+        posexplode(array((0 until 4).map(r =>
+          TextFns.hash32(concat(lit(s"cms$r|"), col("tok"))) % 1024L): _*))
+          .as(Seq("r", "bucket")))
+      val sketch = tb.groupBy(col("r"), col("bucket"))
+        .agg(sum(col("exact")).as("cell"))
+      val est = tb.join(sketch, Seq("r", "bucket"))
+        .groupBy(col("tok"), col("exact")).agg(min(col("cell")).as("est"))
+      est.orderBy(col("exact").desc, col("tok")).limit(50)
+        .join(broadcast(nTot), expr("true"))
+        .select(col("tok"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("err"),
+          ((col("est") - col("exact")) * 512 <= col("n_total")).as("within_bound"),
+          col("n_total"))
+        .orderBy(col("exact").desc, col("tok"))
+    }),
+
+    // Edit-distance similarity join (the fuzzy-join metric the trigram/
+    // MinHash family cannot express — true character-level edits):
+    // candidates from (lang, source, ⌊len/100⌋) equi-join blocks with the
+    // |la−lb| <= 20 length prefilter (led >= |la−lb|, so no candidate is
+    // lost WITHIN a block; cross-block misses are the documented blocking
+    // recall tradeoff, as q37). The distance itself is Spark's BANDED
+    // levenshtein(a, b, 20) — O(len·20) per pair, returns −1 over the
+    // cap, so the expensive exact DP never runs on far pairs. At 100 TB
+    // the block join is a plain keyed equi-join; oversized blocks are the
+    // q37 salting case.
+    "q134_editdist_join" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("blk", expr("len div 100"))
+      val a = t.select(col("lang"), col("source"), col("blk"),
+        col("doc_id").as("doc_a"), col("text").as("ta"), col("len").as("la"))
+      val b = t.select(col("lang"), col("source"), col("blk"),
+        col("doc_id").as("doc_b"), col("text").as("tb"), col("len").as("lb"))
+      a.join(b, Seq("lang", "source", "blk"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("la") - col("lb")) <= 20)
+        .withColumn("led", expr("levenshtein(ta, tb, 20)"))
+        .filter(col("led") >= 0)
+        .select(col("doc_a"), col("doc_b"), col("lang"),
+          col("la"), col("lb"), col("led"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Tokenizer fertility audit (the compression-rate view that sizes a
+    // tokenizer per language/source: characters per token, subwords per
+    // token, tokens per doc): per-doc exact integer counts, ONE keyed
+    // agg per (lang, source), ratios divided once from exact sums.
+    // Pure map + one shuffle — the cheapest possible corpus statistic.
+    "q135_tokenizer_fertility" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("text"),
+          TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("lang"), col("source"),
+          size(col("toks")).cast("long").as("n_toks"),
+          TextFns.subwordCount(col("text")).cast("long").as("n_sub"),
+          expr("cast(length(regexp_replace(text, '\\\\s', '')) as bigint)")
+            .as("n_chars_ns"))
+      f.groupBy(col("lang"), col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tot_toks"),
+          sum(col("n_sub")).as("tot_sub"),
+          sum(col("n_chars_ns")).as("tot_chars"))
+        .select(col("lang"), col("source"), col("n_docs"), col("tot_toks"),
+          round(col("tot_chars") / col("tot_toks"), 6).as("chars_per_tok"),
+          round(col("tot_sub") / col("tot_toks"), 6).as("subs_per_tok"),
+          round(col("tot_toks") / col("n_docs"), 6).as("toks_per_doc"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // Dup-graph triangle census + global clustering coefficient (the
+    // structural audit over q34's near-dup graph: triangles mean dup
+    // CLUSTERS, wedges-without-triangles mean chains — i.e. threshold
+    // borderline cases): edges are the confirmed LSH pairs (a < b);
+    // triangles by the two-step edge self-join e(a,b)⋈e(b,c)⋈e(a,c) —
+    // id-ordered orientation so each triangle counts once (production
+    // note: degree-ordered orientation bounds the fan-out on skewed
+    // graphs; id order suffices while max degree is dup-cluster-sized).
+    // Wedge count Σ deg·(deg−1)/2 in exact ints; all three totals are
+    // 1-row scalar aggregates broadcast together.
+    "q136_dup_triangles" -> ((s, d) => {
+      val e = confirmedPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val deg = e.select(col("doc_a").as("v"))
+        .union(e.select(col("doc_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val degAgg = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val eAgg = e.agg(count(lit(1)).as("n_edges"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(e.as("e3"), col("e1.doc_a") === col("e3.doc_a") &&
+          col("e2.doc_b") === col("e3.doc_b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      degAgg.join(broadcast(eAgg), expr("true"))
+        .join(broadcast(tri), expr("true"))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("case when n_wedges > 0" +
+            " then round(cast(3 * n_triangles as double) / n_wedges, 6) end")
+            .as("global_cc"))
     })
   )
 
@@ -3647,7 +3847,163 @@ object TextPipelineQueries extends QueryPack {
         SELECT k, ROUND(dfp / 1e9, 6) AS dcg, ROUND(ifp / 1e9, 6) AS idcg,
                ROUND(CAST(dfp AS DOUBLE) / ifp, 6) AS ndcg
         FROM dcg JOIN icg USING (k)
-        ORDER BY k"""
+        ORDER BY k""",
+
+      // Same exact-integer rule tests (2n <= sum_len, 5·max_rep <= n),
+      // same own-language stopword inventories, same per-lang counts.
+      "q131_rule_cascade" -> s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT lang,
+                 CAST(len(toks) AS BIGINT) AS n,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len,
+                 CAST(list_max(list_transform(list_distinct(toks),
+                   x -> len(list_filter(toks, y -> y = x)))) AS BIGINT) AS max_rep,
+                 CASE ${langs.map(l => s"WHEN lang = '$l' THEN ${hits(l)}").mkString(" ")} END AS stop_hits
+          FROM t WHERE len(toks) > 0),
+        r AS (
+          SELECT lang,
+                 (n BETWEEN 5 AND 1000) AS p_words,
+                 (2 * n <= sum_len AND sum_len <= 12 * n) AS p_avglen,
+                 (stop_hits >= 1) AS p_stop,
+                 (5 * max_rep <= n) AS p_rep
+          FROM f)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN NOT p_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+               CAST(SUM(CASE WHEN NOT p_avglen THEN 1 ELSE 0 END) AS BIGINT) AS fail_avglen,
+               CAST(SUM(CASE WHEN NOT p_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+               CAST(SUM(CASE WHEN NOT p_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+               CAST(SUM(CASE WHEN p_words AND p_avglen AND p_stop AND p_rep
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM r GROUP BY 1 ORDER BY lang""",
+
+      // q81's LM CTEs at per-gram granularity, the same ×1e9 fixed-point
+      // before selection, the same unique (nll_fp, position) rank order,
+      // the same exact-int k and sums.
+      "q132_mink_surprisal" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, i, array_to_string(toks[i:i+1], ' ') AS gram,
+                 toks[i] AS w1, toks[i+1] AS w2
+          FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+          WHERE len(toks) >= 2),
+        c2 AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY 1),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w2) AS v FROM g),
+        sc AS (
+          SELECT doc_id, i,
+                 CAST(ROUND(-ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1e9) AS BIGINT) AS nll_fp
+          FROM g JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v),
+        r AS (
+          SELECT doc_id, nll_fp,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nll_fp, i) AS rn
+          FROM sc),
+        tot AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(nll_fp) AS BIGINT) AS sum_fp,
+                 GREATEST(1, CAST(COUNT(*) // 5 AS BIGINT)) AS k
+          FROM sc GROUP BY 1),
+        sel AS (
+          SELECT r.doc_id, CAST(SUM(r.nll_fp) AS BIGINT) AS mink_fp
+          FROM r JOIN tot USING (doc_id) WHERE r.rn <= tot.k GROUP BY 1)
+        SELECT tot.doc_id, tot.n_bigrams, tot.k,
+               ROUND(mink_fp / k / 1e9, 6) AS mink_nll,
+               ROUND(sum_fp / n_bigrams / 1e9, 6) AS avg_nll,
+               ROUND(mink_fp / k / 1e9, 6) <= 3.0 AS suspect
+        FROM sel JOIN tot USING (doc_id)
+        ORDER BY doc_id""",
+
+      // Same salted md5-prefix row hashes, same vocab-bounded weighted
+      // build, same min-over-rows estimate and exact-int Markov bound.
+      "q133_cms_audit" -> s"""
+        WITH t AS (
+          SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        ts AS (SELECT unnest(toks) AS tok FROM t),
+        e AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact FROM ts GROUP BY 1),
+        n AS (SELECT CAST(SUM(exact) AS BIGINT) AS n_total FROM e),
+        tb AS (
+          SELECT tok, exact, r,
+                 CAST((${hex32.replace("md5(x)",
+                   "md5('cms' || CAST(r AS VARCHAR) || '|' || tok)")}) % 1024 AS BIGINT) AS bucket
+          FROM e, generate_series(0, 3) g(r)),
+        sk AS (SELECT r, bucket, CAST(SUM(exact) AS BIGINT) AS cell
+               FROM tb GROUP BY 1, 2),
+        est AS (
+          SELECT tb.tok, tb.exact, CAST(MIN(sk.cell) AS BIGINT) AS est
+          FROM tb JOIN sk USING (r, bucket) GROUP BY 1, 2),
+        top AS (SELECT * FROM est ORDER BY exact DESC, tok LIMIT 50)
+        SELECT tok, exact, est,
+               CAST(est - exact AS BIGINT) AS err,
+               (est - exact) * 512 <= n_total AS within_bound, n_total
+        FROM top CROSS JOIN n
+        ORDER BY exact DESC, tok""",
+
+      // Same (lang, source, ⌊len/100⌋) blocks, same length prefilter;
+      // DuckDB's exact levenshtein agrees with Spark's banded form on
+      // every pair the <= 20 filter admits.
+      "q134_editdist_join" -> """
+        WITH t AS (
+          SELECT doc_id, lang, source, text,
+                 CAST(length(text) AS BIGINT) AS len,
+                 CAST(length(text) // 100 AS BIGINT) AS blk
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+               a.len AS la, b.len AS lb,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS led
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+         AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 20
+        WHERE levenshtein(a.text, b.text) <= 20
+        ORDER BY doc_a, doc_b""",
+
+      // Same exact integer sums; ratios divided once from the sums.
+      "q135_tokenizer_fertility" -> """
+        WITH t AS (
+          SELECT lang, source, text,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT lang, source,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_sub,
+                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_ns
+          FROM t WHERE len(toks) > 0)
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS tot_toks,
+               ROUND(SUM(n_chars_ns) / SUM(n_toks), 6) AS chars_per_tok,
+               ROUND(SUM(n_sub) / SUM(n_toks), 6) AS subs_per_tok,
+               ROUND(SUM(n_toks) / COUNT(*), 6) AS toks_per_doc
+        FROM f GROUP BY 1, 2
+        ORDER BY lang, source""",
+
+      // Same confirmed-pair edges, same id-ordered two-step triangle
+      // join, same exact wedge arithmetic.
+      "q136_dup_triangles" -> s"""
+        $pairsCtes,
+        e AS (SELECT doc_a, doc_b FROM pairs WHERE jacc >= $JaccThreshold),
+        deg AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e)
+          GROUP BY 1),
+        da AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                      CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+               FROM deg),
+        ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+        tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+               FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+                         JOIN e e3 ON e1.doc_a = e3.doc_a
+                                  AND e2.doc_b = e3.doc_b)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN ROUND(3.0 * n_triangles / n_wedges, 6) END AS global_cc
+        FROM da CROSS JOIN ea CROSS JOIN tr"""
     )
   }
 }

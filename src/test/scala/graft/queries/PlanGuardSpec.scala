@@ -49,7 +49,10 @@ class PlanGuardSpec extends SparkSpec {
     "q124_kneser_ney",   // the 1-row bigram-type-total aggregate, broadcast
     "q127_query_likelihood", // the 1-row corpus token total, broadcast (q93 shape)
     "q128_ndcg",         // rank pair-count against the BROADCAST top-10 itself (≤ K rows)
-    "q129_dim_truncation")   // composes q38 thrice, inheriting its bounded query side
+    "q129_dim_truncation",   // composes q38 thrice, inheriting its bounded query side
+    "q132_mink_surprisal",   // the 1-row |V| scalar aggregate, broadcast (q81's LM shape)
+    "q133_cms_audit",        // the 1-row corpus-token-total aggregate, broadcast
+    "q136_dup_triangles")    // three 1-row census aggregates, broadcast together
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
