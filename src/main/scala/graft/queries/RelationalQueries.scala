@@ -606,6 +606,49 @@ object RelationalQueries extends QueryPack {
           col("n_types"), expr("(max_us - min_us) div 1000000").as("dur_s"),
           col("first_event"))
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Funnel conversion-latency percentiles (q74's funnel + the exact
+    // lower-nearest-rank percentile idiom of q13/q82): per-user stage
+    // gaps in exact integer seconds, then p50/p75/p90 per stage via a
+    // stage-partitioned rank window over the unique (gap_s, user_id)
+    // order — rank selection is pure integer arithmetic ((q·(n−1)) div
+    // 100 + 1), no float quantile ever computed. Two stages → two
+    // window partitions, each user-population-bounded.
+    "q141_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      val g1 = c.join(v, Seq("user_id")).select(lit("view_to_click").as("stage"),
+        col("user_id"),
+        expr("(unix_micros(t_click) - unix_micros(t_view)) div 1000000").as("gap_s"))
+      val g2 = p.join(c, Seq("user_id")).select(lit("click_to_purchase").as("stage"),
+        col("user_id"),
+        expr("(unix_micros(t_purchase) - unix_micros(t_click)) div 1000000").as("gap_s"))
+      val g = g1.union(g2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stage")).orderBy(col("gap_s"), col("user_id"))
+      val r = g.withColumn("rn", row_number().over(w))
+      val tot = g.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      r.join(tot, Seq("stage"))
+        .groupBy(col("stage"), col("n"))
+        .agg(
+          max(when(col("rn") === expr("(50 * (n - 1)) div 100 + 1"),
+            col("gap_s"))).as("p50_s"),
+          max(when(col("rn") === expr("(75 * (n - 1)) div 100 + 1"),
+            col("gap_s"))).as("p75_s"),
+          max(when(col("rn") === expr("(90 * (n - 1)) div 100 + 1"),
+            col("gap_s"))).as("p90_s"))
+        .orderBy(col("stage"))
     })
   )
 
@@ -1014,6 +1057,40 @@ object RelationalQueries extends QueryPack {
              CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS dur_s,
              CAST(MIN(event_id) AS BIGINT) AS first_event
       FROM sid GROUP BY 1, 2
-      ORDER BY user_id, session_idx"""
+      ORDER BY user_id, session_idx""",
+
+    // Same funnel min-timestamps, same exact integer gap seconds, same
+    // lower-nearest-rank selection arithmetic.
+    "q141_funnel_latency" -> """
+      WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1),
+      g AS (
+        SELECT 'view_to_click' AS stage, c.user_id,
+               (epoch_us(c.t_click) - epoch_us(v.t_view)) // 1000000 AS gap_s
+        FROM c JOIN v USING (user_id)
+        UNION ALL
+        SELECT 'click_to_purchase' AS stage, p.user_id,
+               (epoch_us(p.t_purchase) - epoch_us(c.t_click)) // 1000000 AS gap_s
+        FROM p JOIN c USING (user_id)),
+      r AS (
+        SELECT stage, gap_s,
+               ROW_NUMBER() OVER (PARTITION BY stage ORDER BY gap_s, user_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY stage) AS BIGINT) AS n
+        FROM g)
+      SELECT stage, n,
+             CAST(MAX(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN gap_s END) AS BIGINT) AS p50_s,
+             CAST(MAX(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN gap_s END) AS BIGINT) AS p75_s,
+             CAST(MAX(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN gap_s END) AS BIGINT) AS p90_s
+      FROM r GROUP BY 1, 2
+      ORDER BY stage"""
   )
 }

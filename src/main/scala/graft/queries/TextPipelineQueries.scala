@@ -182,6 +182,22 @@ object TextPipelineQueries extends QueryPack {
         .join(t.select(col("doc_id"), col("lang")), Seq("doc_id"))
     }
 
+  /** The materialized packed-trigram relation — (doc_id, lang, source,
+    * lb, gr, ng) with gr the sorted distinct codepoint-packed char-3-gram
+    * set (injective for ASCII, so Jaccard over the packed ints IS trigram
+    * Jaccard; graft_trigram_pack is the fused native extraction — the HOF
+    * chain built each 3-gram through an interpreted substr/ascii tree,
+    * see TrigramPackExpr for the parity contract). Shared by q37 (blocked
+    * Jaccard) and q142 (sorted-neighborhood pass): one build per corpus. */
+  private def trigramDocs(s: SparkSession, d: String): DataFrame =
+    materialize(s"trigrams|$d|${fingerprint(d, "documents.parquet")}", s) {
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 100).as("lb"),
+        call_function("graft_trigram_pack", col("text")).as("gr"))
+        .withColumn("ng", size(col("gr")))
+    }
+
   /** Query terms for the IR family (q93 BM25, q127 query-likelihood,
     * q128 nDCG) — one definition so the three views rank the same ad-hoc
     * query. */
@@ -498,22 +514,7 @@ object TextPipelineQueries extends QueryPack {
     // each other) prunes the remaining non-starters before the expensive
     // set intersection.
     "q37_trigram_jaccard" -> ((s, d) => {
-      // Trigrams are packed to ints (c1·2^16 + c2·2^8 + c3 over the char
-      // codes — injective for ASCII text, so Jaccard over the packed sets
-      // IS trigram Jaccard): integer set intersection is several times
-      // cheaper than string set intersection at 30k+ candidate pairs, and
-      // the packing is pure codegen'd arithmetic, no hashing.
-      val docs = materialize(s"trigrams|$d|${fingerprint(d, "documents.parquet")}", s) {
-        Tables.documents(s, d).select(
-          col("doc_id"), col("lang"), col("source"),
-          floor(col("n_chars") / 100).as("lb"),
-          // Fused native extraction (graft_trigram_pack): the HOF chain
-          // built each 3-gram through an interpreted substr/ascii tree —
-          // see TrigramPackExpr for the parity contract.
-          call_function("graft_trigram_pack", col("text")).as("gr"))
-          .withColumn("ng", size(col("gr")))
-      }
-      blockedJaccardPairs(docs, MaxBlock)
+      blockedJaccardPairs(trigramDocs(s, d), MaxBlock)
         .filter(col("jacc") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -2270,6 +2271,133 @@ object TextPipelineQueries extends QueryPack {
           expr("case when n_wedges > 0" +
             " then round(cast(3 * n_triangles as double) / n_wedges, 6) end")
             .as("global_cc"))
+    }),
+
+    // Per-source n-gram diversity (the generation-diversity audit: is a
+    // source self-repetitive?): word-3-gram Simpson repeat index
+    // Σc(c−1)/(N(N−1)), top-gram share, and type-token ratio. The corpus
+    // collapses to the (source, gram) count relation in one keyed agg;
+    // everything after runs on that vocab-bounded aggregate. Counts and
+    // Σc(c−1) are exact int64 (decimal at the trillion-gram tier — each
+    // per-source relation is gram-type-bounded); the three ratios divide
+    // the exact sums once in identical double trees.
+    "q137_ngram_diversity" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"), explode(TextFns.wordShingles(col("toks"), 3)).as("gram"))
+      val c = g.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("c"))
+      c.groupBy(col("source")).agg(
+          sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_types"),
+          sum(expr("c * (c - 1)")).as("rep_pairs"),
+          max(col("c")).as("max_c"))
+        .select(col("source"), col("n_grams"), col("n_types"),
+          expr("case when n_grams > 1 then round(cast(rep_pairs as double)" +
+            " / (cast(n_grams as double) * (cast(n_grams as double) - 1)), 6) end")
+            .as("simpson"),
+          round(col("max_c").cast("double") / col("n_grams"), 6).as("top_share"),
+          round(col("n_types").cast("double") / col("n_grams"), 6).as("ttr"))
+        .orderBy(col("source"))
+    }),
+
+    // Hill tail-index of the per-source document-length distribution (the
+    // heavy-tail audit: α ≈ 1-2 means a Pareto-ish tail whose giant docs
+    // dominate token volume — a shard-sizing risk): α = k / Σᵢ₌₁..k
+    // ln(xᵢ/x_k) over the k = min(50, n/10) largest lengths. The rank
+    // window is source-partitioned (source-bounded tasks) and only the
+    // top-k rows survive to the agg; per-row ln is ×1e9 fixed-pointed so
+    // the Σ − k·ln(x_k) subtraction is exact integer math, divided once.
+    "q138_hill_tail" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long").as("x"), col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("x").desc, col("doc_id"))
+      val r = t.withColumn("rn", row_number().over(w))
+        .withColumn("lfp", expr("cast(round(ln(cast(x as double)) * 1e9) as bigint)"))
+      val tot = r.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("k", least(lit(50L), expr("n div 10")))
+      val rt = r.join(tot, Seq("source"))
+      val xk = rt.filter(col("rn") === col("k"))
+        .select(col("source"), col("lfp").as("lk"))
+      rt.filter(col("rn") <= col("k"))
+        .groupBy(col("source"), col("n"), col("k"))
+        .agg(sum(col("lfp")).as("sl"))
+        .join(xk, Seq("source"))
+        .select(col("source"), col("n"), col("k"),
+          expr("case when k >= 5 and sl - k * lk > 0" +
+            " then round(cast(k as double) * 1e9 / (sl - k * lk), 6) end")
+            .as("alpha"))
+        .orderBy(col("source"))
+    }),
+
+    // Budgeted-vocabulary OOV projection (the tokenizer-generalization
+    // audit: build a top-20-per-language vocabulary on the EVEN-id half,
+    // measure out-of-vocabulary token mass on the ODD half): train-half
+    // counts in one keyed agg, vocab by a lang-partitioned rank window
+    // over that vocab-bounded aggregate (q126's exact frame), OOV via a
+    // left-anti join of eval-half token types against the vocab — all
+    // exact integers until the single final rate division.
+    "q139_oov_projection" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val trainC = t.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
+      val vocab = trainC.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20).select(col("lang"), col("tok"))
+      val evalC = t.filter(col("doc_id") % 2 === 1)
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val oov = evalC.join(vocab, Seq("lang", "tok"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("oov_tokens"), count(lit(1)).as("oov_types"))
+      evalC.groupBy(col("lang"))
+        .agg(sum(col("c")).as("eval_tokens"), count(lit(1)).as("eval_types"))
+        .join(oov, Seq("lang"), "left_outer")
+        .select(col("lang"), col("eval_tokens"), col("eval_types"),
+          coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+          coalesce(col("oov_types"), lit(0L)).as("oov_types"))
+        .withColumn("oov_rate",
+          round(col("oov_tokens") / col("eval_tokens"), 6))
+        .orderBy(col("lang"))
+    }),
+
+    // Sorted-neighborhood near-dup pass (the third classic dedup family
+    // next to LSH (q34) and blocked all-pairs (q37) — the cheap first
+    // sweep production pipelines run BEFORE banding): within each
+    // (lang, ⌊n_chars/100⌋) block, docs are rank-ordered by (n_chars,
+    // doc_id) and each doc is compared only with its 3 successors —
+    // O(3n) candidate pairs total, confirmed by exact trigram Jaccard
+    // from the SAME materialized packed-trigram table as q37 (one build
+    // per corpus). The rank window partitions by (lang, block) — block-
+    // bounded tasks, never a per-language or global sort; the successor
+    // match is a plain (lang, lb, rank) equi-join. Cross-block pairs are
+    // the documented recall tradeoff, exactly q37's.
+    "q142_sorted_neighborhood" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val t = trigramDocs(s, d).join(base, Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("lb")).orderBy(col("n_chars"), col("doc_id"))
+      // gr sorted once per doc BEFORE the successor join (the
+      // blockedJaccardPairs convention): graft_sorted_icount is a sorted
+      // merge, and the pack expression emits first-occurrence order.
+      val r = t.withColumn("rn", row_number().over(w))
+        .withColumn("gr", array_sort(col("gr")))
+      val a = r.select(col("lang"), col("lb"), col("rn"),
+        col("doc_id").as("ida"), col("gr").as("ga"), col("ng").as("na"))
+      val b = r.select(col("lang"), col("lb"), col("rn").as("rnb"),
+        col("doc_id").as("idb"), col("gr").as("gb"), col("ng").as("nb"))
+      a.withColumn("rnb", explode(array(col("rn") + 1, col("rn") + 2, col("rn") + 3)))
+        .join(b, Seq("lang", "lb", "rnb"))
+        .withColumn("isz", expr("graft_sorted_icount(ga, gb)"))
+        .withColumn("jacc",
+          col("isz").cast("double") / (col("na") + col("nb") - col("isz")))
+        .filter(col("jacc") >= 0.5)
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"),
+          round(col("jacc"), 6).as("jacc"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -4003,7 +4131,130 @@ object TextPipelineQueries extends QueryPack {
         SELECT n_nodes, n_edges, n_wedges, n_triangles,
                CASE WHEN n_wedges > 0
                     THEN ROUND(3.0 * n_triangles / n_wedges, 6) END AS global_cc
-        FROM da CROSS JOIN ea CROSS JOIN tr"""
+        FROM da CROSS JOIN ea CROSS JOIN tr""",
+
+      // Same (source, gram) exact counts; Simpson/top-share/TTR divide
+      // identical exact sums in identical double trees.
+      "q137_ngram_diversity" -> """
+        WITH t AS (
+          SELECT source,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT source, array_to_string(toks[i:i+2], ' ') AS gram
+          FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+          WHERE len(toks) >= 3),
+        c AS (SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS c
+              FROM g GROUP BY 1, 2),
+        a AS (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_grams,
+                 CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs,
+                 CAST(MAX(c) AS BIGINT) AS max_c
+          FROM c GROUP BY 1)
+        SELECT source, n_grams, n_types,
+               CASE WHEN n_grams > 1
+                    THEN ROUND(CAST(rep_pairs AS DOUBLE)
+                      / (CAST(n_grams AS DOUBLE) * (CAST(n_grams AS DOUBLE) - 1)), 6) END AS simpson,
+               ROUND(CAST(max_c AS DOUBLE) / n_grams, 6) AS top_share,
+               ROUND(CAST(n_types AS DOUBLE) / n_grams, 6) AS ttr
+        FROM a ORDER BY source""",
+
+      // Same (x desc, doc_id) rank, same ×1e9 fixed-point logs, same
+      // exact Σ − k·ln(x_k) integer subtraction divided once.
+      "q138_hill_tail" -> """
+        WITH t AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rn,
+                 CAST(ROUND(ln(CAST(n_chars AS DOUBLE)) * 1e9) AS BIGINT) AS lfp
+          FROM documents),
+        tot AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 LEAST(50, CAST(COUNT(*) // 10 AS BIGINT)) AS k
+          FROM t GROUP BY 1),
+        xk AS (
+          SELECT t.source, t.lfp AS lk
+          FROM t JOIN tot USING (source) WHERE t.rn = tot.k),
+        s AS (
+          SELECT t.source, tot.n, tot.k, CAST(SUM(t.lfp) AS BIGINT) AS sl
+          FROM t JOIN tot USING (source) WHERE t.rn <= tot.k
+          GROUP BY 1, 2, 3)
+        SELECT s.source, s.n, s.k,
+               CASE WHEN s.k >= 5 AND s.sl - s.k * xk.lk > 0
+                    THEN ROUND(CAST(s.k AS DOUBLE) * 1e9 / (s.sl - s.k * xk.lk), 6) END AS alpha
+        FROM s JOIN xk USING (source)
+        ORDER BY source""",
+
+      // Same even/odd split, same top-20 (c DESC, tok) vocab frame, same
+      // anti-join OOV mass in exact integers.
+      "q139_oov_projection" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        tk AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+        trainc AS (
+          SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tk WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        vocab AS (
+          SELECT lang, tok FROM (
+            SELECT lang, tok,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+            FROM trainc)
+          WHERE rn <= 20),
+        evalc AS (
+          SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tk WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        oov AS (
+          SELECT e.lang, CAST(SUM(e.c) AS BIGINT) AS oov_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS oov_types
+          FROM evalc e ANTI JOIN vocab v ON v.lang = e.lang AND v.tok = e.tok
+          GROUP BY 1),
+        tote AS (
+          SELECT lang, CAST(SUM(c) AS BIGINT) AS eval_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS eval_types
+          FROM evalc GROUP BY 1)
+        SELECT tote.lang, tote.eval_tokens, tote.eval_types,
+               COALESCE(oov.oov_tokens, 0) AS oov_tokens,
+               COALESCE(oov.oov_types, 0) AS oov_types,
+               ROUND(COALESCE(oov.oov_tokens, 0) / tote.eval_tokens, 6) AS oov_rate
+        FROM tote LEFT JOIN oov USING (lang)
+        ORDER BY lang""",
+
+      // Same packed-trigram sets as q37, same (lang, lb) blocks, same
+      // (n_chars, doc_id) rank order and 3-successor neighborhood.
+      "q142_sorted_neighborhood" -> """
+        WITH g AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(floor(n_chars / 100) AS BIGINT) AS lb,
+                 list_distinct(list_transform(
+                   list_transform(
+                     generate_series(1, greatest(length(text) - 2, 1)),
+                     i -> substr(text, i, 3)),
+                   x -> CAST(ascii(substr(x, 1, 1)) * 65536
+                           + ascii(substr(x, 2, 1)) * 256
+                           + ascii(substr(x, 3, 1)) AS BIGINT))) AS gr
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang, lb, gr,
+                 ROW_NUMBER() OVER (PARTITION BY lang, lb
+                   ORDER BY n_chars, doc_id) AS rn
+          FROM g),
+        px AS (
+          SELECT lang, lb, rn + j AS rnb, doc_id AS ida, gr AS ga
+          FROM r, generate_series(1, 3) t(j)),
+        pr AS (
+          SELECT p.ida, b.doc_id AS idb,
+                 CAST(len(list_intersect(p.ga, b.gr)) AS DOUBLE)
+                   / (len(p.ga) + len(b.gr) - len(list_intersect(p.ga, b.gr))) AS jacc
+          FROM px p JOIN r b
+            ON b.lang = p.lang AND b.lb = p.lb AND b.rn = p.rnb)
+        SELECT LEAST(ida, idb) AS doc_a, GREATEST(ida, idb) AS doc_b,
+               ROUND(jacc, 6) AS jacc
+        FROM pr WHERE jacc >= 0.5
+        ORDER BY doc_a, doc_b"""
     )
   }
 }

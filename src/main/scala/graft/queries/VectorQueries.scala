@@ -712,6 +712,32 @@ object VectorQueries extends QueryPack {
           (coalesce(col("h16"), lit(0L)).cast("double") / col("ne")).as("recall_d16"),
           (coalesce(col("h32"), lit(0L)).cast("double") / col("ne")).as("recall_d32"))
         .orderBy(col("q_id"))
+    }),
+
+    // Cross-label near-dup audit (the label-noise signal q108 smooths and
+    // q115 scores in aggregate, surfaced as evidence: cosine-confirmed
+    // near-dup pairs whose labels DISAGREE are either label errors or
+    // boundary content): candidates from the SAME materialized band index
+    // as q47 (salted band-key self-join — never all-pairs), exact-cosine
+    // confirm, then one keyed agg to the |labels|²-bounded (label_a,
+    // label_b) matrix with per-cell counts and the disagree flag.
+    "q140_crosslabel_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val np = planesPerBand(embStats(s, d).n)
+      val bd = materializedBands(s, d, emb, np)
+      val cand = SaltedSelfPairs.pairs(bd, Seq("band", "key"), "vec_id", MaxBucket)
+        .distinct()
+      cand
+        .join(emb.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+          col("label").as("la")), col("id_a") === col("ia"))
+        .join(emb.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+          col("label").as("lb")), col("id_b") === col("ib"))
+        .filter(Vectors.cosine(col("ea"), col("eb")) >= DupCos)
+        .groupBy(least(col("la"), col("lb")).cast("long").as("label_a"),
+          greatest(col("la"), col("lb")).cast("long").as("label_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("disagree", col("label_a") =!= col("label_b"))
+        .orderBy(col("label_a"), col("label_b"))
     })
   )
 
@@ -853,6 +879,29 @@ object VectorQueries extends QueryPack {
                CASE WHEN d.vb IS NOT NULL THEN 1 ELSE 0 END AS is_dropped
         FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vb
         ORDER BY e.vec_id"""
+
+    // q140: q47's candidate/confirm CTEs, aggregated to the label-pair
+    // matrix instead of the drop verdict.
+    val q140Sql = s"""
+        WITH $paramsCte,
+        b AS (
+          ${(0 until NumBands).map(b =>
+            s"SELECT vec_id, $b AS band, CAST(${bandKeySql(b)} AS BIGINT) AS key FROM embeddings, params p")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+          FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        conf AS (
+          SELECT LEAST(ea.label, eb.label) AS label_a,
+                 GREATEST(ea.label, eb.label) AS label_b
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.va
+          JOIN embeddings eb ON eb.vec_id = c.vb
+          WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $DupCos)
+        SELECT label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               label_a <> label_b AS disagree
+        FROM conf GROUP BY 1, 2
+        ORDER BY label_a, label_b"""
 
     // Shared IVF train+assign CTE prefix (through `assigned`) — the q44
     // serve path and the q112 balance audit read the same index.
@@ -1030,6 +1079,7 @@ object VectorQueries extends QueryPack {
       "q38_cosine_topk" -> q38Sql,
       "q39_ann_lsh" -> q39Sql,
       "q47_embed_dedup" -> q47Sql,
+      "q140_crosslabel_neardup" -> q140Sql,
       // The incremental path must reproduce the full-corpus dedup exactly
       // — same oracle as q47, enforced by the gate's hash compare.
       "q52_embed_dedup_incremental" -> q47Sql,
