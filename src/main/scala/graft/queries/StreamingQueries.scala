@@ -131,10 +131,30 @@ object StreamingQueries extends QueryPack {
           date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
           (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
         .orderBy(col("purchase_id"))
+    }),
+
+    // The custom-state sessionization kernel (flatMapGroupsWithState) in
+    // BATCH mode (the q46/q53 pattern): each user's complete history in
+    // one invocation with empty state, so the emitted rows are the exact
+    // final sessions — oracle-gated against q130's window formulation
+    // VERBATIM, so the streaming kernel and the batch windows can never
+    // drift (the q51/q52 oracle-identity discipline).
+    "q143_stream_sessionization" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .as[EventStreams.SessEvent]
+      EventStreams.sessionize(ev).toDF()
+        .orderBy(col("user_id"), col("session_idx"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Oracle-identity with the batch window formulation: the defining
+    // property of the streaming kernel is equality with q130.
+    "q143_stream_sessionization" ->
+      RelationalQueries.oracles("q130_sessionization"),
     "q40_tumbling_window" -> """
       SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
              event_type,

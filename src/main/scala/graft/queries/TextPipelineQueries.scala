@@ -2398,6 +2398,51 @@ object TextPipelineQueries extends QueryPack {
           greatest(col("ida"), col("idb")).as("doc_b"),
           round(col("jacc"), 6).as("jacc"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-doc duplicated-8-gram fraction (the document-level substring-
+    // dedup diagnostic: what share of a doc's distinct 8-grams occur in
+    // ANY other doc? — symmetric, unlike q84's order-dependent novelty,
+    // and per-doc, unlike q71's cross-doc span blocks): distinct 8-grams
+    // per doc, gram document-frequency by one keyed agg over the gram-
+    // type-bounded relation, per-doc share by a second keyed agg. A doc
+    // counts as sharing a gram when df >= 2 — its own occurrence plus at
+    // least one other doc.
+    // The gram relation is HASHED (graft_shingle_hash32: fused window +
+    // string dedup + md5-prefix hash, one native pass) so the df shuffle
+    // moves 8-byte ints, not ~40-char strings — the q34 width discipline;
+    // the oracle applies the identical md5 arithmetic, so any collision
+    // is mirrored exactly.
+    "q144_gram_dup_fraction" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+      val g = t.select(col("doc_id"),
+        explode(TextFns.shingleHash32(col("toks"), 8)).as("gram"))
+      val df = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      g.join(df, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup") / col("n_grams"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dup-cluster size distribution (the power-law check on q59's
+    // connected components — a heavy-tailed cluster histogram means a
+    // template/mirror problem, not scattered dup pairs): component sizes
+    // from the SAME pointer-jumping operator as q59, histogrammed by one
+    // keyed agg over the |components|-bounded relation.
+    "q145_cluster_sizes" -> ((s, d) => {
+      val pairs = confirmedPairs(s, d).select(col("doc_a"), col("doc_b"))
+      graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .groupBy(col("n_members").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("docs_covered", col("cluster_size") * col("n_clusters"))
+        .orderBy(col("cluster_size"))
     })
   )
 
@@ -4254,7 +4299,57 @@ object TextPipelineQueries extends QueryPack {
         SELECT LEAST(ida, idb) AS doc_a, GREATEST(ida, idb) AS doc_b,
                ROUND(jacc, 6) AS jacc
         FROM pr WHERE jacc >= 0.5
-        ORDER BY doc_a, doc_b"""
+        ORDER BY doc_a, doc_b""",
+
+      // Same distinct 8-gram sets hashed through the same md5 prefix
+      // arithmetic, same df >= 2 rule, exact int counts.
+      "q144_gram_dup_fraction" -> s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 7),
+            i -> array_to_string(toks[i:i+7], ' '))) AS grams
+          FROM f),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(grams, x -> CAST($hex32 AS BIGINT))) AS gram
+          FROM sh),
+        df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               ROUND(CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+        FROM g JOIN df USING (gram)
+        GROUP BY 1
+        ORDER BY doc_id""",
+
+      // q59's recursive-CTE components, histogrammed.
+      "q145_cluster_sizes" -> s"""
+        ${pairsCtes.replaceFirst("(?i)WITH", "WITH RECURSIVE")},
+        e AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jacc >= $JaccThreshold
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs WHERE jacc >= $JaccThreshold),
+        r(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u),
+        comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM r GROUP BY u),
+        sizes AS (
+          SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM comp GROUP BY component)
+        SELECT n_members AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(n_members * COUNT(*) AS BIGINT) AS docs_covered
+        FROM sizes
+        GROUP BY n_members
+        ORDER BY cluster_size"""
     )
   }
 }

@@ -81,6 +81,57 @@ object EventStreams {
       }
   }
 
+  final case class SessEvent(user_id: Long, event_id: Long,
+                             event_type: String, us: Long)
+  final case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+                              n_types: Long, dur_s: Long, first_event: Long)
+  final case class SessionAcc(session_idx: Long, first_us: Long, last_us: Long,
+                              first_event: Long, n_events: Long,
+                              types: Seq[String])
+
+  /** Gap-based sessionization as a CUSTOM-STATE streaming kernel — the
+    * flatMapGroupsWithState twin of the batch window formulation (q130):
+    * per-user state is ONE open-session accumulator (bounded by the
+    * event-type cardinality, regardless of stream length); a session
+    * closes when the gap to the next event exceeds `gapUs`. Events are
+    * sorted (us, event_id) per invocation — the same unique order the
+    * batch windows use, so the session split is identical. In BATCH
+    * execution each user's complete history arrives in one invocation
+    * with empty state, so the emitted rows ARE the exact final sessions
+    * (the q46/q53 batch-gate pattern); in streaming, the still-open
+    * session is emitted as a snapshot each micro-batch and carried in
+    * state for continuation. */
+  def sessionize(events: Dataset[SessEvent],
+                 gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[SessEvent], state: GroupState[SessionAcc]) =>
+          val evs = batch.toArray.sortBy(e => (e.us, e.event_id))
+          def close(a: SessionAcc): SessionOut =
+            SessionOut(userId, a.session_idx, a.n_events, a.types.size.toLong,
+              (a.last_us - a.first_us) / 1000000L, a.first_event)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var acc: SessionAcc = state.getOption.orNull
+          evs.foreach { e =>
+            if (acc == null)
+              acc = SessionAcc(1L, e.us, e.us, e.event_id, 1L, Seq(e.event_type))
+            else if (e.us - acc.last_us > gapUs) {
+              out += close(acc)
+              acc = SessionAcc(acc.session_idx + 1L, e.us, e.us, e.event_id,
+                1L, Seq(e.event_type))
+            } else
+              acc = acc.copy(last_us = e.us, n_events = acc.n_events + 1L,
+                types = if (acc.types.contains(e.event_type)) acc.types
+                        else acc.types :+ e.event_type)
+          }
+          if (acc != null) { out += close(acc); state.update(acc) }
+          out.iterator
+      }
+  }
+
   /** Stream-STREAM interval join: every (purchase, click) pair by the
     * same user with the click in the hour at-or-before the purchase.
     * Under Structured Streaming both sides carry watermarks and the

@@ -85,4 +85,34 @@ class CorpusAuditFamilySpec extends SparkSpec {
     }
     assert(common > 0, "no overlap between SNM and blocked-Jaccard pairs")
   }
+
+  test("q144: dup fractions are bounded and the planted exact copies hit 1.0") {
+    val rows = TextPipelineQueries.queries("q144_gram_dup_fraction")(spark, sf)
+      .select(col("n_grams"), col("n_dup"), col("dup_frac")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // the corpus plants exact text copies (slot-99 rule): a verbatim copy
+    // shares every 8-gram with its source, so SOME doc must reach 1.0
+    assert(rows.exists(_.getDouble(2) == 1.0), "no fully-duplicated doc found")
+  }
+
+  test("q145: the size histogram partitions the clustered docs") {
+    val hist = TextPipelineQueries.queries("q145_cluster_sizes")(spark, sf)
+      .collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      assert(r.getLong(0) >= 2, "a component has at least two members")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+    }
+    val clustered = TextPipelineQueries.queries("q34_minhash_pairs")(spark, sf)
+      .select(col("doc_a")).union(
+        TextPipelineQueries.queries("q34_minhash_pairs")(spark, sf)
+          .select(col("doc_b")))
+      .distinct().count()
+    assert(hist.map(_.getLong(2)).sum == clustered,
+      "histogram mass must equal the distinct docs appearing in dup pairs")
+  }
 }
