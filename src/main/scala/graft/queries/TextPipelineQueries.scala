@@ -2443,6 +2443,55 @@ object TextPipelineQueries extends QueryPack {
         .agg(count(lit(1)).as("n_clusters"))
         .withColumn("docs_covered", col("cluster_size") * col("n_clusters"))
         .orderBy(col("cluster_size"))
+    }),
+
+    // Boilerplate origin attribution (q144's companion: WHICH 8-grams
+    // are the shared boilerplate, how widespread, and where did each
+    // first appear?): top-10 grams by document frequency with the
+    // earliest carrier as origin — TakeOrdered over the gram-type-
+    // bounded df aggregate (the q114 induced-stopword shape), corpus
+    // size as a 1-row broadcast for the share.
+    "q146_boilerplate_origin" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+      val g = t.select(col("doc_id"),
+        explode(TextFns.shingleHash32(col("toks"), 8)).as("h"))
+      val df = g.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("origin_doc"))
+      val tot = t.agg(count(lit(1)).as("n_docs"))
+      df.filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("h")).limit(10)
+        .join(broadcast(tot), expr("true"))
+        .select(col("h").as("gram_h"), col("df"), col("origin_doc"),
+          round(col("df") / col("n_docs"), 6).as("doc_share"), col("n_docs"))
+        .orderBy(col("df").desc, col("gram_h"))
+    }),
+
+    // Quality-score length-bias audit (the curation-fairness check: does
+    // the quality filter systematically prefer long documents?): q105's
+    // fixed-point score aggregated by per-lang token-count decile
+    // (q120's exact rank-quantile frame). Mean score and keep rate per
+    // (lang, decile) from exact integer sums — a biased filter shows a
+    // monotone mean-score ramp across deciles.
+    "q148_score_length_bias" -> ((s, d) => {
+      val sc = qualityScores(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_toks"), col("doc_id"))
+      val nl = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      sc.withColumn("rn", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(nl))
+        .filter(col("n_lang") > 1)
+        .withColumn("q", round(expr("cast(rn - 1 as double) / (n_lang - 1)"), 6))
+        .withColumn("decile", expr("cast(least(9, floor(q * 10)) as int)"))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("sfp")).as("ssum"),
+          sum(when(col("sfp") > 0, 1L).otherwise(0L)).as("n_keep"))
+        .select(col("lang"), col("decile"), col("n_docs"),
+          round(expr("cast(ssum as double) / n_docs / 1e9"), 6).as("mean_score"),
+          round(col("n_keep") / col("n_docs"), 6).as("keep_rate"))
+        .orderBy(col("lang"), col("decile"))
     })
   )
 
@@ -4349,7 +4398,72 @@ object TextPipelineQueries extends QueryPack {
                CAST(n_members * COUNT(*) AS BIGINT) AS docs_covered
         FROM sizes
         GROUP BY n_members
-        ORDER BY cluster_size"""
+        ORDER BY cluster_size""",
+
+      // q144's hashed gram relation, topped by (df DESC, hash) with the
+      // earliest carrier; corpus size as the share denominator.
+      "q146_boilerplate_origin" -> s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(toks) - 7),
+            i -> array_to_string(toks[i:i+7], ' '))) AS grams
+          FROM f),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(grams, x -> CAST($hex32 AS BIGINT))) AS h
+          FROM sh),
+        df AS (
+          SELECT h, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(MIN(doc_id) AS BIGINT) AS origin_doc
+          FROM g GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM f),
+        top AS (
+          SELECT h, df, origin_doc FROM df WHERE df >= 2
+          ORDER BY df DESC, h LIMIT 10)
+        SELECT h AS gram_h, df, origin_doc,
+               ROUND(df / n_docs, 6) AS doc_share, n_docs
+        FROM top CROSS JOIN n
+        ORDER BY df DESC, gram_h""",
+
+      // q105's score CTEs + q120's exact rank-quantile decile, grouped.
+      "q148_score_length_bias" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id, lang, n_toks,
+                 CAST(ROUND(1.2 * ln(CAST(n_toks AS DOUBLE) / 50) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(2.0 * (CAST(n_types AS DOUBLE) / n_toks - 0.5) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(0.8 * (CAST(sum_len AS DOUBLE) / n_toks - 4.5) * 1000000000) AS BIGINT)
+                 + CASE WHEN lang = 'en' THEN 500000000 ELSE 0 END AS sfp
+          FROM f),
+        r AS (
+          SELECT lang, sfp,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+          FROM s),
+        dec AS (
+          SELECT lang, sfp,
+                 CAST(LEAST(9, FLOOR(ROUND(CAST(rn - 1 AS DOUBLE) / (n_lang - 1), 6) * 10)) AS INTEGER) AS decile
+          FROM r WHERE n_lang > 1)
+        SELECT lang, decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(sfp) AS DOUBLE) / COUNT(*) / 1e9, 6) AS mean_score,
+               ROUND(SUM(CASE WHEN sfp > 0 THEN 1 ELSE 0 END) / COUNT(*), 6) AS keep_rate
+        FROM dec GROUP BY 1, 2
+        ORDER BY lang, decile"""
     )
   }
 }

@@ -738,6 +738,38 @@ object VectorQueries extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("disagree", col("label_a") =!= col("label_b"))
         .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // Embedding isotropy audit (the embedding-health check before any
+    // cosine-based retrieval: a large common-mean component or one
+    // dominant variance direction silently degrades cosine ranking):
+    // anisotropy = ‖mean‖² / E‖x‖² and the max per-dim variance share,
+    // from ONE dims-bounded keyed agg over ×1e6-quantized components —
+    // per-dim moments are exact int64 sums (order-independent under any
+    // partitioning), per-dim derived terms are re-fixed-pointed ×1e12
+    // before the cross-dim sums so no float accumulation order exists,
+    // and the four output ratios divide exact integers once.
+    "q147_embed_isotropy" -> ((s, d) => {
+      val x = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("xq", expr("cast(round(x * 1e6) as bigint)"))
+      val perDim = x.groupBy(col("i")).agg(
+        sum(col("xq")).as("s"), sum(expr("xq * xq")).as("q"),
+        count(lit(1)).as("n"))
+      val p = perDim.select(col("n"),
+        expr("cast(round(power(cast(s as double) / n / 1e6, 2) * 1e12) as bigint)")
+          .as("mean_fp2"),
+        expr("cast(round(cast(q as double) / n) as bigint)").as("msq_fp"))
+      p.agg(max(col("n")).as("n_vectors"), count(lit(1)).as("dims"),
+          sum(col("mean_fp2")).as("sm"), sum(col("msq_fp")).as("sq2"),
+          max(expr("msq_fp - mean_fp2")).as("mx"),
+          sum(expr("msq_fp - mean_fp2")).as("sv"))
+        .select(col("n_vectors"), col("dims"),
+          round(col("sm") / 1e12, 6).as("mean_norm_sq"),
+          round(col("sq2") / 1e12, 6).as("mean_sq_norm"),
+          round(expr("cast(sm as double) / sq2"), 6).as("anisotropy"),
+          expr("case when sv > 0 then round(cast(mx as double) / sv, 6) end")
+            .as("max_var_share"))
     })
   )
 
@@ -1080,6 +1112,37 @@ object VectorQueries extends QueryPack {
       "q39_ann_lsh" -> q39Sql,
       "q47_embed_dedup" -> q47Sql,
       "q140_crosslabel_neardup" -> q140Sql,
+
+      // Same ×1e6 per-component quantization, same exact per-dim moment
+      // sums, same ×1e12 re-fixed-pointing before the cross-dim sums.
+      "q147_embed_isotropy" -> s"""
+        WITH x AS (
+          SELECT i, CAST(ROUND(embedding[i] * 1e6) AS BIGINT) AS xq
+          FROM embeddings, generate_series(1, $Dim) t(i)),
+        d AS (
+          SELECT i, CAST(SUM(xq) AS BIGINT) AS s,
+                 CAST(SUM(xq * xq) AS BIGINT) AS q,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM x GROUP BY 1),
+        p AS (
+          SELECT n,
+                 CAST(ROUND(POWER(CAST(s AS DOUBLE) / n / 1e6, 2) * 1e12) AS BIGINT) AS mean_fp2,
+                 CAST(ROUND(CAST(q AS DOUBLE) / n) AS BIGINT) AS msq_fp
+          FROM d),
+        a AS (
+          SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+                 CAST(COUNT(*) AS BIGINT) AS dims,
+                 CAST(SUM(mean_fp2) AS BIGINT) AS sm,
+                 CAST(SUM(msq_fp) AS BIGINT) AS sq2,
+                 CAST(MAX(msq_fp - mean_fp2) AS BIGINT) AS mx,
+                 CAST(SUM(msq_fp - mean_fp2) AS BIGINT) AS sv
+          FROM p)
+        SELECT n_vectors, dims,
+               ROUND(sm / 1e12, 6) AS mean_norm_sq,
+               ROUND(sq2 / 1e12, 6) AS mean_sq_norm,
+               ROUND(CAST(sm AS DOUBLE) / sq2, 6) AS anisotropy,
+               CASE WHEN sv > 0 THEN ROUND(CAST(mx AS DOUBLE) / sv, 6) END AS max_var_share
+        FROM a""",
       // The incremental path must reproduce the full-corpus dedup exactly
       // — same oracle as q47, enforced by the gate's hash compare.
       "q52_embed_dedup_incremental" -> q47Sql,
