@@ -649,6 +649,36 @@ object RelationalQueries extends QueryPack {
           max(when(col("rn") === expr("(90 * (n - 1)) div 100 + 1"),
             col("gap_s"))).as("p90_s"))
         .orderBy(col("stage"))
+    }),
+
+    // Market-basket association rules over order baskets (the mixture-
+    // curation primitive applied to relational data: which item pairs
+    // co-occur beyond chance?): pair candidates come from a self-join
+    // keyed on the BASKET id — per-key fanout is the per-order item
+    // count (≤ 7 in TPC-H, bounded by basket size at any corpus scale),
+    // so the pair relation grows linearly in orders, never quadratically
+    // in items. Support/confidence/lift are exact int64 counts divided
+    // into doubles once; top-20 by support is a TakeOrdered on the
+    // pair-bounded aggregate with (pa, pb) tie-break.
+    "q150_assoc_rules" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+      val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("supp_ab"))
+      pairs
+        .join(supp.select(col("pk").as("pa"), col("supp").as("supp_a")), Seq("pa"))
+        .join(supp.select(col("pk").as("pb"), col("supp").as("supp_b")), Seq("pb"))
+        .join(broadcast(nOrders), expr("true"))
+        .orderBy(col("supp_ab").desc, col("pa"), col("pb")).limit(20)
+        .select(col("pa"), col("pb"), col("supp_ab"), col("supp_a"), col("supp_b"),
+          round(col("supp_ab").cast("double") / col("supp_a"), 6).as("confidence"),
+          round(col("supp_ab").cast("double") * col("n_orders") /
+            (col("supp_a") * col("supp_b")), 6).as("lift"))
+        .orderBy(col("supp_ab").desc, col("pa"), col("pb"))
     })
   )
 
@@ -1091,6 +1121,22 @@ object RelationalQueries extends QueryPack {
              CAST(MAX(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN gap_s END) AS BIGINT) AS p75_s,
              CAST(MAX(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN gap_s END) AS BIGINT) AS p90_s
       FROM r GROUP BY 1, 2
-      ORDER BY stage"""
+      ORDER BY stage""",
+
+    // q150's twin: identical basket self-join, exact counts, one
+    // double division per ratio.
+    "q150_assoc_rules" -> """
+      WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      s AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS supp FROM i GROUP BY 1),
+      n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM i),
+      p AS (SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS supp_ab
+            FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+      j AS (SELECT pa, pb, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b, n_orders
+            FROM p JOIN s sa ON p.pa = sa.pk JOIN s sb ON p.pb = sb.pk CROSS JOIN n)
+      SELECT pa, pb, supp_ab, supp_a, supp_b,
+             ROUND(CAST(supp_ab AS DOUBLE) / supp_a, 6) AS confidence,
+             ROUND(CAST(supp_ab AS DOUBLE) * n_orders / (supp_a * supp_b), 6) AS lift
+      FROM j
+      ORDER BY supp_ab DESC, pa, pb LIMIT 20"""
   )
 }

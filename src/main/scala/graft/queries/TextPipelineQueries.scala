@@ -2492,6 +2492,129 @@ object TextPipelineQueries extends QueryPack {
           round(expr("cast(ssum as double) / n_docs / 1e9"), 6).as("mean_score"),
           round(col("n_keep") / col("n_docs"), 6).as("keep_rate"))
         .orderBy(col("lang"), col("decile"))
+    }),
+
+    // Sparse tf-idf document cosine pairs (the lexical companion to the
+    // dense-embedding near-dup family: pairwise doc similarity via a
+    // posting-list equi-join on shared terms — never all-pairs). Each doc
+    // keeps its top-8 tf-idf terms (exact int64 fixed-point weights, tf
+    // saturated at 1000 so wfp² sums stay inside int64); terms with
+    // df > 1000 are stopword-pruned BEFORE pairing — the hot-key fanout
+    // guard (q119's MaxBoundaryFanout discipline), which is also the
+    // right IR semantics (a corpus-wide term carries no signal). The
+    // pair relation is bounded by Σ_term df(term)² over the pruned,
+    // top-8-sparsified postings — df-capped, so no term key ever goes
+    // quadratic in the corpus. Cosine is one double division over exact
+    // integer dot/norms, rounded before the threshold compare so the
+    // gate can never flip on a last-ulp difference.
+    "q149_sparse_cosine" -> ((s, d) => {
+      val m = 8; val dfCap = 1000L; val tfCap = 1000L
+      val n = graft.operators.CorpusStats.count(s, d, "documents", "doc_id")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = tf.join(dfreq, Seq("term"))
+        .filter(col("df") <= dfCap && col("df") < n)
+        .withColumn("wfp", expr(
+          s"cast(round(least(cnt, $tfCap) * ln(cast($n as double) / df) * 10000) as bigint)"))
+        .filter(col("wfp") > 0)
+      val top = graft.operators.TopK.perKey(w, Seq("doc_id"),
+          Seq(col("wfp").desc, col("term").asc), m, saltExpr = hash(col("term")))
+        .select(col("doc_id"), col("term"), col("wfp"))
+      val norms = top.groupBy(col("doc_id")).agg(sum(col("wfp") * col("wfp")).as("nrm"))
+      val a = top.select(col("term"), col("doc_id").as("doc_a"), col("wfp").as("wa"))
+      val b = top.select(col("term"), col("doc_id").as("doc_b"), col("wfp").as("wb"))
+      a.join(b, Seq("term")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"), sum(col("wa") * col("wb")).as("dot"))
+        .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
+        .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+        .withColumn("cosine", round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6))
+        .filter(col("cosine") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("cosine"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-term burstiness (Fano factor of per-doc counts over ALL docs,
+    // zeros included — the corpus-linguistics contagion diagnostic:
+    // ~1 means Poisson scatter, ≫1 means the term clumps into few docs,
+    // the signature of templates and topic spam). The corpus collapses
+    // to the (term, doc) count relation in one keyed agg; Fano
+    // (N·Σc² − tot²)/(N·tot) is computed in EXACT int64 on the term-
+    // bounded aggregate and divided into a double exactly once. Top-20
+    // by rounded Fano with the term as tie-break — deterministic on
+    // both engines.
+    "q151_term_burstiness" -> ((s, d) => {
+      val minDf = 20L
+      val n = graft.operators.CorpusStats.count(s, d, "documents", "doc_id")
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      tc.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("tot"),
+          sum(col("c") * col("c")).as("s2"))
+        .filter(col("df") >= minDf)
+        .withColumn("fano", round(expr(
+          s"cast($n * s2 - tot * tot as double) / (cast($n as bigint) * tot)"), 6))
+        .orderBy(col("fano").desc, col("term")).limit(20)
+        .select(col("term"), col("df"), col("tot"), col("fano"))
+        .orderBy(col("fano").desc, col("term"))
+    }),
+
+    // Per-node local clustering coefficient on the confirmed near-dup
+    // graph (q136's global census, localized: WHICH docs sit inside
+    // densely-wired dup cliques — template hubs — vs. chains of
+    // accidental pairs?). Triangles from the same edge-keyed two-hop
+    // join as q136, attributed to all three corners by one explode +
+    // keyed agg; cc = 2T/(d(d−1)) on the |V|-bounded aggregate. Every
+    // join is keyed on doc ids; per-key fanout is degree-bounded.
+    "q152_clustering_coeff" -> ((s, d) => {
+      val e = confirmedPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val deg = e.select(col("doc_a").as("v"))
+        .union(e.select(col("doc_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(e.as("e3"), col("e1.doc_a") === col("e3.doc_a") &&
+          col("e2.doc_b") === col("e3.doc_b"))
+        .select(explode(array(col("e1.doc_a"), col("e1.doc_b"), col("e2.doc_b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(tri, Seq("v"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .select(col("v").as("doc_id"), col("deg"), col("n_tri"),
+          round(expr("cast(2 * n_tri as double) / (deg * (deg - 1))"), 6).as("local_cc"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source sentence-level boilerplate share (the C4/CCNet line-
+    // dedup diagnostic at sentence granularity — q144's 8-gram fraction
+    // catches sub-sentence overlap; THIS catches whole repeated
+    // sentences, the unit real boilerplate strippers remove): sentences
+    // by [.!?]+ segmentation, ≥ 20 chars after trim, hashed to 32-bit
+    // ints (md5-prefix — the q34 width discipline: the df shuffle moves
+    // 8-byte ints, not sentence strings; the oracle mirrors the md5
+    // arithmetic so any collision is shared). A sentence is boilerplate
+    // when it appears in ≥ 2 DISTINCT docs; each source reports the
+    // share of its sentence instances that are corpus-wide boilerplate.
+    "q153_sentence_dup_share" -> ((s, d) => {
+      val sents = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "[.!?]+")).as("raw"))
+        .select(col("doc_id"), col("source"), trim(col("raw")).as("sent"))
+        .filter(length(col("sent")) >= 20)
+        .select(col("doc_id"), col("source"), TextFns.hash32(col("sent")).as("h"))
+      val sdf = sents.select(col("h"), col("doc_id")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("sdf"))
+      sents.join(sdf, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("sdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("source"), col("n_sents"), col("n_dup"),
+          round(col("n_dup") / col("n_sents"), 6).as("dup_share"))
+        .orderBy(col("source"))
     })
   )
 
@@ -4463,7 +4586,108 @@ object TextPipelineQueries extends QueryPack {
                ROUND(CAST(SUM(sfp) AS DOUBLE) / COUNT(*) / 1e9, 6) AS mean_score,
                ROUND(SUM(CASE WHEN sfp > 0 THEN 1 ELSE 0 END) / COUNT(*), 6) AS keep_rate
         FROM dec GROUP BY 1, 2
-        ORDER BY lang, decile"""
+        ORDER BY lang, decile""",
+
+      // q149's posting-join twin: identical tf saturation, df pruning,
+      // 1e4 fixed-point weights, top-8 per doc, exact int dot/norms.
+      "q149_sparse_cosine" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        w AS (
+          SELECT tf.doc_id, tf.term,
+                 CAST(ROUND(LEAST(tf.cnt, 1000) * ln(CAST(n.n AS DOUBLE) / df.df) * 10000) AS BIGINT) AS wfp
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          WHERE df.df <= 1000 AND df.df < n.n),
+        top AS (
+          SELECT doc_id, term, wfp FROM (
+            SELECT doc_id, term, wfp,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wfp DESC, term) AS rn
+            FROM w WHERE wfp > 0) WHERE rn <= 8),
+        nrm AS (SELECT doc_id, CAST(SUM(wfp * wfp) AS BIGINT) AS nrm FROM top GROUP BY 1),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared,
+                 CAST(SUM(a.wfp * b.wfp) AS BIGINT) AS dot
+          FROM top a JOIN top b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        c AS (
+          SELECT doc_a, doc_b, n_shared,
+                 ROUND(CAST(dot AS DOUBLE) /
+                       sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) AS cosine
+          FROM p JOIN nrm na ON p.doc_a = na.doc_id
+                 JOIN nrm nb ON p.doc_b = nb.doc_id)
+        SELECT doc_a, doc_b, n_shared, cosine FROM c
+        WHERE cosine >= 0.6
+        ORDER BY doc_a, doc_b""",
+
+      // q151's twin: exact int64 Fano cleared of denominators; the corpus
+      // doc count enters as a CTE scalar (same value as the Spark side's
+      // memoized CorpusStats literal).
+      "q151_term_burstiness" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+          FROM documents),
+        tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        a AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM(c) AS BIGINT) AS tot,
+                 CAST(SUM(c * c) AS BIGINT) AS s2
+          FROM tc GROUP BY 1)
+        SELECT term, df, tot,
+               ROUND(CAST(n.n * s2 - tot * tot AS DOUBLE) / (n.n * tot), 6) AS fano
+        FROM a CROSS JOIN n
+        WHERE df >= 20
+        ORDER BY fano DESC, term LIMIT 20""",
+
+      // q152's twin: q136's edge/degree/triangle CTEs, triangles unnested
+      // to their three corners.
+      "q152_clustering_coeff" -> s"""
+        $pairsCtes,
+        e AS (SELECT doc_a, doc_b FROM pairs WHERE jacc >= $JaccThreshold),
+        deg AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e)
+          GROUP BY 1),
+        tr AS (
+          SELECT unnest([e1.doc_a, e1.doc_b, e2.doc_b]) AS v
+          FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+                    JOIN e e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+        tv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM tr GROUP BY 1)
+        SELECT deg.v AS doc_id, deg.deg,
+               CAST(COALESCE(tv.n_tri, 0) AS BIGINT) AS n_tri,
+               ROUND(CAST(2 * COALESCE(tv.n_tri, 0) AS DOUBLE) / (deg.deg * (deg.deg - 1)), 6) AS local_cc
+        FROM deg LEFT JOIN tv ON deg.v = tv.v
+        WHERE deg.deg >= 2
+        ORDER BY doc_id""",
+
+      // q153's twin: identical segmentation regex, trim, ≥20-char floor,
+      // md5-prefix sentence hash, distinct-doc df.
+      "q153_sentence_dup_share" -> s"""
+        WITH sr AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x))) AS sent
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 unnest(list_transform([sent], x -> CAST($hex32 AS BIGINT))) AS h
+          FROM sr WHERE len(sent) >= 20),
+        sdf AS (
+          SELECT h, CAST(COUNT(*) AS BIGINT) AS sdf
+          FROM (SELECT DISTINCT h, doc_id FROM sh) GROUP BY 1)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sents,
+               CAST(SUM(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               ROUND(SUM(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_share
+        FROM sh JOIN sdf USING (h)
+        GROUP BY 1
+        ORDER BY source"""
     )
   }
 }
