@@ -679,6 +679,34 @@ object RelationalQueries extends QueryPack {
           round(col("supp_ab").cast("double") * col("n_orders") /
             (col("supp_a") * col("supp_b")), 6).as("lift"))
         .orderBy(col("supp_ab").desc, col("pa"), col("pb"))
+    }),
+
+    // RFM user segmentation (the audience-curation primitive: quintile-
+    // code every user by recency/frequency/monetary, then census the
+    // segments): the corpus collapses to one user-level aggregate
+    // (monetary through 1e-2 fixed-point longs, the q01 cents
+    // discipline); the three ntile(5) windows run DIRECTLY over that
+    // |users|-bounded AGGREGATE — the sanctioned single-partition shape.
+    // Recency quintiles order by date(t_last) DESC, which is exactly
+    // rec_days ASC without joining the corpus max-ts back in; user_id
+    // tie-breaks make every quintile edge deterministic on both engines.
+    // Output is the ≤ 125-row segment census.
+    "q156_user_rfm" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
+      val u = ev.groupBy(col("user_id")).agg(
+        max(col("ts")).as("t_last"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("long")).as("mon_c"))
+      val coded = u
+        .withColumn("r_q", ntile(5).over(
+          Window.orderBy(to_date(col("t_last")).desc, col("user_id"))))
+        .withColumn("f_q", ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
+        .withColumn("m_q", ntile(5).over(Window.orderBy(col("mon_c").desc, col("user_id"))))
+      coded.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("freq")).as("n_events"),
+          round((sum(col("mon_c")) / lit(100.0)), 2).as("monetary"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
     })
   )
 
@@ -1137,6 +1165,26 @@ object RelationalQueries extends QueryPack {
              ROUND(CAST(supp_ab AS DOUBLE) / supp_a, 6) AS confidence,
              ROUND(CAST(supp_ab AS DOUBLE) * n_orders / (supp_a * supp_b), 6) AS lift
       FROM j
-      ORDER BY supp_ab DESC, pa, pb LIMIT 20"""
+      ORDER BY supp_ab DESC, pa, pb LIMIT 20""",
+
+    // q156's twin: identical user aggregate, ntile(5) with user_id
+    // tie-breaks (recency via date(t_last) DESC), cents-exact monetary.
+    "q156_user_rfm" -> """
+      WITH u AS (
+        SELECT user_id, MAX(ts) AS t_last, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS mon_c
+        FROM events GROUP BY 1),
+      q AS (
+        SELECT user_id, freq, mon_c,
+               NTILE(5) OVER (ORDER BY CAST(t_last AS DATE) DESC, user_id) AS r_q,
+               NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+               NTILE(5) OVER (ORDER BY mon_c DESC, user_id) AS m_q
+        FROM u)
+      SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+             CAST(m_q AS INTEGER) AS m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(freq) AS BIGINT) AS n_events,
+             ROUND(SUM(mon_c) / 100.0, 2) AS monetary
+      FROM q GROUP BY 1, 2, 3
+      ORDER BY r_q, f_q, m_q"""
   )
 }

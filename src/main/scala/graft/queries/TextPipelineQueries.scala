@@ -2615,6 +2615,63 @@ object TextPipelineQueries extends QueryPack {
         .select(col("source"), col("n_sents"), col("n_dup"),
           round(col("n_dup") / col("n_sents"), 6).as("dup_share"))
         .orderBy(col("source"))
+    }),
+
+    // Quality-score calibration audit (q106's ROC tells you the score
+    // RANKS the positive class; THIS tells you whether its normalized
+    // magnitude can be read as a probability — the check before using
+    // the score as a sampling weight): p̂ = min-max-normalized score in
+    // 1e-6 fixed-point (min/max are a 1-row aggregate broadcast — exact
+    // integer arithmetic, no transcendentals), binned into 10 value
+    // deciles; each bin reports mean p̂ (exact int sums), the observed
+    // en-rate, and the calibration gap. Per-row map + one keyed agg over
+    // ≤ 10 bins — embarrassingly parallel at any corpus size.
+    "q154_score_calibration" -> ((s, d) => {
+      val sc = qualityScores(s, d)
+      val mm = sc.agg(min(col("sfp")).as("lo"), max(col("sfp")).as("hi"))
+      sc.join(broadcast(mm), expr("true"))
+        .filter(col("hi") > col("lo"))
+        .withColumn("p_fp", expr(
+          "cast(round(cast(sfp - lo as double) / (hi - lo) * 1000000) as bigint)"))
+        .withColumn("bin", expr("cast(least(9, p_fp div 100000) as int)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_fp")).as("psum"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+        .select(col("bin"), col("n"), col("pos"),
+          round(expr("cast(psum as double) / n / 1e6"), 6).as("mean_p"),
+          round(col("pos").cast("double") / col("n"), 6).as("obs_rate"),
+          round(expr("cast(psum as double) / n / 1e6 - cast(pos as double) / n"), 6)
+            .as("gap"))
+        .orderBy(col("bin"))
+    }),
+
+    // Term-level IDF drift between corpus halves (the vocabulary-shift
+    // companion to q117's score-level PSI: WHICH terms changed weight
+    // between two snapshots — doc_id parity stands in for snapshot A/B):
+    // per-half document frequencies from one keyed agg over the distinct
+    // (term, doc) presence relation, half sizes as a 1-row aggregate
+    // broadcast, drift = idf_A − idf_B = ln(n_A/df_A) − ln(n_B/df_B)
+    // rounded before the top-15 |drift| rank. The term relation is
+    // vocab-bounded; nothing touches raw docs after the first agg.
+    "q155_idf_drift" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(2)).as("h"),
+          explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+      val df = g.groupBy(col("term")).agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("df_a"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("df_b"))
+      val nn = Tables.documents(s, d).agg(
+        sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("nb"))
+      df.filter(col("df_a") >= 5 && col("df_b") >= 5)
+        .join(broadcast(nn), expr("true"))
+        .withColumn("drift", round(
+          log(col("na").cast("double") / col("df_a"))
+            - log(col("nb").cast("double") / col("df_b")), 6))
+        .orderBy(abs(col("drift")).desc, col("term")).limit(15)
+        .select(col("term"), col("df_a"), col("df_b"), col("drift"))
+        .orderBy(abs(col("drift")).desc, col("term"))
     })
   )
 
@@ -4687,7 +4744,67 @@ object TextPipelineQueries extends QueryPack {
                ROUND(SUM(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_share
         FROM sh JOIN sdf USING (h)
         GROUP BY 1
-        ORDER BY source"""
+        ORDER BY source""",
+
+      // q154's twin: q105's score CTEs, min-max 1e-6 fixed-point
+      // normalization, 10 value bins.
+      "q154_score_calibration" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id, lang,
+                 CAST(ROUND(1.2 * ln(CAST(n_toks AS DOUBLE) / 50) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(2.0 * (CAST(n_types AS DOUBLE) / n_toks - 0.5) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(0.8 * (CAST(sum_len AS DOUBLE) / n_toks - 4.5) * 1000000000) AS BIGINT)
+                 + CASE WHEN lang = 'en' THEN 500000000 ELSE 0 END AS sfp
+          FROM f),
+        mm AS (SELECT CAST(MIN(sfp) AS BIGINT) AS lo, CAST(MAX(sfp) AS BIGINT) AS hi FROM s),
+        p AS (
+          SELECT lang,
+                 CAST(ROUND(CAST(sfp - lo AS DOUBLE) / (hi - lo) * 1000000) AS BIGINT) AS p_fp
+          FROM s CROSS JOIN mm WHERE hi > lo),
+        b AS (
+          SELECT CAST(LEAST(9, p_fp // 100000) AS INTEGER) AS bin, lang, p_fp
+          FROM p)
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               ROUND(CAST(SUM(p_fp) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_p,
+               ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS obs_rate,
+               ROUND(CAST(SUM(p_fp) AS DOUBLE) / COUNT(*) / 1e6
+                     - CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS gap
+        FROM b GROUP BY 1
+        ORDER BY bin""",
+
+      // q155's twin: distinct (term, doc) presence per parity half,
+      // identical min-df floor and rounded log-ratio drift.
+      "q155_idf_drift" -> """
+        WITH g AS (
+          SELECT DISTINCT doc_id, doc_id % 2 AS h,
+                 unnest(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS term
+          FROM documents),
+        df AS (
+          SELECT term,
+                 CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+                 CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+          FROM g GROUP BY 1),
+        nn AS (
+          SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          FROM documents)
+        SELECT term, df_a, df_b,
+               ROUND(ln(CAST(na AS DOUBLE) / df_a) - ln(CAST(nb AS DOUBLE) / df_b), 6) AS drift
+        FROM df CROSS JOIN nn
+        WHERE df_a >= 5 AND df_b >= 5
+        ORDER BY ABS(drift) DESC, term
+        LIMIT 15"""
     )
   }
 }

@@ -54,7 +54,9 @@ class PlanGuardSpec extends SparkSpec {
     "q133_cms_audit",        // the 1-row corpus-token-total aggregate, broadcast
     "q136_dup_triangles",    // three 1-row census aggregates, broadcast
     "q146_boilerplate_origin", // the 1-row corpus-size aggregate, broadcast
-    "q150_assoc_rules")  // the 1-row distinct-order-count aggregate, broadcast
+    "q150_assoc_rules",  // the 1-row distinct-order-count aggregate, broadcast
+    "q154_score_calibration", // the 1-row score min/max aggregate, broadcast
+    "q155_idf_drift")    // the 1-row half-sizes aggregate, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
