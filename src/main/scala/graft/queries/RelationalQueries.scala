@@ -707,6 +707,34 @@ object RelationalQueries extends QueryPack {
           sum(col("freq")).as("n_events"),
           round((sum(col("mon_c")) / lit(100.0)), 2).as("monetary"))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    }),
+
+    // Weekly retention cohorts (the engagement-decay audit behind every
+    // activity dashboard: of the users first seen in week W, how many
+    // were active in week W+k?): calendar weeks are exact integer epoch-
+    // week indices (µs div 7-day µs — the q130 integer-time discipline,
+    // no date functions whose week-numbering could diverge cross-engine).
+    // The corpus collapses to the distinct (user, week) activity relation
+    // and a per-user first-week aggregate; both joins are user-keyed
+    // equi-joins, cohort sizes are a |cohorts|-row broadcast, and the
+    // output is the |cohorts|·|offsets|-bounded triangle.
+    "q161_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+      val act = ev.distinct()
+        .join(first, Seq("user_id"))
+        .select(col("user_id"), col("w0").as("cohort_wk"),
+          (col("wk") - col("w0")).as("offset_wk"))
+        .distinct()
+      val sizes = first.groupBy(col("w0")).agg(count(lit(1)).as("n_cohort"))
+      act.groupBy(col("cohort_wk"), col("offset_wk"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), col("cohort_wk") === col("w0"))
+        .select(col("cohort_wk"), col("offset_wk"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+        .orderBy(col("cohort_wk"), col("offset_wk"))
     })
   )
 
@@ -1185,6 +1213,25 @@ object RelationalQueries extends QueryPack {
              CAST(SUM(freq) AS BIGINT) AS n_events,
              ROUND(SUM(mon_c) / 100.0, 2) AS monetary
       FROM q GROUP BY 1, 2, 3
-      ORDER BY r_q, f_q, m_q"""
+      ORDER BY r_q, f_q, m_q""",
+
+    // q161's twin: identical integer epoch-week indices, distinct
+    // (user, week) activity, per-user first week, cohort-keyed sizes.
+    "q161_retention_cohorts" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      f AS (
+        SELECT user_id, CAST(MIN(wk) AS BIGINT) AS w0 FROM e GROUP BY 1),
+      a AS (
+        SELECT DISTINCT e.user_id, f.w0 AS cohort_wk, e.wk - f.w0 AS offset_wk
+        FROM (SELECT DISTINCT user_id, wk FROM e) e JOIN f ON e.user_id = f.user_id),
+      sz AS (
+        SELECT w0, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1)
+      SELECT cohort_wk, CAST(offset_wk AS BIGINT) AS offset_wk,
+             CAST(COUNT(*) AS BIGINT) AS n_active, n_cohort,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / n_cohort, 6) AS retention
+      FROM a JOIN sz ON a.cohort_wk = sz.w0
+      GROUP BY 1, 2, n_cohort
+      ORDER BY cohort_wk, offset_wk"""
   )
 }

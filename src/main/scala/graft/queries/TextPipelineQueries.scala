@@ -2672,6 +2672,138 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(abs(col("drift")).desc, col("term")).limit(15)
         .select(col("term"), col("df_a"), col("df_b"), col("drift"))
         .orderBy(abs(col("drift")).desc, col("term"))
+    }),
+
+    // Train/val/test split-leakage audit (the check that must pass before
+    // any held-out metric is trusted: near-duplicate pairs that straddle a
+    // split boundary leak training text into eval): docs are assigned
+    // splits by the content-independent q49 hash gate (md5(doc_id) mod 10
+    // → 8/1/1), each q34-confirmed near-dup pair is labeled with its
+    // canonical (lexicographic) split pair, and the census reports pair
+    // counts + the share of all near-dup pairs per cell, cross-split
+    // cells flagged is_leak. Pairs come from the SAME materialized
+    // shingle/LSH path as q34 (bucket equi-join, never all-pairs); the
+    // split label join is two keyed equi-joins; the pair total is a
+    // 1-row scalar aggregate broadcast (the q88 shape).
+    "q157_split_leakage" -> ((s, d) => {
+      val sp = Tables.documents(s, d).select(col("doc_id"),
+          pmod(TextFns.hash32(concat(lit("split|"),
+            col("doc_id").cast("string"))), lit(10)).as("g"))
+        .withColumn("split", when(col("g") < 8, lit("train"))
+          .when(col("g") === 8, lit("val")).otherwise(lit("test")))
+      val lab = confirmedPairs(s, d)
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+      val tot = lab.agg(count(lit(1)).as("n_total"))
+      lab.groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .join(broadcast(tot), expr("true"))
+        .select(col("split_a"), col("split_b"), col("n_pairs"),
+          (col("split_a") =!= col("split_b")).as("is_leak"),
+          round(col("n_pairs").cast("double") / col("n_total"), 6).as("share"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
+    // Zipf rank-frequency fit per language (q125's Heaps fit is vocabulary
+    // GROWTH; this is the frequency-DECAY law — slope ≈ −1 for natural
+    // text, flatter for templated/synthetic corpora): top-100 terms per
+    // lang by the unique (count DESC, term) rank window over the vocab-
+    // bounded count aggregate (never a corpus sort), then the q125 OLS of
+    // ln(count) on ln(rank) — per-point logs ×1e9 int64, moment sums in
+    // exact decimal(18,0)² products, slope/intercept/r² from identical
+    // final double trees, degenerate fits NULL-guarded.
+    "q158_zipf_slope" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
+      val p = c.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 100)
+        .select(col("lang"),
+          expr("cast(round(ln(cast(rnk as double)) * 1e9) as bigint)").as("x"),
+          expr("cast(round(ln(cast(c as double)) * 1e9) as bigint)").as("y"))
+      p.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_top"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("cast(x as decimal(18,0)) * cast(y as decimal(18,0))")).as("sxy"),
+          sum(expr("cast(x as decimal(18,0)) * cast(x as decimal(18,0))")).as("sxx"),
+          sum(expr("cast(y as decimal(18,0)) * cast(y as decimal(18,0))")).as("syy"))
+        .withColumn("num", expr(
+          "cast(n_top as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)"))
+        .withColumn("den", expr(
+          "cast(n_top as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)"))
+        .withColumn("deny", expr(
+          "cast(n_top as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)"))
+        .select(col("lang"), col("n_top"),
+          expr("case when den > 0 then round(num / den, 6) end").as("slope"),
+          expr("case when den > 0 then round((cast(sy as double) - num / den" +
+            " * cast(sx as double)) / n_top / 1e9, 6) end").as("ln_c1"),
+          expr("case when den > 0 and deny > 0" +
+            " then round(num * num / (den * deny), 6) end").as("r2"))
+        .orderBy(col("lang"))
+    }),
+
+    // Good-Turing unseen-mass estimate per language (the open-vocabulary
+    // audit an LM pipeline runs before trusting per-token metrics: how
+    // much probability mass belongs to types never seen in this corpus?):
+    // p₀ = N₁/N from the count-of-counts of the vocab-bounded term
+    // aggregate, plus the Turing singleton discount r₁* = 2·N₂/N₁.
+    // Two keyed aggs, all counts exact int64, divisions happen once.
+    "q159_good_turing" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      c.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("lang"), col("n_types"), col("n_tokens"), col("n1"), col("n2"),
+          round(col("n1").cast("double") / col("n_tokens"), 6).as("p_unseen"),
+          when(col("n1") > 0,
+            round(lit(2.0) * col("n2") / col("n1"), 6)).as("r1_star"))
+        .orderBy(col("lang"))
+    }),
+
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions (the mixture-design distance matrix beside q89's
+    // overlap counts and q94's asymmetric KL): JSD needs the union of the
+    // two vocabularies, but the union decomposes — terms present in only
+    // one source contribute exactly ½·p·ln2, so JSD = Σ_shared ½[p·ln(2p/
+    // (p+q)) + q·ln(2q/(p+q)) − (p+q)·ln2] + ln2, and ONLY the shared-term
+    // relation is ever joined: one term-keyed equi-self-join over the
+    // vocab-bounded (source, term, count) aggregate, source totals a
+    // |sources|-row broadcast. Per-term contributions are ×1e9 fixed-point
+    // int64 (computed from exact integer counts through one identical
+    // double tree per engine) so the per-pair sum is order-independent;
+    // output is the |sources|²-bounded matrix normalized to [0,1] by ln2.
+    "q160_source_jsd" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val tot = c.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+      val p = c.join(broadcast(tot), Seq("source"))
+      val shared = p.as("a").join(p.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          col("a.c").as("ca"), col("a.tot").as("ta"),
+          col("b.c").as("cb"), col("b.tot").as("tb"))
+        .withColumn("fp", expr(
+          "cast(round((cast(ca as double) / ta * ln(2 * (cast(ca as double) / ta)" +
+            " / (cast(ca as double) / ta + cast(cb as double) / tb))" +
+            " + cast(cb as double) / tb * ln(2 * (cast(cb as double) / tb)" +
+            " / (cast(ca as double) / ta + cast(cb as double) / tb))" +
+            " - (cast(ca as double) / ta + cast(cb as double) / tb) * ln(2))" +
+            " * 0.5 * 1e9) as bigint)"))
+      shared.groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"), sum(col("fp")).as("sfp"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round((col("sfp").cast("double") / 1e9 + log(lit(2.0)))
+            / log(lit(2.0)), 6).as("jsd_norm"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
@@ -4804,7 +4936,120 @@ object TextPipelineQueries extends QueryPack {
         FROM df CROSS JOIN nn
         WHERE df_a >= 5 AND df_b >= 5
         ORDER BY ABS(drift) DESC, term
-        LIMIT 15"""
+        LIMIT 15""",
+
+      // q157's twin: the q34 pair CTEs + the q49 hash-gate split
+      // assignment, canonical lexicographic split pair, 1-row total.
+      "q157_split_leakage" -> {
+        val splitHash = hex32.replace("md5(x)",
+          "md5('split|' || CAST(doc_id AS VARCHAR))")
+        s"""$pairsCtes,
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN CAST($splitHash AS BIGINT) % 10 < 8 THEN 'train'
+                      WHEN CAST($splitHash AS BIGINT) % 10 = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents),
+        lab AS (
+          SELECT LEAST(a.split, b.split) AS split_a,
+                 GREATEST(a.split, b.split) AS split_b
+          FROM pairs p
+          JOIN sp a ON p.doc_a = a.doc_id
+          JOIN sp b ON p.doc_b = b.doc_id
+          WHERE p.jacc >= ${JaccThreshold}),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lab)
+        SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               split_a <> split_b AS is_leak,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS share
+        FROM lab CROSS JOIN tot
+        GROUP BY split_a, split_b, n_total
+        ORDER BY split_a, split_b""" },
+
+      // q158's twin: same top-100 rank window over the vocab aggregate,
+      // same ×1e9 logs / HUGEINT moments / final double trees as q125.
+      "q158_zipf_slope" -> """
+        WITH c AS (
+          SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
+          FROM documents),
+        cc AS (
+          SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM c GROUP BY 1, 2),
+        r AS (
+          SELECT lang, c,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk
+          FROM cc),
+        p AS (
+          SELECT lang,
+                 CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+                 CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y
+          FROM r WHERE rnk <= 100),
+        s AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_top,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM p GROUP BY lang),
+        m AS (
+          SELECT lang, n_top, sx, sy,
+                 CAST(n_top AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                 CAST(n_top AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                 CAST(n_top AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+          FROM s)
+        SELECT lang, n_top,
+               CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS slope,
+               CASE WHEN den > 0 THEN ROUND((CAST(sy AS DOUBLE) - num / den
+                 * CAST(sx AS DOUBLE)) / n_top / 1e9, 6) END AS ln_c1,
+               CASE WHEN den > 0 AND deny > 0
+                    THEN ROUND(num * num / (den * deny), 6) END AS r2
+        FROM m ORDER BY lang""",
+
+      // q159's twin: identical count-of-counts over the term aggregate.
+      "q159_good_turing" -> """
+        WITH c AS (
+          SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS tok
+          FROM documents),
+        cc AS (
+          SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM c GROUP BY 1, 2),
+        g AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM cc GROUP BY lang)
+        SELECT lang, n_types, n_tokens, n1, n2,
+               ROUND(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p_unseen,
+               CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 6) END AS r1_star
+        FROM g ORDER BY lang""",
+
+      // q160's twin: same shared-term decomposition, the same ×1e9
+      // fixed-point contribution tree, ln2 normalization.
+      "q160_source_jsd" -> """
+        WITH c AS (
+          SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS tok
+          FROM documents),
+        cc AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM c GROUP BY 1, 2),
+        tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cc GROUP BY 1),
+        p AS (SELECT cc.source, tok, c, tot FROM cc JOIN tt ON cc.source = tt.source),
+        shared AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(ROUND((CAST(a.c AS DOUBLE) / a.tot * ln(2 * (CAST(a.c AS DOUBLE) / a.tot)
+                   / (CAST(a.c AS DOUBLE) / a.tot + CAST(b.c AS DOUBLE) / b.tot))
+                   + CAST(b.c AS DOUBLE) / b.tot * ln(2 * (CAST(b.c AS DOUBLE) / b.tot)
+                   / (CAST(a.c AS DOUBLE) / a.tot + CAST(b.c AS DOUBLE) / b.tot))
+                   - (CAST(a.c AS DOUBLE) / a.tot + CAST(b.c AS DOUBLE) / b.tot) * ln(2))
+                   * 0.5 * 1e9) AS BIGINT) AS fp
+          FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source)
+        SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+               ROUND((CAST(SUM(fp) AS DOUBLE) / 1e9 + ln(2)) / ln(2), 6) AS jsd_norm
+        FROM shared GROUP BY 1, 2
+        ORDER BY src_a, src_b"""
     )
   }
 }

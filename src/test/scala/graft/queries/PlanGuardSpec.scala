@@ -56,7 +56,8 @@ class PlanGuardSpec extends SparkSpec {
     "q146_boilerplate_origin", // the 1-row corpus-size aggregate, broadcast
     "q150_assoc_rules",  // the 1-row distinct-order-count aggregate, broadcast
     "q154_score_calibration", // the 1-row score min/max aggregate, broadcast
-    "q155_idf_drift")    // the 1-row half-sizes aggregate, broadcast
+    "q155_idf_drift",    // the 1-row half-sizes aggregate, broadcast
+    "q157_split_leakage") // the 1-row pair-total aggregate, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
