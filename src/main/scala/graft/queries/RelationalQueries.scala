@@ -735,6 +735,109 @@ object RelationalQueries extends QueryPack {
         .select(col("cohort_wk"), col("offset_wk"), col("n_active"), col("n_cohort"),
           round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
         .orderBy(col("cohort_wk"), col("offset_wk"))
+    }),
+
+    // Revenue concentration per event type (the Pareto/whale audit beside
+    // q156's segment census: what share of value comes from the top 10%
+    // of users, and how unequal is the whole distribution?): the corpus
+    // collapses to the (event_type, user) cents aggregate (1e-2 fixed-
+    // point, the q01 discipline); ONE ascending rank window per type over
+    // that |users|-bounded aggregate feeds BOTH stats — the top decile is
+    // the ranks above n − ⌈n/10⌉ (exact integer arithmetic), the Gini is
+    // the q164 rank formulation with exact decimal moments.
+    "q165_revenue_pareto" -> ((s, d) => {
+      val u = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"), col("user_id"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      u.withColumn("i", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .withColumn("topk", col("i") > col("cnt") - expr("(cnt + 9) div 10"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("total_c"),
+          sum(expr("cast(i as decimal(18,0)) * cast(cents as decimal(18,0))"))
+            .as("swx"),
+          sum(when(col("topk"), col("cents")).otherwise(0L)).as("top_c"))
+        .select(col("event_type"), col("n_users"),
+          round(col("total_c") / lit(100.0), 2).as("revenue"),
+          expr("case when total_c > 0 then round(" +
+            "cast(top_c as double) / total_c, 6) end").as("top_decile_share"),
+          expr("case when n_users > 1 and total_c > 0 then round(" +
+            "2.0 * cast(swx as double)" +
+            " / (cast(n_users as double) * cast(total_c as double))" +
+            " - (cast(n_users as double) + 1) / n_users, 6) end").as("gini"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Audience-overlap matrix (q89's cross-source overlap on the event
+    // stream: which event types are done by the SAME users — the
+    // cannibalization/affinity view): the corpus collapses to the
+    // distinct (event_type, user) relation, pairs come from a USER-keyed
+    // self-join (per-key fanout = the user's distinct types, ≤ |types| —
+    // linear in users at any scale, never types×types over raw events),
+    // sizes are a |types|-row broadcast, Jaccard divides exact ints once.
+    "q168_audience_overlap" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val sz = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sz.select(col("event_type").as("type_a"), col("n").as("n_a"))),
+          Seq("type_a"))
+        .join(broadcast(sz.select(col("event_type").as("type_b"), col("n").as("n_b"))),
+          Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+          round(col("n_both").cast("double")
+            / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Hour-of-day × day-of-week seasonality χ² (the independence test
+    // behind every traffic heatmap: is the weekly activity profile of a
+    // type real structure or noise?): cell/margin counts are exact
+    // integer keyed aggs over (type, dow, hr) — dow/hr derived from the
+    // exact µs integers (epoch day 0 = Thursday → +4 mod 7; no engine
+    // date functions in the key) — and the χ² over the FULL 7×24 grid
+    // folds empty cells in closed form (Σ_empty E = N − Σ_obs E), so only
+    // observed cells are ever joined: χ² = Σ_obs[(O−E)²/E − E] + N with
+    // per-cell terms ×1e6 fixed-pointed before the sum. Margins are
+    // |cells|-bounded broadcasts; dof uses the observed margins.
+    "q169_seasonality_chi2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hr"))
+      val cells = ev.groupBy(col("event_type"), col("dow"), col("hr"))
+        .agg(count(lit(1)).as("o"))
+      val rm = cells.groupBy(col("event_type"), col("dow")).agg(sum(col("o")).as("r"))
+      val cm = cells.groupBy(col("event_type"), col("hr")).agg(sum(col("o")).as("c"))
+      val nt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("nn"))
+      val dof = rm.groupBy(col("event_type")).agg(count(lit(1)).as("nr"))
+        .join(cm.groupBy(col("event_type")).agg(count(lit(1)).as("nc")),
+          Seq("event_type"))
+      cells
+        .join(broadcast(rm), Seq("event_type", "dow"))
+        .join(broadcast(cm), Seq("event_type", "hr"))
+        .join(broadcast(nt), Seq("event_type"))
+        .withColumn("term_fp", expr(
+          "cast(round((power(o - cast(r as double) * c / nn, 2)" +
+          " / (cast(r as double) * c / nn)" +
+          " - cast(r as double) * c / nn) * 1e6) as bigint)"))
+        .groupBy(col("event_type"), col("nn"))
+        .agg(sum(col("term_fp")).as("s_fp"))
+        .join(broadcast(dof), Seq("event_type"))
+        .select(col("event_type"), col("nn").as("n_events"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          round(col("s_fp").cast("double") / 1e6 + col("nn"), 6).as("chi2"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1232,6 +1335,85 @@ object RelationalQueries extends QueryPack {
              ROUND(CAST(COUNT(*) AS DOUBLE) / n_cohort, 6) AS retention
       FROM a JOIN sz ON a.cohort_wk = sz.w0
       GROUP BY 1, 2, n_cohort
-      ORDER BY cohort_wk, offset_wk"""
+      ORDER BY cohort_wk, offset_wk""",
+
+    // q165's twin: same cents aggregate, same single ascending rank
+    // window, same exact top-decile arithmetic and Gini moment.
+    "q165_revenue_pareto" -> """
+      WITH u AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, user_id) AS i,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM u),
+      g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS total_c,
+               SUM(CAST(i AS HUGEINT) * cents) AS swx,
+               CAST(SUM(CASE WHEN i > cnt - (cnt + 9) // 10 THEN cents ELSE 0 END) AS BIGINT) AS top_c
+        FROM r GROUP BY 1)
+      SELECT event_type, n_users,
+             ROUND(total_c / 100.0, 2) AS revenue,
+             CASE WHEN total_c > 0 THEN ROUND(CAST(top_c AS DOUBLE) / total_c, 6) END AS top_decile_share,
+             CASE WHEN n_users > 1 AND total_c > 0 THEN ROUND(
+               2.0 * CAST(swx AS DOUBLE)
+               / (CAST(n_users AS DOUBLE) * CAST(total_c AS DOUBLE))
+               - (CAST(n_users AS DOUBLE) + 1) / n_users, 6) END AS gini
+      FROM g ORDER BY event_type""",
+
+    // q168's twin: same distinct relation, same user-keyed pair join.
+    "q168_audience_overlap" -> """
+      WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+      p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+             ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+      FROM p
+      JOIN sz sa ON p.type_a = sa.event_type
+      JOIN sz sb ON p.type_b = sb.event_type
+      ORDER BY type_a, type_b""",
+
+    // q169's twin: identical integer dow/hr keys, the same closed-form
+    // empty-cell fold and ×1e6 per-cell fixed-pointing.
+    "q169_seasonality_chi2" -> """
+      WITH e AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+               (epoch_us(ts) // 3600000000) % 24 AS hr
+        FROM events),
+      cells AS (
+        SELECT event_type, dow, hr, CAST(COUNT(*) AS BIGINT) AS o
+        FROM e GROUP BY 1, 2, 3),
+      rm AS (SELECT event_type, dow, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1, 2),
+      cm AS (SELECT event_type, hr, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1, 2),
+      nt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS nn FROM cells GROUP BY 1),
+      dof AS (
+        SELECT r.event_type, CAST(COUNT(DISTINCT r.dow) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT c.hr) AS BIGINT) AS nc
+        FROM rm r JOIN cm c ON r.event_type = c.event_type
+        GROUP BY 1),
+      t AS (
+        SELECT cells.event_type, nt.nn,
+               CAST(ROUND((POWER(o - CAST(r AS DOUBLE) * c / nn, 2)
+                 / (CAST(r AS DOUBLE) * c / nn)
+                 - CAST(r AS DOUBLE) * c / nn) * 1e6) AS BIGINT) AS term_fp
+        FROM cells
+        JOIN rm ON cells.event_type = rm.event_type AND cells.dow = rm.dow
+        JOIN cm ON cells.event_type = cm.event_type AND cells.hr = cm.hr
+        JOIN nt ON cells.event_type = nt.event_type)
+      SELECT t.event_type, t.nn AS n_events,
+             CAST((dof.nr - 1) * (dof.nc - 1) AS BIGINT) AS dof,
+             ROUND(CAST(SUM(term_fp) AS DOUBLE) / 1e6 + t.nn, 6) AS chi2
+      FROM t JOIN dof ON t.event_type = dof.event_type
+      GROUP BY 1, 2, 3
+      ORDER BY t.event_type"""
   )
 }

@@ -2804,6 +2804,270 @@ object TextPipelineQueries extends QueryPack {
           round((col("sfp").cast("double") / 1e9 + log(lit(2.0)))
             / log(lit(2.0)), 6).as("jsd_norm"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Document-length Gini per language (the inequality view beside
+    // q138's Hill tail index and q97's bucket histogram: a high Gini
+    // says token budget is concentrated in few giant docs — shard
+    // packing and per-doc quality weights behave differently than the
+    // mean suggests): the rank formulation G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n
+    // over the ASCENDING (n_chars, doc_id) rank window per lang — tie
+    // order cannot change the sum since tied docs swap equal products.
+    // Σi·xᵢ in exact decimal(18,0)² products (HUGEINT twin) so the
+    // moment survives any corpus size; one window + one keyed agg.
+    "q164_length_gini" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          sum(expr("cast(i as decimal(18,0)) * cast(n_chars as decimal(18,0))"))
+            .as("swx"))
+        .select(col("lang"), col("n_docs"), col("total_chars"),
+          expr("case when n_docs > 1 and total_chars > 0 then round(" +
+            "2.0 * cast(swx as double)" +
+            " / (cast(n_docs as double) * cast(total_chars as double))" +
+            " - (cast(n_docs as double) + 1) / n_docs, 6) end").as("gini"))
+        .orderBy(col("lang"))
+    }),
+
+    // One-way ANOVA of the quality score by source (the variance-
+    // decomposition audit beside q148's bias table: how much of score
+    // variance does the source column EXPLAIN — η² near 1 means the
+    // filter is really a source filter, F says whether that's noise):
+    // scores re-fixed-pointed to 1e-6 units, per-source moments (n, Σs,
+    // Σs²) in exact int64/decimal sums, the between-group moment
+    // Σ_g (Σs)²/n_g integer-rounded PER GROUP so the |sources|-row final
+    // sum is order-independent; η² and F divide exact integers once in
+    // one identical double tree. Two keyed aggs, nothing corpus-wide
+    // but the score scan.
+    "q166_score_anova" -> ((s, d) => {
+      val sc = qualityScores(s, d).select(col("doc_id"), col("sfp"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .withColumn("s6", expr("cast(round(cast(sfp as double) / 1e3) as bigint)"))
+      val g = sc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_g"),
+        sum(col("s6")).as("sum_g"),
+        sum(expr("cast(s6 as decimal(18,0)) * cast(s6 as decimal(18,0))")).as("ss_g"))
+      g.agg(
+          sum(col("n_g")).as("nn"), count(lit(1)).as("k"),
+          sum(col("sum_g")).as("ss"), sum(col("ss_g")).as("qq"),
+          sum(expr("cast(round(cast(cast(sum_g as decimal(18,0))" +
+            " * cast(sum_g as decimal(18,0)) as double) / n_g) as decimal(38,0))"))
+            .as("ssb_raw"))
+        .select(col("nn").as("n_docs"), col("k").as("n_groups"),
+          expr("case when cast(qq as double)" +
+            " - cast(cast(ss as decimal(18,0)) * cast(ss as decimal(18,0))" +
+            "   as double) / nn > 0" +
+            " then round((cast(ssb_raw as double)" +
+            "   - cast(cast(ss as decimal(18,0)) * cast(ss as decimal(18,0))" +
+            "     as double) / nn)" +
+            " / (cast(qq as double)" +
+            "   - cast(cast(ss as decimal(18,0)) * cast(ss as decimal(18,0))" +
+            "     as double) / nn), 6) end").as("eta2"),
+          expr("case when k > 1 and nn > k and cast(qq as double)" +
+            " - cast(cast(ss as decimal(18,0)) * cast(ss as decimal(18,0))" +
+            "   as double) / nn" +
+            " - (cast(ssb_raw as double)" +
+            "   - cast(cast(ss as decimal(18,0)) * cast(ss as decimal(18,0))" +
+            "     as double) / nn) > 0" +
+            " then round(((cast(ssb_raw as double)" +
+            "   - cast(cast(ss as decimal(18,0)) * cast(ss as decimal(18,0))" +
+            "     as double) / nn) / (k - 1))" +
+            " / ((cast(qq as double)" +
+            "   - cast(cast(ss as decimal(18,0)) * cast(ss as decimal(18,0))" +
+            "     as double) / nn" +
+            "   - (cast(ssb_raw as double)" +
+            "     - cast(cast(ss as decimal(18,0)) * cast(ss as decimal(18,0))" +
+            "       as double) / nn)) / (nn - k)), 6) end").as("f_stat"))
+    }),
+
+    // Mixed-language document detection (the curation gate q32's doc-
+    // level ID cannot express: a doc that is half English half German
+    // gets ONE q32 label but should be flagged or segment-split before
+    // training): sentences via q153's segmentation, each classified by
+    // the q32 stopword-hit argmax, per-doc sentence-language entropy
+    // H = ln(n) − Σc·ln(c)/n from exact integer counts (the Σc·ln(c)
+    // moment is ×1e9 fixed-pointed per (doc, lang) term so every sum
+    // is order-independent), rolled up to a per-metadata-lang census
+    // of mixed docs. Everything is keyed aggs over per-doc-bounded
+    // relations; no windows, no corpus sort.
+    "q167_mixed_lang" -> ((s, d) => {
+      val langs = Seq("en", "es", "de", "fr", "zh")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "[.!?]+")).as("raw"))
+        .select(col("doc_id"), col("lang"), trim(col("raw")).as("sent"))
+        .filter(length(col("sent")) >= 20)
+        .withColumn("toks", TextFns.tokens(col("sent")))
+      val withHits = langs.foldLeft(base) { (df, l) =>
+        df.withColumn(s"h_$l", TextFns.stopwordHits(col("toks"), TextFns.stopwords(l)))
+      }
+      val mx = greatest(langs.map(l => col(s"h_$l")): _*)
+      val predicted = langs.reverse.foldLeft(lit("und"): Column) { (acc, l) =>
+        when(col(s"h_$l") === mx, lit(l)).otherwise(acc)
+      }
+      val pc = withHits.select(col("doc_id"), col("lang"), predicted.as("pred"))
+        .groupBy(col("doc_id"), col("lang"), col("pred"))
+        .agg(count(lit(1)).as("c"))
+      val pd = pc.groupBy(col("doc_id"), col("lang")).agg(
+          sum(col("c")).as("n"), count(lit(1)).as("n_langs"),
+          sum(expr("cast(round(c * ln(cast(c as double)) * 1e9) as bigint)"))
+            .as("scl"))
+        .withColumn("h_fp", expr(
+          "cast(round((ln(cast(n as double)) - cast(scl as double) / 1e9 / n) * 1e9) as bigint)"))
+      pd.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_langs") >= 2, 1L).otherwise(0L)).as("n_mixed"),
+          sum(col("h_fp")).as("sh"))
+        .select(col("lang"), col("n_docs"), col("n_mixed"),
+          round(col("n_mixed").cast("double") / col("n_docs"), 6).as("mixed_share"),
+          round(col("sh").cast("double") / col("n_docs") / 1e9, 6).as("mean_entropy"))
+        .orderBy(col("lang"))
+    }),
+
+    // Two-sample Kolmogorov-Smirnov drift test on the doc-length
+    // distribution between doc_id-parity halves (the NONPARAMETRIC member
+    // of the drift family — q117's PSI needs bucket choices, KS does not):
+    // the corpus collapses to per-distinct-length counts for each half
+    // (one keyed agg over a VALUE-DOMAIN-bounded relation — doc lengths,
+    // not docs), the two ECDFs are one cumulative window over that
+    // aggregate (the exchange child is the aggregate — the sanctioned
+    // global-window shape; the length domain stays bounded at any corpus
+    // size), and D maximizes the EXACT INTEGER |cumA·nB − cumB·nA| so no
+    // float enters the supremum; the final D and the scaled statistic
+    // divide once.
+    "q171_ks_drift" -> ((s, d) => {
+      val v = Tables.documents(s, d)
+        .select(pmod(col("doc_id"), lit(2)).as("h"), col("n_chars").as("x"))
+      val c = v.groupBy(col("x")).agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("x"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      c.withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .join(broadcast(tot), expr("true"))
+        .withColumn("dn", abs(expr(
+          "cast(cuma as decimal(18,0)) * nb - cast(cumb as decimal(18,0)) * na")))
+        .groupBy(col("na"), col("nb"))
+        .agg(max(col("dn")).as("d_num"))
+        .select(col("na"), col("nb"),
+          expr("case when na > 0 and nb > 0 then round(" +
+            "cast(d_num as double) / (cast(na as double) * nb), 6) end").as("ks_d"),
+          expr("case when na > 0 and nb > 0 then round(" +
+            "sqrt(cast(na as double) * nb / (cast(na as double) + nb))" +
+            " * (cast(d_num as double) / (cast(na as double) * nb)), 6) end")
+            .as("ks_scaled"))
+    }),
+
+    // Split-balance audit (q157's companion: leakage asks whether near-
+    // dups straddle the split, THIS asks whether each split is
+    // REPRESENTATIVE — a test set with a skewed language mix measures
+    // the wrong population): the split × lang contingency table with
+    // observed/corpus shares and the per-cell χ² contribution ×1e6
+    // fixed-pointed (expected = split_total·lang_total/N in one double
+    // tree from exact ints). Margins are |splits|- and |langs|-row
+    // broadcasts over the 15-cell aggregate; the full χ² is the exact
+    // integer sum of the published terms.
+    "q172_split_balance" -> ((s, d) => {
+      val sp = Tables.documents(s, d).select(col("lang"),
+          pmod(TextFns.hash32(concat(lit("split|"),
+            col("doc_id").cast("string"))), lit(10)).as("g"))
+        .withColumn("split", when(col("g") < 8, lit("train"))
+          .when(col("g") === 8, lit("val")).otherwise(lit("test")))
+      val cells = sp.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("o"))
+      val sm = cells.groupBy(col("split")).agg(sum(col("o")).as("st"))
+      val lm = cells.groupBy(col("lang")).agg(sum(col("o")).as("lt"))
+      val nt = cells.agg(sum(col("o")).as("nn"))
+      cells
+        .join(broadcast(sm), Seq("split"))
+        .join(broadcast(lm), Seq("lang"))
+        .join(broadcast(nt), expr("true"))
+        .select(col("split"), col("lang"), col("o").as("n_docs"),
+          round(col("o").cast("double") / col("st"), 6).as("obs_share"),
+          round(col("lt").cast("double") / col("nn"), 6).as("corpus_share"),
+          expr("cast(round(power(o - cast(st as double) * lt / nn, 2)" +
+            " / (cast(st as double) * lt / nn) * 1e6) as bigint)").as("chi2_term_fp"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // Dedup threshold-sensitivity sweep (the tuning curve an operator
+    // reads before picking the Jaccard cutoff: pairs and docs dropped at
+    // every candidate threshold in one pass): q34's confirmed pairs
+    // exploded against the 10 thresholds each pair survives — ≤ 10 rows
+    // per pair, one keyed agg per threshold cell; the drop count uses
+    // the same keep-lowest-id rule as q35. No re-pairing per threshold.
+    "q173_threshold_sweep" -> ((s, d) => {
+      confirmedPairs(s, d)
+        .select(col("doc_b"), col("jacc"),
+          explode(expr("sequence(50, 95, 5)")).as("t"))
+        .filter(col("jacc") >= col("t").cast("double") / 100.0)
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_dropped"))
+        .select((col("t").cast("double") / 100.0).as("threshold"),
+          col("n_pairs"), col("n_dropped"))
+        .orderBy(col("threshold"))
+    }),
+
+    // Per-source unigram Shannon entropy (the information-density audit
+    // beside q137's 3-gram Simpson diversity: low bits/token means
+    // templated or repetitive text regardless of n-gram structure):
+    // H = ln N − Σc·ln(c)/N over the vocab-bounded count relation — the
+    // q167 entropy identity, so the Σc·ln(c) moment is ×1e9 fixed-
+    // pointed per TERM and every sum is order-independent; bits/token
+    // divides by ln 2 in the same final tree.
+    "q174_unigram_entropy" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      c.groupBy(col("source")).agg(
+          count(lit(1)).as("n_types"),
+          sum(col("c")).as("n_tokens"),
+          sum(expr("cast(round(c * ln(cast(c as double)) * 1e9) as bigint)"))
+            .as("scl"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          round(expr("ln(cast(n_tokens as double)) - cast(scl as double) / 1e9 / n_tokens"), 6)
+            .as("entropy_nats"),
+          round(expr("(ln(cast(n_tokens as double)) - cast(scl as double) / 1e9 / n_tokens) / ln(2)"), 6)
+            .as("bits_per_token"))
+        .orderBy(col("source"))
+    }),
+
+    // Duplicate-quality interaction audit (the curation cross-check:
+    // are the docs the dedup pass drops actually WORSE — if dups score
+    // HIGHER than survivors the pipeline is deleting its best data):
+    // q35's dropped set (from the same materialized shingle path) joined
+    // against q105's fixed-point scores, per-lang mean score of dropped
+    // vs kept in exact integer sums, bias = mean_drop − mean_keep in
+    // one final tree. Two keyed aggs + one keyed join.
+    "q175_dup_quality_bias" -> ((s, d) => {
+      val dropped = confirmedPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      qualityScores(s, d).select(col("doc_id"), col("lang"), col("sfp"))
+        .join(dropped, Seq("doc_id"), "left_outer")
+        .withColumn("dup", coalesce(col("is_dup"), lit(false)))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"),
+          sum(when(!col("dup"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("dup"), col("sfp")).otherwise(0L)).as("s_dup"),
+          sum(when(!col("dup"), col("sfp")).otherwise(0L)).as("s_kept"))
+        .select(col("lang"), col("n_dup"), col("n_kept"),
+          expr("case when n_dup > 0 then round(cast(s_dup as double) / n_dup / 1e9, 6) end")
+            .as("mean_dup"),
+          expr("case when n_kept > 0 then round(cast(s_kept as double) / n_kept / 1e9, 6) end")
+            .as("mean_kept"),
+          expr("case when n_dup > 0 and n_kept > 0 then round(" +
+            "cast(s_dup as double) / n_dup / 1e9" +
+            " - cast(s_kept as double) / n_kept / 1e9, 6) end").as("bias"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -5049,7 +5313,246 @@ object TextPipelineQueries extends QueryPack {
         SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
                ROUND((CAST(SUM(fp) AS DOUBLE) / 1e9 + ln(2)) / ln(2), 6) AS jsd_norm
         FROM shared GROUP BY 1, 2
-        ORDER BY src_a, src_b"""
+        ORDER BY src_a, src_b""",
+
+      // q164's twin: same ascending rank window, HUGEINT moment, same
+      // final double tree.
+      "q164_length_gini" -> """
+        WITH r AS (
+          SELECT lang, n_chars, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS i
+          FROM documents),
+        g AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                 SUM(CAST(i AS HUGEINT) * n_chars) AS swx
+          FROM r GROUP BY lang)
+        SELECT lang, n_docs, total_chars,
+               CASE WHEN n_docs > 1 AND total_chars > 0 THEN ROUND(
+                 2.0 * CAST(swx AS DOUBLE)
+                 / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+                 - (CAST(n_docs AS DOUBLE) + 1) / n_docs, 6) END AS gini
+        FROM g ORDER BY lang""",
+
+      // q166's twin: q105's score CTEs, the same 1e-6 re-fixed-pointing,
+      // per-group integer-rounded between-moment, identical final trees.
+      "q166_score_anova" -> """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id,
+                 CAST(ROUND(1.2 * ln(CAST(n_toks AS DOUBLE) / 50) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(2.0 * (CAST(n_types AS DOUBLE) / n_toks - 0.5) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(0.8 * (CAST(sum_len AS DOUBLE) / n_toks - 4.5) * 1000000000) AS BIGINT)
+                 + CASE WHEN lang = 'en' THEN 500000000 ELSE 0 END AS sfp
+          FROM f),
+        j AS (
+          SELECT s.doc_id, d.source,
+                 CAST(ROUND(CAST(sfp AS DOUBLE) / 1e3) AS BIGINT) AS s6
+          FROM s JOIN documents d ON s.doc_id = d.doc_id),
+        g AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(s6) AS BIGINT) AS sum_g,
+                 SUM(CAST(s6 AS HUGEINT) * s6) AS ss_g
+          FROM j GROUP BY 1),
+        tt AS (
+          SELECT CAST(SUM(n_g) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(sum_g) AS BIGINT) AS ss, SUM(ss_g) AS qq,
+                 SUM(CAST(ROUND(CAST(CAST(sum_g AS HUGEINT) * sum_g AS DOUBLE) / n_g) AS HUGEINT)) AS ssb_raw
+          FROM g)
+        SELECT nn AS n_docs, k AS n_groups,
+               CASE WHEN CAST(qq AS DOUBLE)
+                 - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn > 0
+                 THEN ROUND((CAST(ssb_raw AS DOUBLE)
+                   - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn)
+                 / (CAST(qq AS DOUBLE)
+                   - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn), 6) END AS eta2,
+               CASE WHEN k > 1 AND nn > k AND CAST(qq AS DOUBLE)
+                 - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn
+                 - (CAST(ssb_raw AS DOUBLE)
+                   - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn) > 0
+                 THEN ROUND(((CAST(ssb_raw AS DOUBLE)
+                   - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn) / (k - 1))
+                 / ((CAST(qq AS DOUBLE)
+                   - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn
+                   - (CAST(ssb_raw AS DOUBLE)
+                     - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn)) / (nn - k)), 6) END AS f_stat
+        FROM tt""",
+
+      // q167's twin: q153's segmentation, the q32 per-sentence stopword
+      // argmax, identical entropy fixed-pointing.
+      "q167_mixed_lang" -> s"""
+        WITH sr AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x))) AS sent
+          FROM documents),
+        st AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(sent), '\\s+'), x -> x <> '') AS toks
+          FROM sr WHERE len(sent) >= 20),
+        h AS (
+          SELECT doc_id, lang,
+                 ${langs.map(l => s"${hits(l)} AS h_$l").mkString(",\n                 ")}
+          FROM st),
+        pr AS (
+          SELECT doc_id, lang,
+                 CASE ${langs.map(l => s"WHEN h_$l = greatest(${langs.map(x => s"h_$x").mkString(",")}) THEN '$l'").mkString(" ")}
+                 END AS pred
+          FROM h),
+        pc AS (
+          SELECT doc_id, lang, pred, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pr GROUP BY 1, 2, 3),
+        pd AS (
+          SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs,
+                 CAST(SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS scl
+          FROM pc GROUP BY 1, 2),
+        pe AS (
+          SELECT doc_id, lang, n_langs,
+                 CAST(ROUND((ln(CAST(n AS DOUBLE)) - CAST(scl AS DOUBLE) / 1e9 / n) * 1e9) AS BIGINT) AS h_fp
+          FROM pd)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+               ROUND(CAST(SUM(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS mixed_share,
+               ROUND(CAST(SUM(h_fp) AS DOUBLE) / COUNT(*) / 1e9, 6) AS mean_entropy
+        FROM pe GROUP BY 1
+        ORDER BY lang""",
+
+      // q171's twin: same value-level counts, same cumulative ECDFs,
+      // same exact-integer supremum.
+      "q171_ks_drift" -> """
+        WITH v AS (
+          SELECT doc_id % 2 AS h, n_chars AS x FROM documents),
+        c AS (
+          SELECT x,
+                 CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM v GROUP BY 1),
+        t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        k AS (
+          SELECT CAST(SUM(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+                 CAST(SUM(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+          FROM c),
+        m AS (
+          SELECT na, nb,
+                 MAX(ABS(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)) AS d_num
+          FROM k CROSS JOIN t GROUP BY 1, 2)
+        SELECT na, nb,
+               CASE WHEN na > 0 AND nb > 0 THEN ROUND(
+                 CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) END AS ks_d,
+               CASE WHEN na > 0 AND nb > 0 THEN ROUND(
+                 sqrt(CAST(na AS DOUBLE) * nb / (CAST(na AS DOUBLE) + nb))
+                 * (CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb)), 6) END AS ks_scaled
+        FROM m""",
+
+      // q172's twin: the q157 split gate, identical margins and χ² term.
+      "q172_split_balance" -> {
+        val splitHash = hex32.replace("md5(x)",
+          "md5('split|' || CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH sp AS (
+          SELECT lang,
+                 CASE WHEN CAST($splitHash AS BIGINT) % 10 < 8 THEN 'train'
+                      WHEN CAST($splitHash AS BIGINT) % 10 = 8 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents),
+        cells AS (
+          SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS o
+          FROM sp GROUP BY 1, 2),
+        sm AS (SELECT split, CAST(SUM(o) AS BIGINT) AS st FROM cells GROUP BY 1),
+        lm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS lt FROM cells GROUP BY 1),
+        nt AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells)
+        SELECT cells.split, cells.lang, o AS n_docs,
+               ROUND(CAST(o AS DOUBLE) / st, 6) AS obs_share,
+               ROUND(CAST(lt AS DOUBLE) / nn, 6) AS corpus_share,
+               CAST(ROUND(POWER(o - CAST(st AS DOUBLE) * lt / nn, 2)
+                 / (CAST(st AS DOUBLE) * lt / nn) * 1e6) AS BIGINT) AS chi2_term_fp
+        FROM cells
+        JOIN sm ON cells.split = sm.split
+        JOIN lm ON cells.lang = lm.lang
+        CROSS JOIN nt
+        ORDER BY cells.split, cells.lang""" },
+
+      // q173's twin: pairs CTEs, explicit threshold grid, same
+      // keep-lowest-id drop counting.
+      "q173_threshold_sweep" -> s"""
+        $pairsCtes
+        SELECT CAST(t AS DOUBLE) / 100.0 AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dropped
+        FROM pairs p, generate_series(50, 95, 5) g(t)
+        WHERE p.jacc >= $JaccThreshold AND p.jacc >= CAST(t AS DOUBLE) / 100.0
+        GROUP BY t
+        ORDER BY threshold""",
+
+      // q174's twin: same vocab collapse, same ×1e9 entropy moment.
+      "q174_unigram_entropy" -> """
+        WITH c AS (
+          SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS tok
+          FROM documents),
+        cc AS (
+          SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM c GROUP BY 1, 2),
+        g AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS scl
+          FROM cc GROUP BY 1)
+        SELECT source, n_types, n_tokens,
+               ROUND(ln(CAST(n_tokens AS DOUBLE)) - CAST(scl AS DOUBLE) / 1e9 / n_tokens, 6) AS entropy_nats,
+               ROUND((ln(CAST(n_tokens AS DOUBLE)) - CAST(scl AS DOUBLE) / 1e9 / n_tokens) / ln(2), 6) AS bits_per_token
+        FROM g ORDER BY source""",
+
+      // q175's twin: pairs CTEs → dropped set, q105's score CTEs, same
+      // exact per-lang sums and final trees.
+      "q175_dup_quality_bias" -> s"""
+        $pairsCtes,
+        dropped AS (
+          SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE jacc >= $JaccThreshold),
+        tt AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len
+          FROM tt WHERE len(toks) > 0),
+        sc AS (
+          SELECT doc_id, lang,
+                 CAST(ROUND(1.2 * ln(CAST(n_toks AS DOUBLE) / 50) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(2.0 * (CAST(n_types AS DOUBLE) / n_toks - 0.5) * 1000000000) AS BIGINT)
+                 + CAST(ROUND(0.8 * (CAST(sum_len AS DOUBLE) / n_toks - 4.5) * 1000000000) AS BIGINT)
+                 + CASE WHEN lang = 'en' THEN 500000000 ELSE 0 END AS sfp
+          FROM f),
+        j AS (
+          SELECT sc.lang, sfp,
+                 CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+          FROM sc LEFT JOIN dropped ON sc.doc_id = dropped.doc_id),
+        g AS (
+          SELECT lang,
+                 CAST(SUM(dup) AS BIGINT) AS n_dup,
+                 CAST(SUM(1 - dup) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN dup = 1 THEN sfp ELSE 0 END) AS BIGINT) AS s_dup,
+                 CAST(SUM(CASE WHEN dup = 0 THEN sfp ELSE 0 END) AS BIGINT) AS s_kept
+          FROM j GROUP BY 1)
+        SELECT lang, n_dup, n_kept,
+               CASE WHEN n_dup > 0 THEN ROUND(CAST(s_dup AS DOUBLE) / n_dup / 1e9, 6) END AS mean_dup,
+               CASE WHEN n_kept > 0 THEN ROUND(CAST(s_kept AS DOUBLE) / n_kept / 1e9, 6) END AS mean_kept,
+               CASE WHEN n_dup > 0 AND n_kept > 0 THEN ROUND(
+                 CAST(s_dup AS DOUBLE) / n_dup / 1e9
+                 - CAST(s_kept AS DOUBLE) / n_kept / 1e9, 6) END AS bias
+        FROM g ORDER BY lang"""
     )
   }
 }

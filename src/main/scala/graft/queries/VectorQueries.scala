@@ -770,6 +770,122 @@ object VectorQueries extends QueryPack {
           round(expr("cast(sm as double) / sq2"), 6).as("anisotropy"),
           expr("case when sv > 0 then round(cast(mx as double) / sv, 6) end")
             .as("max_var_share"))
+    }),
+
+    // Int8-quantization recall audit (q69 bounds the per-element error of
+    // the symmetric int8 quantizer; THIS measures what actually matters
+    // for a serving tier — recall@K of ASYMMETRIC search (float queries
+    // against the dequantized int8 corpus) vs the exact float ranking —
+    // the q129 dim-truncation audit applied to the other 4×-compression
+    // axis): corpus dequantized per-vector with q69's exact scale tree,
+    // both rankings via the salted cosineTopK (query side broadcast,
+    // never a corpus window), hits from one (q_id, vec_id) equi-join.
+    "q162_quant_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val e = cosineTopK(emb, qs, K).select(col("q_id"), col("vec_id"))
+      val embQ = emb
+        .withColumn("scale",
+          array_max(transform(col("embedding"), x => abs(x))).cast("double")
+            / 127.0)
+        .filter(col("scale") > 0)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")) * col("scale"))
+          .as("embedding"))
+      val a = cosineTopK(embQ, qs, K).select(col("q_id"), col("vec_id"))
+      val hits = e.as("e").join(a.as("a"),
+          col("e.q_id") === col("a.q_id") && col("e.vec_id") === col("a.vec_id"))
+        .groupBy(col("e.q_id").as("q_id")).agg(count(lit(1)).as("h"))
+      e.groupBy(col("q_id")).agg(count(lit(1)).as("ne"))
+        .join(hits, Seq("q_id"), "left_outer")
+        .select(col("q_id"),
+          (coalesce(col("h"), lit(0L)).cast("double") / col("ne"))
+            .as("recall_int8"))
+        .orderBy(col("q_id"))
+    }),
+
+    // 1-NN label-agreement kappa (the label-noise SCORE beside q140's
+    // pair evidence and q108's smoother: if a vector's nearest neighbor
+    // usually wears a different label, the labels — or the embeddings —
+    // are unreliable; Cohen's κ corrects raw agreement for the marginal
+    // label distribution): approximate 1-NN from the SAME materialized
+    // band index as q47/q140 (salted band-key self-join candidates, exact
+    // cosine, per-vector rank-1 via the salted TopK — candidate-bounded
+    // tasks, never all-pairs); agreement/marginal counts are exact int64
+    // keyed aggs (|labels|-bounded), p_o/p_e/κ divide once in one
+    // identical double tree per engine. Vectors with no LSH candidate are
+    // unscored on BOTH engines (the band keys are replicated exactly).
+    "q163_knn_label_kappa" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val np = planesPerBand(embStats(s, d).n)
+      val bd = materializedBands(s, d, emb, np)
+      val cand = SaltedSelfPairs.pairs(bd, Seq("band", "key"), "vec_id", MaxBucket)
+        .distinct()
+      val sc = cand
+        .join(emb.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+          col("label").as("la")), col("id_a") === col("ia"))
+        .join(emb.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+          col("label").as("lb")), col("id_b") === col("ib"))
+        .select(col("id_a"), col("id_b"),
+          col("la").cast("long").as("la"), col("lb").cast("long").as("lb"),
+          Vectors.cosine(col("ea"), col("eb")).as("cos"))
+      val dir = sc.select(col("id_a").as("a"), col("la").as("t"),
+          col("id_b").as("nb"), col("lb").as("p"), col("cos"))
+        .union(sc.select(col("id_b").as("a"), col("lb").as("t"),
+          col("id_a").as("nb"), col("la").as("p"), col("cos")))
+      val s1 = graft.operators.TopK
+        .perKey(dir, Seq("a"), Seq(col("cos").desc, col("nb")), 1, col("nb"))
+        .select(col("a"), col("t"), col("p"))
+      val marg = s1.select(col("t").as("lab"), lit(1L).as("is_t"), lit(0L).as("is_p"))
+        .union(s1.select(col("p").as("lab"), lit(0L).as("is_t"), lit(1L).as("is_p")))
+        .groupBy(col("lab"))
+        .agg(sum(col("is_t")).as("tc"), sum(col("is_p")).as("pc"))
+      val spe = marg.agg(sum(expr("tc * pc")).as("spe"))
+      s1.agg(count(lit(1)).as("n_scored"),
+          sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("n_agree"))
+        .join(broadcast(spe), expr("true"))
+        .select(col("n_scored"), col("n_agree"),
+          expr("round(cast(n_agree as double) / n_scored, 6)").as("po"),
+          expr("round(cast(spe as double) / n_scored / n_scored, 6)").as("pe"),
+          expr("case when 1 - cast(spe as double) / n_scored / n_scored > 0" +
+            " then round((cast(n_agree as double) / n_scored" +
+            " - cast(spe as double) / n_scored / n_scored)" +
+            " / (1 - cast(spe as double) / n_scored / n_scored), 6) end")
+            .as("kappa"))
+    }),
+
+    // Per-label centroid drift between vec_id-parity halves (the
+    // embedding-space member of the drift family — q117 is score-PSI,
+    // q155 is term-IDF; this asks whether each label's REGION moved
+    // between two snapshots): per-(label, dim) component sums over
+    // ×1e6-quantized values split by parity (one labels·dims-bounded
+    // keyed agg — the q147 exactness discipline), then the cosine
+    // between the two centroid vectors per label from exact decimal
+    // dot/norm moments; counts divide out of the cosine so no division
+    // happens before the final tree. Embarrassingly parallel at any
+    // corpus size.
+    "q170_label_centroid_drift" -> ((s, d) => {
+      val x = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          pmod(col("vec_id"), lit(2)).as("h"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .withColumn("xq", expr("cast(round(v * 1e6) as bigint)"))
+      val pd = x.groupBy(col("label"), col("i")).agg(
+        sum(when(col("h") === 0, col("xq")).otherwise(0L)).as("se"),
+        sum(when(col("h") === 1, col("xq")).otherwise(0L)).as("so"),
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("ne"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("no"))
+      pd.groupBy(col("label")).agg(
+          max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
+          sum(expr("cast(se as decimal(18,0)) * cast(so as decimal(18,0))")).as("dot"),
+          sum(expr("cast(se as decimal(18,0)) * cast(se as decimal(18,0))")).as("na"),
+          sum(expr("cast(so as decimal(18,0)) * cast(so as decimal(18,0))")).as("nb"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          expr("case when na > 0 and nb > 0 then round(" +
+            "cast(dot as double) / sqrt(cast(na as double))" +
+            " / sqrt(cast(nb as double)), 6) end").as("centroid_cos"))
+        .orderBy(col("label"))
     })
   )
 
@@ -1107,6 +1223,88 @@ object VectorQueries extends QueryPack {
           FROM f JOIN f g ON f.b = g.a AND f.a = g.b
           WHERE f.a < f.b)"""
 
+    // Top-K over the dequantized int8 corpus (q69's exact scale tree:
+    // scale = list_max(|x|)/127, dequant = round(x/scale)·scale), float
+    // queries — the asymmetric serving ranking q162 audits.
+    val quantTopSql = s"""
+        WITH qe AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> round(CAST(x AS DOUBLE)
+                   / (CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) / 127.0))
+                   * (CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) / 127.0)) AS embedding
+          FROM embeddings
+          WHERE CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) / 127.0 > 0),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+        scored AS (
+          SELECT q.q_id, e.vec_id, ${cosSql("q.q_emb", "e.embedding")} AS cos
+          FROM q, qe e
+          WHERE e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, vec_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT q_id, vec_id FROM ranked WHERE rank <= $K"""
+
+    val q162Sql = s"""
+        WITH exact AS (SELECT q_id, vec_id FROM ($q38Sql)),
+        qt AS (SELECT q_id, vec_id FROM ($quantTopSql)),
+        h AS (
+          SELECT e.q_id, COUNT(*) AS h FROM exact e
+          JOIN qt a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+          GROUP BY e.q_id),
+        qs AS (SELECT q_id, COUNT(*) AS ne FROM exact GROUP BY q_id)
+        SELECT q.q_id,
+               CAST(COALESCE(h.h, 0) AS DOUBLE) / q.ne AS recall_int8
+        FROM qs q
+        LEFT JOIN h ON h.q_id = q.q_id
+        ORDER BY q.q_id"""
+
+    // q163: the mutualCtes band/candidate/score chain, directed both
+    // ways, rank-1 per vector, then the exact-integer kappa census.
+    val q163Sql = s"""
+        WITH $paramsCte,
+        b AS (
+          ${(0 until NumBands).map(b =>
+            s"SELECT vec_id, $b AS band, CAST(${bandKeySql(b)} AS BIGINT) AS key FROM embeddings, params p")
+            .mkString("\n          UNION ALL ")}),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM b x JOIN b y
+            ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        sc AS (
+          SELECT c.a, c.b, CAST(ea.label AS BIGINT) AS la, CAST(eb.label AS BIGINT) AS lb,
+                 ${cosSql("ea.embedding", "eb.embedding")} AS cos
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.a
+          JOIN embeddings eb ON eb.vec_id = c.b),
+        dir AS (
+          SELECT a, la AS t, b AS nb, lb AS p, cos FROM sc
+          UNION ALL SELECT b AS a, lb AS t, a AS nb, la AS p, cos FROM sc),
+        rk AS (
+          SELECT a, t, p,
+                 ROW_NUMBER() OVER (PARTITION BY a ORDER BY cos DESC, nb) AS rnk
+          FROM dir),
+        s1 AS (SELECT a, t, p FROM rk WHERE rnk = 1),
+        marg AS (
+          SELECT lab, CAST(SUM(is_t) AS BIGINT) AS tc, CAST(SUM(is_p) AS BIGINT) AS pc
+          FROM (SELECT t AS lab, 1 AS is_t, 0 AS is_p FROM s1
+                UNION ALL SELECT p AS lab, 0 AS is_t, 1 AS is_p FROM s1)
+          GROUP BY lab),
+        spe AS (SELECT CAST(SUM(tc * pc) AS BIGINT) AS spe FROM marg),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+                 CAST(SUM(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+          FROM s1)
+        SELECT n_scored, n_agree,
+               ROUND(CAST(n_agree AS DOUBLE) / n_scored, 6) AS po,
+               ROUND(CAST(spe AS DOUBLE) / n_scored / n_scored, 6) AS pe,
+               CASE WHEN 1 - CAST(spe AS DOUBLE) / n_scored / n_scored > 0
+                    THEN ROUND((CAST(n_agree AS DOUBLE) / n_scored
+                      - CAST(spe AS DOUBLE) / n_scored / n_scored)
+                      / (1 - CAST(spe AS DOUBLE) / n_scored / n_scored), 6) END AS kappa
+        FROM tot CROSS JOIN spe"""
+
     Map(
       "q38_cosine_topk" -> q38Sql,
       "q39_ann_lsh" -> q39Sql,
@@ -1149,6 +1347,35 @@ object VectorQueries extends QueryPack {
       "q44_ann_ivf" -> q44Sql,
       "q50_ann_recall" -> q50Sql,
       "q129_dim_truncation" -> q129Sql,
+      "q162_quant_recall" -> q162Sql,
+      "q163_knn_label_kappa" -> q163Sql,
+
+      // q170's twin: same parity split, ×1e6 quantization, HUGEINT
+      // moments, identical final cosine tree.
+      "q170_label_centroid_drift" -> s"""
+        WITH x AS (
+          SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS h, i,
+                 CAST(ROUND(embedding[i] * 1e6) AS BIGINT) AS xq
+          FROM embeddings, generate_series(1, $Dim) t(i)),
+        pd AS (
+          SELECT label, i,
+                 CAST(SUM(CASE WHEN h = 0 THEN xq ELSE 0 END) AS BIGINT) AS se,
+                 CAST(SUM(CASE WHEN h = 1 THEN xq ELSE 0 END) AS BIGINT) AS so,
+                 CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                 CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS no
+          FROM x GROUP BY 1, 2),
+        g AS (
+          SELECT label, CAST(MAX(ne) AS BIGINT) AS n_even,
+                 CAST(MAX(no) AS BIGINT) AS n_odd,
+                 SUM(CAST(se AS HUGEINT) * so) AS dot,
+                 SUM(CAST(se AS HUGEINT) * se) AS na,
+                 SUM(CAST(so AS HUGEINT) * so) AS nb
+          FROM pd GROUP BY 1)
+        SELECT label, n_even, n_odd,
+               CASE WHEN na > 0 AND nb > 0 THEN ROUND(
+                 CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
+                 / sqrt(CAST(nb AS DOUBLE)), 6) END AS centroid_cos
+        FROM g ORDER BY label""",
 
       // Mirrors the Spark HOFs op-for-op (round half-away-from-zero in
       // both engines; list_max is order-free; the cosine is the exact

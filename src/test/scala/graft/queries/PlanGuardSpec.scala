@@ -57,7 +57,11 @@ class PlanGuardSpec extends SparkSpec {
     "q150_assoc_rules",  // the 1-row distinct-order-count aggregate, broadcast
     "q154_score_calibration", // the 1-row score min/max aggregate, broadcast
     "q155_idf_drift",    // the 1-row half-sizes aggregate, broadcast
-    "q157_split_leakage") // the 1-row pair-total aggregate, broadcast
+    "q157_split_leakage", // the 1-row pair-total aggregate, broadcast
+    "q162_quant_recall", // query vectors (< 5 rows) cross corpus, as q38
+    "q163_knn_label_kappa", // the 1-row marginal-product aggregate, broadcast
+    "q171_ks_drift",     // the 1-row half-totals aggregate, broadcast
+    "q172_split_balance") // the 1-row corpus-total aggregate, broadcast
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
