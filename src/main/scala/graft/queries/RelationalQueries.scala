@@ -709,11 +709,12 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("r_q"), col("f_q"), col("m_q"))
     }),
 
-    // Weekly retention cohorts (the engagement-decay audit behind every
-    // activity dashboard: of the users first seen in week W, how many
-    // were active in week W+k?): calendar weeks are exact integer epoch-
-    // week indices (µs div 7-day µs — the q130 integer-time discipline,
-    // no date functions whose week-numbering could diverge cross-engine).
+    // Weekly retention cohorts (q113's daily matrix re-keyed to the week
+    // granularity a growth dashboard actually reads — 7× denser cells,
+    // 1/49th the output — and with NO engine date functions in the key:
+    // calendar weeks are exact integer epoch-week indices, µs div 7-day
+    // µs, the q130 integer-time discipline, immune to cross-engine
+    // week-numbering conventions).
     // The corpus collapses to the distinct (user, week) activity relation
     // and a per-user first-week aggregate; both joins are user-keyed
     // equi-joins, cohort sizes are a |cohorts|-row broadcast, and the
@@ -773,13 +774,15 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
-    // Audience-overlap matrix (q89's cross-source overlap on the event
-    // stream: which event types are done by the SAME users — the
-    // cannibalization/affinity view): the corpus collapses to the
-    // distinct (event_type, user) relation, pairs come from a USER-keyed
-    // self-join (per-key fanout = the user's distinct types, ≤ |types| —
-    // linear in users at any scale, never types×types over raw events),
-    // sizes are a |types|-row broadcast, Jaccard divides exact ints once.
+    // Audience-overlap matrix (the Jaccard companion to q118's lift over
+    // the SAME distinct (event_type, user) pair relation: lift says
+    // whether two audiences co-occur MORE THAN CHANCE, Jaccard says how
+    // LARGE the shared audience actually is — a rare pair can have huge
+    // lift and negligible overlap): pairs from the user-keyed self-join
+    // (per-key fanout ≤ |types| — linear in users at any scale, never
+    // types×types over raw events), sizes a |types|-row broadcast,
+    // Jaccard divides exact ints once; publishes the set sizes q118's
+    // probability ratios hide.
     "q168_audience_overlap" -> ((s, d) => {
       val ut = Tables.events(s, d)
         .select(col("event_type"), col("user_id")).distinct()

@@ -2674,11 +2674,13 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(abs(col("drift")).desc, col("term"))
     }),
 
-    // Train/val/test split-leakage audit (the check that must pass before
-    // any held-out metric is trusted: near-duplicate pairs that straddle a
-    // split boundary leak training text into eval): docs are assigned
-    // splits by the content-independent q49 hash gate (md5(doc_id) mod 10
-    // → 8/1/1), each q34-confirmed near-dup pair is labeled with its
+    // Train/val/test split-leakage CENSUS (q103 emits the pair-level
+    // leak evidence an auditor drills into; THIS is the dashboard number
+    // — the |splits|²-bounded matrix of near-dup pairs per split-pair
+    // cell, under a denser 8/1/1 hash split where leakage is the common
+    // case rather than q103's 90/5/5 tail): docs are assigned splits by
+    // the content-independent q49 hash gate (md5(doc_id) mod 10 →
+    // 8/1/1), each q34-confirmed near-dup pair is labeled with its
     // canonical (lexicographic) split pair, and the census reports pair
     // counts + the share of all near-dup pairs per cell, cross-split
     // cells flagged is_leak. Pairs come from the SAME materialized
