@@ -841,6 +841,205 @@ object RelationalQueries extends QueryPack {
           ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
           round(col("s_fp").cast("double") / 1e6 + col("nn"), 6).as("chi2"))
         .orderBy(col("event_type"))
+    }),
+
+    // TPC-H Q1-shape pricing summary (q01 proves the grouped-sum
+    // primitive; THIS is the full classic report — qty/price/discounted/
+    // charged sums plus three means per (returnflag, linestatus) — the
+    // canonical map-side-partial aggregation workload: 4-value key, every
+    // money sum through the fixedSum cents/bp discipline so a 600M-row
+    // scan reduces to exact int64 partials; the means divide the already-
+    // exact sums in one final tree, never a float avg over rows).
+    "q176_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          fixedSum(col("l_quantity"), 2).as("sum_qty"),
+          fixedSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          fixedAvg(col("l_quantity"), 2).as("avg_qty"),
+          fixedAvg(col("l_extendedprice"), 2).as("avg_price"),
+          fixedAvg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q5-shape local-supplier revenue (the classic snowflake join:
+    // fact table against four dims with an intra-row equality — customer
+    // and supplier must share a nation): orders date-filtered BEFORE the
+    // fact join (partition-prunable at scale), nation/region broadcast
+    // (constant-bounded), customer/supplier left to AQE (they scale with
+    // the corpus — the q03 rule), revenue cents-exact. The c_nation =
+    // s_nation predicate rides the join output, not a cartesian.
+    "q177_regional_revenue" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val nat = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q15-shape top suppliers (the rank-over-aggregate idiom on
+    // the fact side: quarterly revenue per supplier — fact scan collapses
+    // to the |suppliers|-bounded aggregate FIRST, the rank window and the
+    // 1-row total broadcast both ride that aggregate, and the ranking key
+    // is the EXACT ×1e4 integer revenue so no float ordering exists).
+    "q178_top_suppliers" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000).cast("long")).as("rev_fp"),
+          count(lit(1)).as("n_items"))
+      val tot = rev.agg(sum(col("rev_fp")).as("tot_fp"))
+      val top = rev.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rev_fp").desc, col("l_suppkey"))))
+        .filter(col("rank") <= 5)
+      top.join(broadcast(tot), expr("true"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("rank"), col("s_name"), col("n_items"),
+          (col("rev_fp") / 1e4).cast("double").as("revenue"),
+          round(col("rev_fp").cast("double") / col("tot_fp"), 6).as("share"))
+        .orderBy(col("rank"))
+    }),
+
+    // TPC-H Q4-shape late-shipment priority census (the EXISTS semi-join
+    // with a non-equi residual: an order counts when ANY of its lineitems
+    // shipped > 30 days after the order date): the semi-join is keyed on
+    // the orderkey with the lateness predicate as the join residual —
+    // never a fact×fact cartesian — and the lateness itself is exact µs
+    // integer arithmetic (the q130 discipline, no engine date functions).
+    "q179_order_priority" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("lus"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+          col("lus") - col("ous") > 30L * 86400000000L, "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q8-shape market-share trend (the two-level conditional
+    // aggregation: one nation's share of a region's yearly revenue —
+    // numerator and denominator from ONE pass, never two scans): the
+    // same snowflake join as q177 restricted to EUROPE customers, then
+    // per order-year the NATION_3-supplier revenue over total revenue,
+    // both cents-exact conditional sums in a single keyed agg.
+    "q180_market_share" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+      val eur = nat
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000))
+            .cast("long").as("rev_fp"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(eur), col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .join(Tables.supplier(s, d).select(col("s_suppkey"),
+            col("s_nationkey").as("sn")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"), col("n_name"))),
+          col("sn") === col("snk"))
+        .groupBy(col("o_year"))
+        .agg(sum(col("rev_fp")).as("tot_fp"),
+          sum(when(col("n_name") === "NATION_3", col("rev_fp")).otherwise(0L))
+            .as("nat_fp"))
+        .select(col("o_year"),
+          (col("tot_fp") / 1e4).cast("double").as("total_revenue"),
+          (col("nat_fp") / 1e4).cast("double").as("nation_revenue"),
+          expr("case when tot_fp > 0 then round(cast(nat_fp as double) / tot_fp, 6) end")
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Brand × year product-mix trend (the dim-table rollup that finally
+    // exercises `part` beyond a key lookup: revenue/volume per brand per
+    // order year): fact joined to its ONE needed dim column (Catalyst
+    // prunes p_brand's siblings at the scan), year from the order join —
+    // two keyed equi-joins left to AQE, money cents-exact, |brands|×
+    // |years|-bounded output.
+    "q184_brand_trend" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("o_year"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+          fixedSum(col("l_quantity"), 2).as("qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"), col("o_year"))
+    }),
+
+    // ABC inventory classification (the 80/15/5 Pareto partitioning every
+    // supply-chain dashboard runs: class A parts produce 80% of revenue):
+    // part-level revenue aggregate FIRST (fact scan collapses to
+    // |parts|-bounded), one descending rank/cumsum window over that
+    // aggregate with the exact ×1e4 integer revenue, class edges tested
+    // in exact decimal arithmetic (5·cum ≤ 4·tot, 20·cum ≤ 19·tot — no
+    // float share ever compared), then the ≤ 3-row class census.
+    "q185_abc_classification" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")).as("rev_fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev_fp").desc, col("l_partkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = rev.agg(sum(col("rev_fp")).as("tot_fp"))
+      rev.withColumn("cum_fp", sum(col("rev_fp")).over(w))
+        .join(broadcast(tot), expr("true"))
+        .withColumn("cls", expr(
+          "case when 5 * cast(cum_fp as decimal(18,0)) <= 4 * cast(tot_fp as decimal(18,0)) then 'A'" +
+          " when 20 * cast(cum_fp as decimal(18,0)) <= 19 * cast(tot_fp as decimal(18,0)) then 'B'" +
+          " else 'C' end"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_fp")).as("cls_fp"))
+        .join(broadcast(tot), expr("true"))
+        .select(col("cls"), col("n_parts"),
+          (col("cls_fp") / 1e4).cast("double").as("revenue"),
+          round(col("cls_fp").cast("double") / col("tot_fp"), 6).as("share"))
+        .orderBy(col("cls"))
     })
   )
 
@@ -1417,6 +1616,140 @@ object RelationalQueries extends QueryPack {
              ROUND(CAST(SUM(term_fp) AS DOUBLE) / 1e6 + t.nn, 6) AS chi2
       FROM t JOIN dof ON t.event_type = dof.event_type
       GROUP BY 1, 2, 3
-      ORDER BY t.event_type"""
+      ORDER BY t.event_type""",
+
+    // q176's twin: identical fixed-point money trees (q02's idiom) for
+    // every sum and mean.
+    "q176_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT))/1000000.0 AS DOUBLE) AS sum_charge,
+             CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) / COUNT(l_quantity) / 100.0 AS DOUBLE) AS avg_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) / COUNT(l_extendedprice) / 100.0 AS DOUBLE) AS avg_price,
+             CAST(SUM(CAST(ROUND(l_discount*10000) AS BIGINT)) / COUNT(l_discount) / 10000.0 AS DOUBLE) AS avg_disc,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      GROUP BY 1, 2
+      ORDER BY l_returnflag, l_linestatus""",
+
+    // q177's twin: same snowflake join, same intra-row nation equality.
+    "q177_regional_revenue" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+      ORDER BY revenue DESC, n_name""",
+
+    // q178's twin: exact ×1e4 integer revenue ranking, 1-row total.
+    "q178_top_suppliers" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS rev_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(rev_fp) AS BIGINT) AS tot_fp FROM rev),
+      rk AS (
+        SELECT l_suppkey, rev_fp, n_items,
+               CAST(ROW_NUMBER() OVER (ORDER BY rev_fp DESC, l_suppkey) AS INTEGER) AS rank
+        FROM rev)
+      SELECT rank, s_name, n_items,
+             CAST(rev_fp / 10000.0 AS DOUBLE) AS revenue,
+             ROUND(CAST(rev_fp AS DOUBLE) / tot_fp, 6) AS share
+      FROM rk
+      JOIN supplier ON l_suppkey = s_suppkey
+      CROSS JOIN tot
+      WHERE rank <= 5
+      ORDER BY rank""",
+
+    // q179's twin: EXISTS with the same exact µs lateness residual.
+    "q179_order_priority" -> """
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) > 2592000000000)
+      GROUP BY 1
+      ORDER BY o_orderpriority""",
+
+    // q180's twin: same one-pass conditional sums over the snowflake.
+    "q180_market_share" -> """
+      WITH eur AS (
+        SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      j AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS rev_fp,
+               sn.n_name AS supp_nation
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE c_nationkey IN (SELECT n_nationkey FROM eur)),
+      g AS (
+        SELECT CAST(o_year AS INTEGER) AS o_year,
+               CAST(SUM(rev_fp) AS BIGINT) AS tot_fp,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_fp ELSE 0 END) AS BIGINT) AS nat_fp
+        FROM j GROUP BY 1)
+      SELECT o_year,
+             CAST(tot_fp / 10000.0 AS DOUBLE) AS total_revenue,
+             CAST(nat_fp / 10000.0 AS DOUBLE) AS nation_revenue,
+             CASE WHEN tot_fp > 0 THEN ROUND(CAST(nat_fp AS DOUBLE) / tot_fp, 6) END AS mkt_share
+      FROM g ORDER BY o_year""",
+
+    // q184's twin: same two keyed joins, same fixed-point money.
+    "q184_brand_trend" -> """
+      SELECT p_brand, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS DOUBLE) AS revenue,
+             CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))/100.0 AS DOUBLE) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+      ORDER BY p_brand, o_year""",
+
+    // q185's twin: same part aggregate, same exact integer class edges.
+    "q185_abc_classification" -> """
+      WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS rev_fp
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(SUM(rev_fp) AS BIGINT) AS tot_fp FROM rev),
+      c AS (
+        SELECT rev_fp,
+               CAST(SUM(rev_fp) OVER (ORDER BY rev_fp DESC, l_partkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_fp
+        FROM rev),
+      k AS (
+        SELECT rev_fp,
+               CASE WHEN 5 * CAST(cum_fp AS HUGEINT) <= 4 * CAST(tot_fp AS HUGEINT) THEN 'A'
+                    WHEN 20 * CAST(cum_fp AS HUGEINT) <= 19 * CAST(tot_fp AS HUGEINT) THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM c CROSS JOIN tot)
+      SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(rev_fp) / 10000.0 AS DOUBLE) AS revenue,
+             ROUND(CAST(SUM(rev_fp) AS DOUBLE) / MAX(tot2.tot_fp), 6) AS share
+      FROM k CROSS JOIN tot tot2
+      GROUP BY 1
+      ORDER BY cls"""
   )
 }

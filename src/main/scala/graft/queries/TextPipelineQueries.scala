@@ -3070,6 +3070,101 @@ object TextPipelineQueries extends QueryPack {
             "cast(s_dup as double) / n_dup / 1e9" +
             " - cast(s_kept as double) / n_kept / 1e9, 6) end").as("bias"))
         .orderBy(col("lang"))
+    }),
+
+    // C4/CCNet-style sentence-dedup CLEANING (q153 measures the
+    // boilerplate share; THIS is the transform that removes it — the
+    // first mutation operator in the text family, gated byte-exact
+    // through the q69 redacted-md5 idiom): sentences in original
+    // position order, a ≥ 20-char sentence survives iff it is globally
+    // unique OR this doc is its lowest-id owner (the q35 keep rule at
+    // sentence granularity; short sentences always survive), and each
+    // doc reports its kept/removed census plus the md5 of the kept
+    // sequence rejoined in order. One sentence-hash df/min-owner keyed
+    // agg + one keyed join back; reassembly is a per-doc sort-free
+    // collect_list over the position-ordered window, per-doc-bounded.
+    "q181_sentence_clean" -> ((s, d) => {
+      val sents = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), "[.!?]+")).as(Seq("pos", "raw")))
+        .select(col("doc_id"), col("pos"), trim(col("raw")).as("sent"))
+        .filter(length(col("sent")) > 0)
+        .withColumn("h", when(length(col("sent")) >= 20,
+          TextFns.hash32(col("sent"))))
+      val own = sents.filter(col("h").isNotNull)
+        .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("sdf"),
+          min(col("doc_id")).as("owner"))
+      val lab = sents.join(own, Seq("h"), "left_outer")
+        .withColumn("keep", col("h").isNull || col("sdf") === 1 ||
+          col("owner") === col("doc_id"))
+      lab.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws("|",
+            sort_array(collect_list(when(col("keep"),
+              struct(col("pos"), col("sent"))))).getField("sent")))
+            .as("raw_md5"))
+        .select(col("doc_id"), col("n_sents"), col("n_kept"),
+          when(col("n_kept") > 0, col("raw_md5")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Flesch-Kincaid-style readability grade (the classic quality
+    // feature beside q31's ratio stats — a LENGTH-NORMALIZED difficulty
+    // signal quality filters threshold on): syllables approximated as
+    // vowel-group counts per token (identical regex both engines),
+    // sentences via q153's segmentation, grade = 0.39·W/S + 11.8·Syl/W
+    // − 15.59 computed per doc from exact integer counts and ×1e6
+    // fixed-pointed BEFORE the per-lang census, so the mean and the
+    // share-above-grade-12 are exact-sum-derived.
+    "q182_readability" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFns.tokens(col("text")).as("toks"),
+          size(filter(transform(split(col("text"), "[.!?]+"), x => trim(x)),
+            x => length(x) > 0)).cast("long").as("n_sents"))
+        .filter(size(col("toks")) > 0 && col("n_sents") > 0)
+        .select(col("doc_id"), col("lang"), col("n_sents"),
+          size(col("toks")).cast("long").as("n_words"),
+          expr("cast(aggregate(toks, 0L," +
+            " (a, x) -> a + greatest(size(regexp_extract_all(x, '[aeiouy]+', 0)), 1))" +
+            " as bigint)").as("n_syll"))
+        .withColumn("grade_fp", expr(
+          "cast(round((0.39 * cast(n_words as double) / n_sents" +
+          " + 11.8 * cast(n_syll as double) / n_words - 15.59) * 1e6) as bigint)"))
+      base.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("grade_fp")).as("sg"),
+          sum(when(col("grade_fp") > 12000000L, 1L).otherwise(0L)).as("n_hard"))
+        .select(col("lang"), col("n_docs"),
+          round(col("sg").cast("double") / col("n_docs") / 1e6, 6).as("mean_grade"),
+          round(col("n_hard").cast("double") / col("n_docs"), 6).as("hard_share"))
+        .orderBy(col("lang"))
+    }),
+
+    // Per-doc tf-idf keyword extraction (the document-level summarization
+    // primitive beside q114's corpus-level stopword induction and q88's
+    // graph keywords: ONE term that best characterizes EACH doc): df from
+    // the distinct (term, doc) presence relation, idf ×1e9 fixed-pointed
+    // per TERM (1-row corpus count broadcast — the q88 shape), per-doc
+    // argmax over tf·idf_fp — an EXACT int64 selection key — via the
+    // salted TopK so no task owns a whole doc partition's vocabulary.
+    "q183_doc_keywords" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nn = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val idf = df.join(broadcast(nn), expr("true"))
+        .withColumn("idf_fp", expr(
+          "cast(round(ln(cast(n_docs as double) / df) * 1e9) as bigint)"))
+        .select(col("term"), col("df"), col("idf_fp"))
+      val scored = tf.join(idf, Seq("term"))
+        .withColumn("score_fp", expr("tf * idf_fp"))
+      graft.operators.TopK.perKey(scored, Seq("doc_id"),
+          Seq(col("score_fp").desc, col("term")), 1, TextFns.hash32(col("term")))
+        .select(col("doc_id"), col("term").as("keyword"), col("tf"), col("df"),
+          round(col("score_fp").cast("double") / 1e9, 6).as("tfidf"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5554,7 +5649,92 @@ object TextPipelineQueries extends QueryPack {
                CASE WHEN n_dup > 0 AND n_kept > 0 THEN ROUND(
                  CAST(s_dup AS DOUBLE) / n_dup / 1e9
                  - CAST(s_kept AS DOUBLE) / n_kept / 1e9, 6) END AS bias
-        FROM g ORDER BY lang"""
+        FROM g ORDER BY lang""",
+
+      // q181's twin: positional segmentation, the same ≥20-char hash
+      // rule, min-owner keep, ordered string_agg reassembly md5.
+      "q181_sentence_clean" -> {
+        val sentHash = hex32.replace("md5(x)", "md5(sent)")
+        s"""
+        WITH sp AS (
+          SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts FROM documents),
+        sr AS (
+          SELECT doc_id, unnest(generate_series(1, len(parts))) AS pos,
+                 trim(unnest(parts)) AS sent
+          FROM sp WHERE len(parts) > 0),
+        s2 AS (
+          SELECT doc_id, pos, sent,
+                 CASE WHEN len(sent) >= 20 THEN CAST($sentHash AS BIGINT) END AS h
+          FROM sr WHERE len(sent) > 0),
+        own AS (
+          SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS sdf,
+                 CAST(MIN(doc_id) AS BIGINT) AS owner
+          FROM s2 WHERE h IS NOT NULL GROUP BY 1),
+        lab AS (
+          SELECT s2.doc_id, pos, sent,
+                 (h IS NULL OR sdf = 1 OR owner = s2.doc_id) AS keep
+          FROM s2 LEFT JOIN own USING (h)),
+        g AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 md5(string_agg(CASE WHEN keep THEN sent END, '|' ORDER BY pos)) AS raw_md5
+          FROM lab GROUP BY 1)
+        SELECT doc_id, n_sents, n_kept,
+               CASE WHEN n_kept > 0 THEN raw_md5 END AS clean_md5
+        FROM g ORDER BY doc_id""" },
+
+      // q182's twin: identical segmentation/token/vowel-group counts and
+      // fixed-point grade tree.
+      "q182_readability" -> """
+        WITH b AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+                 len(list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                   x -> trim(x)), x -> len(x) > 0)) AS n_sents
+          FROM documents),
+        f AS (
+          SELECT lang, CAST(n_sents AS BIGINT) AS n_sents,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks,
+                   x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS BIGINT) AS n_syll
+          FROM b WHERE len(toks) > 0 AND n_sents > 0),
+        p AS (
+          SELECT lang,
+                 CAST(ROUND((0.39 * CAST(n_words AS DOUBLE) / n_sents
+                   + 11.8 * CAST(n_syll AS DOUBLE) / n_words - 15.59) * 1e6) AS BIGINT) AS grade_fp
+          FROM f)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(grade_fp) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_grade,
+               ROUND(CAST(SUM(CASE WHEN grade_fp > 12000000 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hard_share
+        FROM p GROUP BY 1
+        ORDER BY lang""",
+
+      // q183's twin: identical df/idf fixed-pointing and exact argmax.
+      "q183_doc_keywords" -> """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+          FROM documents),
+        e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        idf AS (
+          SELECT term, df,
+                 CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df) * 1e9) AS BIGINT) AS idf_fp
+          FROM df CROSS JOIN nn),
+        sc AS (
+          SELECT doc_id, term, tf, df, tf * idf_fp AS score_fp
+          FROM tf JOIN idf USING (term)),
+        rk AS (
+          SELECT doc_id, term, tf, df, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rnk
+          FROM sc)
+        SELECT doc_id, term AS keyword, tf, df,
+               ROUND(CAST(score_fp AS DOUBLE) / 1e9, 6) AS tfidf
+        FROM rk WHERE rnk = 1
+        ORDER BY doc_id"""
     )
   }
 }

@@ -61,7 +61,10 @@ class PlanGuardSpec extends SparkSpec {
     "q162_quant_recall", // query vectors (< 5 rows) cross corpus, as q38
     "q163_knn_label_kappa", // the 1-row marginal-product aggregate, broadcast
     "q171_ks_drift",     // the 1-row half-totals aggregate, broadcast
-    "q172_split_balance") // the 1-row corpus-total aggregate, broadcast
+    "q172_split_balance", // the 1-row corpus-total aggregate, broadcast
+    "q178_top_suppliers", // the 1-row quarter-total aggregate, broadcast
+    "q183_doc_keywords", // the 1-row corpus-count aggregate, broadcast
+    "q185_abc_classification") // the 1-row revenue-total aggregate, broadcast (×2)
     // q47_embed_dedup left OUT deliberately: since round 5 its candidate
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
