@@ -675,7 +675,11 @@ object RelationalQueries extends QueryPack {
         .join(broadcast(nOrders), expr("true"))
         .orderBy(col("supp_ab").desc, col("pa"), col("pb")).limit(20)
         .select(col("pa"), col("pb"), col("supp_ab"), col("supp_a"), col("supp_b"),
-          round(col("supp_ab").cast("double") / col("supp_a"), 6).as("confidence"),
+          // Both rule directions: (pa, pb) is the arbitrary partkey-id order,
+          // so publishing only supp_ab/supp_a would pin "confidence" to an
+          // id-order accident. conf_ab = P(pb|pa), conf_ba = P(pa|pb).
+          round(col("supp_ab").cast("double") / col("supp_a"), 6).as("conf_ab"),
+          round(col("supp_ab").cast("double") / col("supp_b"), 6).as("conf_ba"),
           round(col("supp_ab").cast("double") * col("n_orders") /
             (col("supp_a") * col("supp_b")), 6).as("lift"))
         .orderBy(col("supp_ab").desc, col("pa"), col("pb"))
@@ -1030,8 +1034,8 @@ object RelationalQueries extends QueryPack {
       rev.withColumn("cum_fp", sum(col("rev_fp")).over(w))
         .join(broadcast(tot), expr("true"))
         .withColumn("cls", expr(
-          "case when 5 * cast(cum_fp as decimal(18,0)) <= 4 * cast(tot_fp as decimal(18,0)) then 'A'" +
-          " when 20 * cast(cum_fp as decimal(18,0)) <= 19 * cast(tot_fp as decimal(18,0)) then 'B'" +
+          "case when 5 * cast(cum_fp as decimal(38,0)) <= 4 * cast(tot_fp as decimal(38,0)) then 'A'" +
+          " when 20 * cast(cum_fp as decimal(38,0)) <= 19 * cast(tot_fp as decimal(38,0)) then 'B'" +
           " else 'C' end"))
         .groupBy(col("cls"))
         .agg(count(lit(1)).as("n_parts"), sum(col("rev_fp")).as("cls_fp"))
@@ -1495,7 +1499,8 @@ object RelationalQueries extends QueryPack {
       j AS (SELECT pa, pb, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b, n_orders
             FROM p JOIN s sa ON p.pa = sa.pk JOIN s sb ON p.pb = sb.pk CROSS JOIN n)
       SELECT pa, pb, supp_ab, supp_a, supp_b,
-             ROUND(CAST(supp_ab AS DOUBLE) / supp_a, 6) AS confidence,
+             ROUND(CAST(supp_ab AS DOUBLE) / supp_a, 6) AS conf_ab,
+             ROUND(CAST(supp_ab AS DOUBLE) / supp_b, 6) AS conf_ba,
              ROUND(CAST(supp_ab AS DOUBLE) * n_orders / (supp_a * supp_b), 6) AS lift
       FROM j
       ORDER BY supp_ab DESC, pa, pb LIMIT 20""",

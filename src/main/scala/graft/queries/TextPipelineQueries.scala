@@ -530,9 +530,9 @@ object TextPipelineQueries extends QueryPack {
         lit("en"), lit(30), lit("es"), lit(60), lit("de"), lit(60),
         lit("fr"), lit(80), lit("zh"), lit(100))
       Tables.documents(s, d)
-        .withColumn("gate", pmod(TextFns.hash32(concat(lit("samp|"),
-          col("doc_id").cast("string"))), lit(100)))
-        .withColumn("keep", col("gate") < coalesce(rates(col("lang")), lit(100)))
+        .withColumn("keep", graft.functions.KeepGate.pct(
+          graft.functions.KeepGate.draw("samp", col("doc_id")),
+          coalesce(rates(col("lang")), lit(100))))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
@@ -796,7 +796,8 @@ object TextPipelineQueries extends QueryPack {
     // Deterministic WEIGHTED sampling (the mixture-building step of a
     // training-data pipeline: sample ~k docs per language with probability
     // proportional to size): doc kept iff hash32 · Σw < k · w · 2^32,
-    // evaluated in exact WIDE-integer arithmetic — decimal(38,0) here,
+    // via KeepGate.ltScaledK — exact wide-integer arithmetic (tight
+    // decimal operand precisions here,
     // HUGEINT in the oracle — so the gate cannot overflow at ANY corpus
     // scale (an int64 product h·Σw wraps silently in Spark once a
     // language's Σ n_chars reaches 2^31 ≈ 2 GB of text, while DuckDB
@@ -813,12 +814,10 @@ object TextPipelineQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_chars").as("w"))
       val sums = docs.groupBy(col("lang")).agg(sum(col("w")).as("sum_w"))
       docs.join(broadcast(sums), Seq("lang"))
-        .withColumn("h", TextFns.hash32(
-          concat(lit("wsamp|"), col("doc_id").cast("string"))))
+        .withColumn("h", graft.functions.KeepGate.draw("wsamp", col("doc_id")))
         .select(col("doc_id"), col("lang"), col("w"),
-          expr(s"cast(h as decimal(10,0)) * cast(sum_w as decimal(19,0))" +
-            s" < cast($K as decimal(2,0)) * cast(w as decimal(19,0))" +
-            s" * cast(${1L << 32} as decimal(10,0))").as("kept"))
+          graft.functions.KeepGate.ltScaledK(
+            col("h"), col("sum_w"), K, col("w")).as("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -879,18 +878,17 @@ object TextPipelineQueries extends QueryPack {
     // Winsorization at the exact per-group [p5, p95] nearest-rank
     // percentiles — clamping composed from the SAME scale-safe histogram
     // percentile operator as q13 (functions/Percentiles: no per-group
-    // whole-sort task at any size), demonstrating operator reuse: two
-    // percentile relations (one row per lang) broadcast back onto the
-    // corpus, then a per-row least/greatest clamp.
+    // whole-sort task at any size), demonstrating operator reuse: BOTH
+    // quantiles come from ONE nearestRanksByGroup histogram pass (one
+    // corpus scan, one histogram shuffle — not two independent percentile
+    // jobs), broadcast back onto the corpus for the per-row clamp.
     "q78_winsorize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val lens = docs.withColumn("len", col("n_chars").cast("double"))
-      val p05 = graft.functions.Percentiles
-        .nearestRankByGroup(lens, Seq("lang"), "len", 0.05)
-      val p95 = graft.functions.Percentiles
-        .nearestRankByGroup(lens, Seq("lang"), "len", 0.95)
-      docs.join(broadcast(p05), Seq("lang")).join(broadcast(p95), Seq("lang"))
+      val pcts = graft.functions.Percentiles
+        .nearestRanksByGroup(lens, Seq("lang"), "len", Seq(0.05, 0.95))
+      docs.join(broadcast(pcts), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("p5").cast("long").as("p05_len"),
           col("p95").cast("long").as("p95_len"),
@@ -955,11 +953,9 @@ object TextPipelineQueries extends QueryPack {
           org.apache.spark.sql.expressions.Window.partitionBy()))
         .withColumn("quota", expr("(n_total * 3) div 20"))
       docs.join(broadcast(quotas), Seq("lang"))
-        .withColumn("h",
-          TextFns.hash32(concat(lit("mix|"), col("doc_id").cast("string"))))
-        .withColumn("kept",
-          expr(s"cast(h as decimal(10,0)) * cast(n_docs as decimal(19,0))" +
-            s" < cast(quota as decimal(19,0)) * cast(${1L << 32} as decimal(10,0))"))
+        .withColumn("h", graft.functions.KeepGate.draw("mix", col("doc_id")))
+        .withColumn("kept", graft.functions.KeepGate.ltScaled(
+          col("h"), col("n_docs"), col("quota")))
         .groupBy(col("lang"))
         .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -1311,20 +1307,18 @@ object TextPipelineQueries extends QueryPack {
     // language by LM surprisal — the canonical quality-stratification
     // step before mixture sampling): q81's add-one-smoothed bigram-LM
     // avg −ln P per doc (6-dp rounded BEFORE any compare), then exact
-    // per-language nearest-rank p33/p67 via the same scale-safe
-    // histogram percentile operator as q13/q78/q82, broadcast back for
-    // the bucket label. Docs too short to score (no bigrams) keep a
+    // per-language nearest-rank p33/p67 from ONE shared histogram pass
+    // (Percentiles.nearestRanksByGroup, same scale-safe operator as
+    // q13/q78/q82), broadcast back for the bucket label. Docs too short to score (no bigrams) keep a
     // NULL bucket rather than polluting a tier.
     "q90_surprisal_buckets" -> ((s, d) => {
       val sc = materializedSurprisal(s, d)
       val base = Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .join(sc.select(col("doc_id"), col("avg_nll")), Seq("doc_id"), "left_outer")
       val withVal = sc.select(col("lang"), col("avg_nll"))
-      val p33 = graft.functions.Percentiles
-        .nearestRankByGroup(withVal, Seq("lang"), "avg_nll", 0.33)
-      val p67 = graft.functions.Percentiles
-        .nearestRankByGroup(withVal, Seq("lang"), "avg_nll", 0.67)
-      base.join(broadcast(p33), Seq("lang")).join(broadcast(p67), Seq("lang"))
+      val pcts = graft.functions.Percentiles
+        .nearestRanksByGroup(withVal, Seq("lang"), "avg_nll", Seq(0.33, 0.67))
+      base.join(broadcast(pcts), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("avg_nll"),
           col("p33"), col("p67"),
           when(col("avg_nll").isNull, lit(null).cast("string"))
@@ -1494,13 +1488,13 @@ object TextPipelineQueries extends QueryPack {
           "cast((n * 3) div 10 as double) * w_fp / sw_fp * 4294967296 / n_l" +
           ") as bigint))"))
       docs.join(broadcast(thr), Seq("lang"))
-        .withColumn("h",
-          TextFns.hash32(concat(lit("temp|"), col("doc_id").cast("string"))))
+        .withColumn("h", graft.functions.KeepGate.draw("temp", col("doc_id")))
         .groupBy(col("lang"))
         .agg(max(col("n_l")).as("n_docs"),
           round(max(col("w_fp")) / 1e6, 6).as("w_l"),
           max(col("t_l")).as("t_l"),
-          sum(when(col("h") < col("t_l"), 1L).otherwise(0L)).as("n_kept"))
+          sum(when(graft.functions.KeepGate.belowThreshold(
+            col("h"), col("t_l")), 1L).otherwise(0L)).as("n_kept"))
         .select(col("lang"), col("n_docs"), col("w_l"), col("t_l"),
           col("n_kept"),
           round(col("n_kept").cast("double") / col("n_docs"), 6).as("keep_rate"))
@@ -3111,7 +3105,9 @@ object TextPipelineQueries extends QueryPack {
     // Flesch-Kincaid-style readability grade (the classic quality
     // feature beside q31's ratio stats — a LENGTH-NORMALIZED difficulty
     // signal quality filters threshold on): syllables approximated as
-    // vowel-group counts per token (identical regex both engines),
+    // vowel-group counts per LOWERCASED token (identical regex both
+    // engines; lower() first so sentence-initial capitals and acronyms
+    // don't fall to the floor-of-1),
     // sentences via q153's segmentation, grade = 0.39·W/S + 11.8·Syl/W
     // − 15.59 computed per doc from exact integer counts and ×1e6
     // fixed-pointed BEFORE the per-lang census, so the mean and the
@@ -3126,7 +3122,7 @@ object TextPipelineQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_sents"),
           size(col("toks")).cast("long").as("n_words"),
           expr("cast(aggregate(toks, 0L," +
-            " (a, x) -> a + greatest(size(regexp_extract_all(x, '[aeiouy]+', 0)), 1))" +
+            " (a, x) -> a + greatest(size(regexp_extract_all(lower(x), '[aeiouy]+', 0)), 1))" +
             " as bigint)").as("n_syll"))
         .withColumn("grade_fp", expr(
           "cast(round((0.39 * cast(n_words as double) / n_sents" +
@@ -5696,7 +5692,7 @@ object TextPipelineQueries extends QueryPack {
           SELECT lang, CAST(n_sents AS BIGINT) AS n_sents,
                  CAST(len(toks) AS BIGINT) AS n_words,
                  CAST(list_sum(list_transform(toks,
-                   x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS BIGINT) AS n_syll
+                   x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1))) AS BIGINT) AS n_syll
           FROM b WHERE len(toks) > 0 AND n_sents > 0),
         p AS (
           SELECT lang,

@@ -40,4 +40,33 @@ class PercentilesSpec extends SparkSpec {
       .collect().head.getDouble(1)
     assert(got == naiveP(values, 0.25))
   }
+
+  test("multi-quantile: one histogram serves every rank, incl. shared buckets") {
+    import spark.implicits._
+    val values = (0 until 500).map(i => ((i * 613) % 500).toDouble)
+    val rows = values.map(v => ("a", v)) ++ Seq.fill(5)(("b", 9.0))
+    val df = rows.toDF("g", "v")
+    // buckets=4 forces several quantiles into the SAME bucket — the
+    // rank-then-attach order in stage 3 must not duplicate rows.
+    val qs = Seq(0.05, 0.33, 0.5, 0.67, 0.95)
+    val out = Percentiles.nearestRanksByGroup(df, Seq("g"), "v", qs, buckets = 4)
+    assert(out.columns.toSeq == Seq("g", "p5", "p33", "p50", "p67", "p95"))
+    val byG = out.collect().map(r => r.getString(0) -> r).toMap
+    for ((q, i) <- qs.zipWithIndex)
+      assert(byG("a").getDouble(i + 1) == naiveP(values, q), s"q=$q")
+    for (i <- qs.indices) assert(byG("b").getDouble(i + 1) == 9.0)
+  }
+
+  test("multi-quantile agrees with repeated single-quantile calls") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i => (s"g${i % 3}", ((i * 97) % 113).toDouble))
+    val df = rows.toDF("g", "v")
+    val multi = Percentiles.nearestRanksByGroup(df, Seq("g"), "v", Seq(0.05, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val lo = Percentiles.nearestRankByGroup(df, Seq("g"), "v", 0.05)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val hi = Percentiles.nearestRankByGroup(df, Seq("g"), "v", 0.95)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (g <- multi.keys) assert(multi(g) == ((lo(g), hi(g))), g)
+  }
 }
