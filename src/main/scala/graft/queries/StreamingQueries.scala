@@ -14,6 +14,102 @@ import graft.streaming.EventStreams
   * MemoryStream. */
 object StreamingQueries extends QueryPack {
 
+  /** Per-invocation id for the micro-batch gates: stream-input dir and
+    * memory-sink names must be fresh each run (the bench executes every
+    * query twice in one JVM). */
+  private val mbRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Materialize the events table as `nSlices` time-ordered parquet FILES
+    * in a fresh temp dir — the file-source stream input for the REAL
+    * micro-batch gates (q186/q187). Slices partition the [min, max] event
+    * time range, so with `maxFilesPerTrigger=1` every micro-batch advances
+    * event time monotonically (no late data) and the watermark ratchets
+    * once per batch. File names and modification times both increase with
+    * the slice index, so FileStreamSource's ordering (mtime, with path as
+    * the tiebreak) matches event-time order however it resolves.
+    *
+    * Two SENTINEL files (user_id = −1, +10h and +20h past the corpus max)
+    * close the stream: in append mode a watermarked aggregation emits a
+    * final session only once the watermark passes its end, and the
+    * watermark for batch N derives from batches < N — so sentinel 1
+    * pushes event time past every real session and sentinel 2 provides
+    * the extra batch in which that advanced watermark actually flushes
+    * state. Consumers filter `user_id >= 0`. */
+  private def sliceEventsForStream(s: SparkSession, d: String,
+                                   nSlices: Int, runId: Int): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val r = ev.agg(min(col("us")), max(col("us"))).head()
+    val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_$runId")
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    Files.createDirectories(dir)
+    val span = maxUs - minUs + 1
+    val sentinels = Seq(maxUs + 36000000000L, maxUs + 72000000000L)
+    def writeFile(df: DataFrame, idx: Int): Unit = {
+      val tmp = dir.resolve(s"_tmp_$idx")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).next()
+      val dst = dir.resolve(f"slice_$idx%03d.parquet")
+      Files.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 1000L))
+    }
+    (0 until nSlices).foreach { k =>
+      val lo = minUs + span * k / nSlices
+      val hi = minUs + span * (k + 1) / nSlices
+      writeFile(ev.filter(col("us") >= lo && col("us") < hi), k)
+    }
+    sentinels.zipWithIndex.foreach { case (us, i) =>
+      import s.implicits._
+      writeFile(Seq((-1L, -1L, "sentinel", us))
+        .toDF("event_id", "user_id", "event_type", "us"), nSlices + i)
+    }
+    dir.toString
+  }
+
+  /** Run `build` over the sliced file-source stream as a REAL Structured
+    * Streaming query — one micro-batch per slice file — into a memory
+    * sink, and return the sink contents as a batch DataFrame. This is the
+    * actual `writeStream` + `processAllAvailable` execution path (state
+    * store, watermark ratchet, incremental emission), not the batch-mode
+    * kernel twin. */
+  private def runMicroBatch(s: SparkSession, d: String, qn: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val runId = mbRun.incrementAndGet()
+    val dir = sliceEventsForStream(s, d, nSlices = 8, runId)
+    val src = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, us LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val sink = s"${qn}_$runId"
+    // 8 state partitions for the 10-trigger run: the per-batch cost of a
+    // stateful micro-batch is dominated by state-store commits (one per
+    // partition per trigger), and the session default (32) quadruples
+    // that for no parallelism gain at gate volume. The partition count is
+    // latched per streaming query at start, so the session conf is
+    // restored immediately after; queries in a sweep run sequentially.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try build(src).writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_tumbling_window" -> ((s, d) => {
       EventStreams.tumblingHourly(Tables.events(s, d))
@@ -147,27 +243,56 @@ object StreamingQueries extends QueryPack {
         .as[EventStreams.SessEvent]
       EventStreams.sessionize(ev).toDF()
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // REAL micro-batch execution of the watermarked session-window
+    // aggregation (q41's streaming half, previously spec-only): the
+    // events table becomes an 8-file file-source stream processed one
+    // file per trigger, the 2h watermark ratchets each batch, and — this
+    // being append mode — every session row in the sink was emitted
+    // BECAUSE the watermark passed its end (the two sentinel batches
+    // flush the tail; see sliceEventsForStream). The sink is gated
+    // against q41's gaps-and-islands oracle VERBATIM, so streaming
+    // execution and batch semantics can never drift. Append-mode session
+    // aggregates emit exactly once, so the sink needs no compaction.
+    "q186_stream_sessions_microbatch" -> ((s, d) => {
+      runMicroBatch(s, d, "graft_mb_sessions") { src =>
+        EventStreams.userSessions(
+          src.withColumn("ts", timestamp_micros(col("us"))),
+          withWatermark = true)
+      }
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // REAL micro-batch execution of the custom-state sessionization
+    // kernel (q143's streaming half): the same flatMapGroupsWithState
+    // code runs across 10 triggers with per-user state carried between
+    // micro-batches — an open session is snapshotted each batch it grows
+    // and closed by a later one. The sink is compacted per (user,
+    // session_idx) to the max-n_events emission (snapshots grow strictly,
+    // so that row IS the session's final shape) and gated against q130's
+    // batch-window oracle VERBATIM — the q51/q52 oracle-identity
+    // discipline applied to actual streaming execution.
+    "q187_stream_sessionization_microbatch" -> ((s, d) => {
+      import s.implicits._
+      val sink = runMicroBatch(s, d, "graft_mb_sessionize") { src =>
+        EventStreams.sessionize(src.filter(col("user_id") >= 0)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("us"))
+          .as[EventStreams.SessEvent]).toDF()
+      }
+      sink.groupBy(col("user_id"), col("session_idx"))
+        .agg(max_by(struct(col("n_events"), col("n_types"), col("dur_s"),
+          col("first_event")), col("n_events")).as("f"))
+        .select(col("user_id"), col("session_idx"), col("f.n_events"),
+          col("f.n_types"), col("f.dur_s"), col("f.first_event"))
+        .orderBy(col("user_id"), col("session_idx"))
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // Oracle-identity with the batch window formulation: the defining
-    // property of the streaming kernel is equality with q130.
-    "q143_stream_sessionization" ->
-      RelationalQueries.oracles("q130_sessionization"),
-    "q40_tumbling_window" -> """
-      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-             event_type,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_value
-      FROM events
-      GROUP BY 1, 2
-      ORDER BY window_start, event_type""",
-
-    // Gaps-and-islands: a session break is a gap STRICTLY GREATER than the
-    // 2h inactivity timeout (Spark merges windows that touch exactly:
-    // [t, t+gap) U [t+gap, ...) share the boundary instant).
-    "q41_session_window" -> """
+  /** q41's gaps-and-islands oracle — shared verbatim with the micro-batch
+    * run (q186): streaming execution must land on identical rows. */
+  private val sessionWindowSql: String = """
       WITH marked AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -185,7 +310,32 @@ object StreamingQueries extends QueryPack {
              COUNT(*) AS n_events
       FROM sessions
       GROUP BY user_id, sid
-      ORDER BY user_id, session_start""",
+      ORDER BY user_id, session_start"""
+
+  val oracles: Map[String, String] = Map(
+    // Oracle-identity with the batch window formulation: the defining
+    // property of the streaming kernel is equality with q130.
+    "q143_stream_sessionization" ->
+      RelationalQueries.oracles("q130_sessionization"),
+    // The micro-batch runs are gated against the SAME oracles as their
+    // batch twins — real streaming execution must land on identical rows.
+    "q187_stream_sessionization_microbatch" ->
+      RelationalQueries.oracles("q130_sessionization"),
+    "q40_tumbling_window" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+
+    // Gaps-and-islands: a session break is a gap STRICTLY GREATER than the
+    // 2h inactivity timeout (Spark merges windows that touch exactly:
+    // [t, t+gap) U [t+gap, ...) share the boundary instant).
+    "q41_session_window" -> sessionWindowSql,
+    // Micro-batch run of the same session-window aggregation: same oracle.
+    "q186_stream_sessions_microbatch" -> sessionWindowSql,
 
     // Per-event cents rounding mirrors the state kernel's
     // `cents += math.round(value * 100)` exactly (all values positive, so
