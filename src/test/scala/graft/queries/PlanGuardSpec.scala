@@ -156,6 +156,79 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"AQE-final offenders: $offenders")
   }
 
+  /** Every dim-table scan (by file name) that can reach the plan root
+    * without crossing a BroadcastExchange — i.e. dim rows that would flow
+    * through a shuffle or the streamed side of a join at scale. */
+  private def dimScansNotUnderBroadcast(p: SparkPlan,
+                                        dims: Set[String]): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def walk(n: SparkPlan, underB: Boolean): Seq[String] = {
+      val here = n match {
+        case f: FileSourceScanExec if !underB =>
+          dims.filter(d => f.metadata.get("Location").exists(_.contains(d))).toSeq
+        case _ => Nil
+      }
+      val childB = underB || n.isInstanceOf[BroadcastExchangeExec]
+      here ++ n.children.flatMap(walk(_, childB))
+    }
+    walk(p, underB = false)
+  }
+
+  /** The TPC-H-shape composites (q176–q185) carry the three plan
+    * properties that make them 100×-scale-safe, asserted DIRECTLY so a
+    * refactor or an AQE/statistics flip cannot silently lose them:
+    * (a) date-range predicates live in the FACT SCAN's pushed filters —
+    * below every join, partition-prunable at scale; (b) fact/dim scans
+    * read only the projected columns; (c) the constant-bounded dims
+    * (nation/region) reach the plan only through BroadcastExchange — a
+    * plan that shuffles nation rows or streams them into a join has lost
+    * the snowflake shape. Linted at both sfs like the global tests:
+    * planning is size-driven. */
+  for (sf <- sfs) {
+    val sfName = sf.split('/').last
+
+    test(s"TPC-H composites: date filters at the scan, pruned columns, dims broadcast-only [$sfName]") {
+      def unwrapped(n: String): SparkPlan = planOf(n, sf) match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      def str(n: String): String = unwrapped(n).toString
+
+      // (a) date predicates pushed into the fact scans
+      assert(str("q176_pricing_summary").contains("LessThanOrEqual(l_shipdate"),
+        "q176: l_shipdate cutoff not pushed to the lineitem scan")
+      val s177 = str("q177_regional_revenue")
+      assert(s177.contains("GreaterThanOrEqual(o_orderdate") &&
+             s177.contains("LessThan(o_orderdate"),
+        "q177: o_orderdate range not pushed to the orders scan")
+      val s178 = str("q178_top_suppliers")
+      assert(s178.contains("GreaterThanOrEqual(l_shipdate") &&
+             s178.contains("LessThan(l_shipdate"),
+        "q178: l_shipdate quarter not pushed to the lineitem scan")
+      val s179 = str("q179_order_priority")
+      assert(s179.contains("GreaterThanOrEqual(o_orderdate") &&
+             s179.contains("LessThan(o_orderdate"),
+        "q179: o_orderdate range not pushed to the orders scan")
+
+      // (b) column pruning reaches the scans
+      assert(str("q184_brand_trend")
+          .contains("ReadSchema: struct<p_partkey:bigint,p_brand:string>"),
+        "q184: part scan reads more than (p_partkey, p_brand)")
+      assert(str("q185_abc_classification")
+          .contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double,l_discount:double>"),
+        "q185: lineitem scan reads more than the revenue columns")
+
+      // (c) nation/region rows flow only through broadcast
+      for (q <- Seq("q177_regional_revenue", "q180_market_share")) {
+        val bad = dimScansNotUnderBroadcast(unwrapped(q),
+          Set("nation.parquet", "region.parquet"))
+        assert(bad.isEmpty,
+          s"$q: constant dims outside broadcast subtrees: $bad")
+      }
+    }
+  }
+
   /** Same static lint at the XL tier (TESTDATA_XL.md): 25k docs/10k
     * embeddings is the second point where corpus-derived index geometry
     * (planes 9, centroids 100, active Lloyd sampling) and size-driven
