@@ -425,6 +425,42 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // INCREMENTAL IVF assignment (the q51/q52 dedupAgainstDropped
+    // discipline applied to ANN serving): the STANDING index — centroids
+    // trained when only the first 80% of the id space existed (geometry
+    // from the corpus subset's own n, init/sample drawn from corpus rows
+    // only) — serves an arriving batch by per-row assignment against the
+    // standing centroid table, WITHOUT retraining. The gate requires the
+    // incremental assignment relation (standing ∪ newly-assigned) to
+    // serve the q44 2-probe search with results EQUAL to assigning the
+    // whole corpus against the standing centroids in one pass: the
+    // oracle IS that full-pass SQL (ivfAssignCtesOver with the training
+    // CTEs pinned to the corpus subset), so incremental ≡ full is
+    // machine-checked, not asserted. Training cost stays O(corpus), the
+    // batch pays only its own O(batch·√n) assignment — the index
+    // build/serve split a production vector store runs on every
+    // ingestion tick.
+    "q188_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stats = embStats(s, d)
+      val t = (stats.maxId + 1L) * 4L / 5L
+      val corpus = emb.filter(col("vec_id") < t)
+      val batch = emb.filter(col("vec_id") >= t)
+      val cents = graft.operators.MaterializeOnce(
+        s"ivf_cents_inc|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        // One count per corpus per JVM (inside the memoized build): the
+        // standing index's geometry derives from the corpus size AT BUILD
+        // TIME, exactly as the oracle's params CTE counts the subset.
+        trainIvfCentroids(corpus, corpus.count())
+      }
+      val standing = assignTo(corpus, cents)
+      val arriving = assignTo(batch, cents)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ivfSearch(standing.union(arriving), cents, qs, K, NProbe)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ANN recall gate: recall@K of the LSH (q39) and IVF (q44) indexes
     // against the exact ranking (q38), per query — the number that proves
     // the derived index geometry still retrieves. All three inputs are
@@ -948,12 +984,13 @@ object VectorQueries extends QueryPack {
     // sampleThreshPpm, in exact integer SQL: ceil-log2 via binary-string
     // length of m-1; the sample threshold mirrors the Scala expression's
     // left-to-right integer ops ((30 * ncent) * 1000000) / n exactly.
-    val paramsCte = s"""params AS (
+    def paramsCteOver(rel: String) = s"""params AS (
           SELECT GREATEST(2, LEAST($MaxPlanesPerBand,
                    length(bin((COUNT(*) + ${TargetBucket - 1}) // $TargetBucket - 1)))) AS np,
                  GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS ncent,
                  LEAST(1000000, ((30 * GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) * 1000000) // COUNT(*)) AS sthresh
-          FROM embeddings)"""
+          FROM $rel)"""
+    val paramsCte = paramsCteOver("embeddings")
 
     // The q44 training-sample hash gate: first 8 md5 hex chars of
     // 'ivfs|<vec_id>' as a 32-bit int (mirrors TextFns.hash32), mod 1e6.
@@ -1052,8 +1089,13 @@ object VectorQueries extends QueryPack {
         ORDER BY label_a, label_b"""
 
     // Shared IVF train+assign CTE prefix (through `assigned`) — the q44
-    // serve path and the q112 balance audit read the same index.
-    val ivfAssignCtes = {
+    // serve path and the q112 balance audit read the same index. The
+    // TRAINING relation is a parameter: q44/q112 train on the full
+    // embeddings table; q188 trains on the standing-corpus subset (the
+    // index built before the batch arrived) while `aF` still assigns the
+    // FULL table — which is exactly the incremental-assignment identity
+    // the q188 gate machine-checks.
+    def ivfAssignCtesOver(trainRel: String, prelude: String): String = {
       // One Lloyd round as CTEs: assignment against centroid relation
       // `prev` -> fixed-point per-dimension means -> centroid relation
       // `next`, over the deterministic training SAMPLE (the full corpus is
@@ -1081,12 +1123,12 @@ object VectorQueries extends QueryPack {
           FROM m$i
           GROUP BY cluster)"""
       s"""
-        WITH $paramsCte,
+        WITH $prelude${paramsCteOver(trainRel)},
         samp AS (
-          SELECT vec_id, embedding FROM embeddings, params p
+          SELECT vec_id, embedding FROM $trainRel, params p
           WHERE CAST($sampGate AS BIGINT) % 1000000 < p.sthresh),
         c0 AS (
-          SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings, params p
+          SELECT vec_id AS c_id, embedding AS c_emb FROM $trainRel, params p
           WHERE vec_id < p.ncent),
         ${lloyd(1, "c0", "c1")},
         ${lloyd(2, "c1", "c")},
@@ -1100,6 +1142,7 @@ object VectorQueries extends QueryPack {
             FROM aF)
           WHERE rn = 1)"""
     }
+    val ivfAssignCtes = ivfAssignCtesOver("embeddings", "")
 
     val q44Sql = s"""$ivfAssignCtes,
         q AS (
@@ -1125,6 +1168,40 @@ object VectorQueries extends QueryPack {
         FROM ranked
         WHERE rank <= $K
         ORDER BY q_id, rank"""
+
+    // q188's twin: the SAME serve SQL, but the training CTEs draw from
+    // the standing-corpus subset (ids below the 80% watermark, geometry
+    // from that subset's count) while aF still assigns the FULL table —
+    // i.e. the one-pass formulation the incremental Spark path must equal.
+    val q188Sql = {
+      val prelude = """tsplit AS (SELECT (MAX(vec_id) + 1) * 4 // 5 AS t FROM embeddings),
+        corpus AS (SELECT e.vec_id, e.embedding FROM embeddings e, tsplit WHERE e.vec_id < tsplit.t),
+        """
+      s"""${ivfAssignCtesOver("corpus", prelude)},
+        q AS (
+          SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+        p0 AS (
+          SELECT q.q_id, q.q_emb, c.c_id,
+                 ${cosSql("q.q_emb", "c.c_emb")} AS sim
+          FROM q, c),
+        probed AS (
+          SELECT q_id, q_emb, c_id AS probe_cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+            FROM p0)
+          WHERE rn <= $NProbe),
+        scored AS (
+          SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS cos
+          FROM probed p JOIN assigned a
+            ON a.cluster = p.probe_cluster AND a.vec_id <> p.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id, cos
+        FROM ranked
+        WHERE rank <= $K
+        ORDER BY q_id, rank"""
+    }
 
     // Recall@K of each approximate index against the exact ranking —
     // the three inputs are the gate queries above, composed as subqueries
@@ -1345,6 +1422,7 @@ object VectorQueries extends QueryPack {
       // — same oracle as q47, enforced by the gate's hash compare.
       "q52_embed_dedup_incremental" -> q47Sql,
       "q44_ann_ivf" -> q44Sql,
+      "q188_ivf_incremental" -> q188Sql,
       "q50_ann_recall" -> q50Sql,
       "q129_dim_truncation" -> q129Sql,
       "q162_quant_recall" -> q162Sql,
