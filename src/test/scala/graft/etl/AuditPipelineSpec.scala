@@ -27,6 +27,53 @@ class AuditPipelineSpec extends SparkSpec {
     assert(byClient("acme").scoresJson == local.scores.toJson)
   }
 
+  test("distributed golden path: processDir outputs byte-match the committed goldens per archive") {
+    val dir = Files.createTempDirectory("audits_golden").toString
+    // Four archives spanning the kernel's branch coverage: the full kit
+    // (whose ahrefs_keywords.csv is UTF-16LE — the SmartCsv re-decode
+    // path), the minimal kit, the nested-zip-partial archive (valid outer
+    // ZIP, garbage inner site-audit ZIP), and a non-ZIP body.
+    Files.write(Paths.get(s"$dir/acme__example.com__2026-08-12.zip"),
+      Fixtures.fullZip)
+    Files.write(Paths.get(s"$dir/acme2__minimal.org__2026-08-12.zip"),
+      Fixtures.minimalZip)
+    Files.write(Paths.get(s"$dir/gamma__partial.net__2026-08-12.zip"),
+      Fixtures.nestedPartialZip)
+    Files.write(Paths.get(s"$dir/broken__x__y.zip"), Fixtures.notAZip)
+
+    val rows = AuditPipeline.processDir(spark, dir).collect()
+    assert(rows.length == 4)
+    val byClient = rows.map(r => r.client -> r).toMap
+
+    // The committed goldens (manually audited against the reference, then
+    // locked by AuditEtlSpec) must byte-match what the DISTRIBUTED path
+    // emitted — closing the single-archive-kernel → binaryFile-fan-out
+    // loop end to end. Golden fixtures use client=acme/domain=example.com,
+    // so only the full archive byte-matches all three documents; minimal's
+    // manifest/scores (client-independent) byte-match its golden.
+    def golden(scenario: String, doc: String): String =
+      Files.readString(Paths.get(s"src/test/resources/golden/$scenario/$doc"))
+    assert(byClient("acme").normalizedJson == golden("full", "normalized_audit.json"))
+    assert(byClient("acme").scoresJson == golden("full", "scores.json"))
+    assert(byClient("acme").manifestJson == golden("full", "etl_manifest.json"))
+    assert(byClient("acme2").scoresJson == golden("minimal", "scores.json"))
+    assert(byClient("acme2").manifestJson == golden("minimal", "etl_manifest.json"))
+
+    // Per-archive manifest rows: each archive carries ITS OWN manifest —
+    // the partial archive keeps ok=true with the one degraded entry
+    // (status partial + exception note), while its keywords entry is full.
+    val pm = byClient("gamma")
+    assert(pm.ok)
+    assert(pm.manifestJson.contains(
+      "\"ahrefs_site_audit.zip\":{\"status\":\"partial\",\"size\":16," +
+      "\"note\":\"java.util.zip.ZipException: not a zip archive (bad magic)\"}"))
+    assert(pm.manifestJson.contains(
+      "\"ahrefs_keywords.csv\":{\"status\":\"present\",\"size\":304,\"rows\":7}"))
+    assert(!byClient("broken").ok &&
+      byClient("broken").error.contains("not a ZIP") &&
+      byClient("broken").manifestJson.isEmpty)
+  }
+
   private def store(): (AuditPipeline.DirKvStore, String) = {
     val dir = Files.createTempDirectory("kv").toString
     (new AuditPipeline.DirKvStore(dir), dir)

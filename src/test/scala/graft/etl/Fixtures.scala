@@ -143,4 +143,12 @@ object Fixtures {
 
   /** Scenario 4: not a ZIP. */
   def notAZip: Array[Byte] = utf8("HELLO THIS IS NOT A ZIP")
+
+  /** Scenario 5: nested-zip PARTIAL path — the outer archive is valid but
+    * its ahrefs_site_audit.zip entry is garbage, so the kernel must keep
+    * the audit (ok) while marking that one manifest entry
+    * status=partial with the failure note (etl.js:172-176 semantics). */
+  def nestedPartialZip: Array[Byte] = zip(
+    "ahrefs_keywords.csv" -> ahrefsKeywords,
+    "ahrefs_site_audit.zip" -> utf8("NOT AN INNER ZIP"))
 }
