@@ -57,7 +57,7 @@ object GenCorpusXl {
     z ^ (z >>> 31)
   }
 
-  private def tokensOf(id: Long): IndexedSeq[String] = {
+  private[graft] def tokensOf(id: Long): IndexedSeq[String] = {
     val r = new java.util.Random(mix(0x0d0cL, id))
     val n = 10 + r.nextInt(91)
     Vector.fill(n)(Vocab(r.nextInt(Vocab.length)))
@@ -92,8 +92,8 @@ object GenCorpusXl {
     } else normalize(gaussians(id, 0xe3bL, dim))
 
   /** Writes `df.coalesce(1)` as the single file `<dir>/<table>.parquet`. */
-  private def writeSingleFile(df: org.apache.spark.sql.DataFrame,
-                              dir: String, table: String): Unit = {
+  private[graft] def writeSingleFile(df: org.apache.spark.sql.DataFrame,
+                                     dir: String, table: String): Unit = {
     val tmp = s"$dir/_tmp_$table"
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
