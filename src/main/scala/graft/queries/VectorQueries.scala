@@ -226,6 +226,41 @@ object VectorQueries extends QueryPack {
     crossDropped.union(innerDropped).distinct()
   }
 
+  /** PUBLIC: SemDeDup verdict for an (vec_id, embedding) relation against
+    * a trained centroid table — per-vector (vec_id, cluster, cos_cent,
+    * is_dropped). Candidates are within-cluster pairs only (salted), the
+    * keeper of each confirmed neighborhood is the member farthest from
+    * its centroid (cos_cent ASC, vec_id ASC tiebreak). Exposed so the
+    * spec can drive it with a hand-built cluster geometry. */
+  def semDedupVerdict(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = assignTo(emb, cents)
+    val cc = assigned.join(broadcast(cents), col("cluster") === col("c_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+              Vectors.cosine(col("embedding"), col("c_emb")).as("cos_cent"))
+    val conf = SaltedSelfPairs.pairs(assigned, Seq("cluster"), "vec_id", MaxBucket)
+      .join(emb.select(col("vec_id").as("ia"), col("embedding").as("ea")),
+            col("id_a") === col("ia"))
+      .join(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+            col("id_b") === col("ib"))
+      .filter(Vectors.cosine(col("ea"), col("eb")) >= DupCos)
+      .select(col("id_a"), col("id_b"))
+    // Both orientations: x survives only if no confirmed neighbor y
+    // precedes it in the keeper order.
+    val oriented = conf.select(col("id_a").as("x"), col("id_b").as("y"))
+      .union(conf.select(col("id_b").as("x"), col("id_a").as("y")))
+    val ccn = cc.select(col("vec_id"), col("cos_cent"))
+    val dropped = oriented
+      .join(ccn.select(col("vec_id").as("x"), col("cos_cent").as("cx")), Seq("x"))
+      .join(ccn.select(col("vec_id").as("y"), col("cos_cent").as("cy")), Seq("y"))
+      .filter(col("cy") < col("cx") ||
+              (col("cy") === col("cx") && col("y") < col("x")))
+      .select(col("x")).distinct()
+    cc.join(dropped.withColumnRenamed("x", "dx"),
+            col("vec_id") === col("dx"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("cos_cent"),
+              when(col("dx").isNotNull, 1).otherwise(0).as("is_dropped"))
+  }
+
   /** LSH-bucketed ANN, MULTI-band: each of the NumBands bands buckets the
     * corpus by the sign-pattern of planesPerBand(n) hyperplanes (a derived
     * count — bucket cardinality grows with the corpus so expected bucket
@@ -459,6 +494,34 @@ object VectorQueries extends QueryPack {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ivfSearch(standing.union(arriving), cents, qs, K, NProbe)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // scoped to the k-means coarse quantizer's clusters — the THIRD
+    // member of the embedding-dedup family (q47 buckets by LSH band
+    // keys, q92 flags per-label outliers; this one scopes candidate
+    // generation to the SAME trained IVF clusters q44 serves from, so
+    // index build cost is shared/memoized). Candidate pairs are the
+    // within-cluster self-join (SaltedSelfPairs: a hot cluster is
+    // sub-split so no task owns more than ~MaxBucket² candidates — the
+    // paper's per-cluster pairwise pass, made skew-safe), confirmed by
+    // exact cosine ≥ DupCos. Keeper rule is the paper's: within a
+    // duplicate neighborhood, KEEP the member with the LOWEST cosine to
+    // its cluster centroid (farthest from the semantic mode — retains
+    // the most diverse exemplar); a vector is dropped when ANY confirmed
+    // neighbor precedes it in (cos_cent ASC, vec_id ASC) order. Both
+    // engines evaluate cos_cent with the identical index-ordered double
+    // fold, so the order comparison is bit-deterministic. Scale shape:
+    // O(n·√n·d) assignment + Σ cluster_size² bounded pair confirms
+    // (cluster balance audited by q112) — never corpus×corpus.
+    "q189_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embStats(s, d).n
+      val cents = graft.operators.MaterializeOnce(
+        s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        trainIvfCentroids(emb, n)
+      }
+      semDedupVerdict(emb, cents).orderBy(col("vec_id"))
     }),
 
     // ANN recall gate: recall@K of the LSH (q39) and IVF (q44) indexes
@@ -1203,6 +1266,38 @@ object VectorQueries extends QueryPack {
         ORDER BY q_id, rank"""
     }
 
+    // q189's twin: the q44 assignment CTEs verbatim, then the paper's
+    // cluster-scoped pairwise pass — within-cluster pairs confirmed at
+    // DupCos, keeper = (cos_cent ASC, vec_id ASC) minimum of each
+    // confirmed neighborhood. cos_cent is the same index-ordered double
+    // fold both engines evaluate, so the order comparison agrees
+    // bit-for-bit.
+    val q189Sql = s"""$ivfAssignCtes,
+        cc AS (
+          SELECT a.vec_id, a.embedding, a.cluster,
+                 ${cosSql("a.embedding", "c.c_emb")} AS cos_cent
+          FROM assigned a JOIN c ON c.c_id = a.cluster),
+        cand AS (
+          SELECT x.vec_id AS va, y.vec_id AS vb
+          FROM assigned x JOIN assigned y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          WHERE ${cosSql("x.embedding", "y.embedding")} >= $DupCos),
+        orient AS (
+          SELECT va AS x, vb AS y FROM cand
+          UNION ALL
+          SELECT vb AS x, va AS y FROM cand),
+        dropped AS (
+          SELECT DISTINCT o.x
+          FROM orient o
+          JOIN cc cx ON cx.vec_id = o.x
+          JOIN cc cy ON cy.vec_id = o.y
+          WHERE cy.cos_cent < cx.cos_cent
+             OR (cy.cos_cent = cx.cos_cent AND o.y < o.x))
+        SELECT cc.vec_id, cc.cluster, cc.cos_cent,
+               CASE WHEN d.x IS NOT NULL THEN 1 ELSE 0 END AS is_dropped
+        FROM cc LEFT JOIN dropped d ON d.x = cc.vec_id
+        ORDER BY cc.vec_id"""
+
     // Recall@K of each approximate index against the exact ranking —
     // the three inputs are the gate queries above, composed as subqueries
     // (DuckDB scopes each subquery's WITH independently). Denominator =
@@ -1423,6 +1518,7 @@ object VectorQueries extends QueryPack {
       "q52_embed_dedup_incremental" -> q47Sql,
       "q44_ann_ivf" -> q44Sql,
       "q188_ivf_incremental" -> q188Sql,
+      "q189_semdedup" -> q189Sql,
       "q50_ann_recall" -> q50Sql,
       "q129_dim_truncation" -> q129Sql,
       "q162_quant_recall" -> q162Sql,
