@@ -107,6 +107,15 @@ object StreamingQueries extends QueryPack {
         .start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try q.processAllAvailable() finally q.stop()
+    // The memory sink holds the results; the slice files are dead weight
+    // once the stream stops. A sweep executes these gates 10+ times per
+    // JVM — clean up so runs don't accrete corpus-sized temp dirs.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
     s.table(sink)
   }
 

@@ -94,6 +94,12 @@ object ZipCentral {
       throw new ZipException(s"truncated entry data for ${e.name}")
     e.method match {
       case 0 =>
+        // A stored entry's two central-directory sizes must agree; on a
+        // corrupt record copyOfRange would silently zero-pad (or clip) to
+        // the claimed uncompressed size instead of failing.
+        if (e.size != e.compressedSize)
+          throw new ZipException(s"stored entry ${e.name} has size ${e.size}" +
+            s" != compressed size ${e.compressedSize} (corrupt record)")
         java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + e.size.toInt)
       case 8 =>
         val inf = new Inflater(true)

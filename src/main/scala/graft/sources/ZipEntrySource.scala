@@ -270,6 +270,14 @@ final class ZipPartitionReader(part: ZipArchivePartition,
   private val needContent = columns.contains("content")
 
   private lazy val bytes: Array[Byte] = {
+    // ZipCentral is scoped to non-ZIP64 archives, which also bounds a
+    // valid archive under 4 GiB; a JVM byte array additionally caps the
+    // single-buffer read at ~2 GiB. Fail with the real reason instead of
+    // letting `length.toInt` wrap into a NegativeArraySizeException.
+    if (part.length > Int.MaxValue - 8)
+      throw new java.util.zip.ZipException(
+        s"archive ${part.archive} is ${part.length} bytes — exceeds the " +
+          "2 GiB single-buffer limit (ZIP64 archives are out of scope)")
     ZipScanMetrics.archivesOpened.incrementAndGet()
     val p = new Path(part.archive)
     val in = p.getFileSystem(hconf.value).open(p)

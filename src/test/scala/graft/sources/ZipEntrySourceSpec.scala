@@ -139,6 +139,28 @@ class ZipEntrySourceSpec extends SparkSpec {
     assert(read(s"$dir/a.zip").count() == Zips.entries(Fixtures.minimalZip).size.toLong)
   }
 
+  test("corrupt stored entry (size != compressed size) fails loudly, never zero-pads") {
+    val bytes = mixedMethodZip
+    val stored = ZipCentral.centralDirectory(bytes).find(_.method == 0).get
+    val corrupt = stored.copy(size = stored.size + 4)
+    val ex = intercept[java.util.zip.ZipException] { ZipCentral.read(bytes, corrupt) }
+    assert(ex.getMessage.contains("corrupt record"))
+    // The honest record still reads.
+    assert(ZipCentral.read(bytes, stored).nonEmpty)
+  }
+
+  test("an archive past the 2 GiB single-buffer limit fails with the real reason, before any I/O") {
+    val reader = new ZipPartitionReader(
+      ZipArchivePartition("hdfs://nowhere/huge.zip", 3L << 30),
+      new org.apache.spark.util.SerializableConfiguration(
+        new org.apache.hadoop.conf.Configuration()),
+      Array("entry"), nested = false, Array.empty)
+    // The guard must fire on the recorded length alone — the bogus
+    // hdfs:// URI proves no filesystem is ever contacted.
+    val ex = intercept[java.util.zip.ZipException] { reader.next() }
+    assert(ex.getMessage.contains("2 GiB"))
+  }
+
   test("S5 scale path: SmartCsv over graft-zip content equals the driver-side parse") {
     val dir = writeDir("a.zip" -> Fixtures.fullZip, "b.zip" -> Fixtures.minimalZip)
     import spark.implicits._

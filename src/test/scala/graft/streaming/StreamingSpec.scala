@@ -167,4 +167,22 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("micro-batch gate (q186) deletes its slice dir; results stay readable from the memory sink") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def streamDirs: Set[String] = java.nio.file.Files.list(tmp).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("graft_stream_")).toSet
+    val before = streamDirs
+    val out = graft.SparkEntry.queries("q186_stream_sessions_microbatch")(
+      spark, "/root/testdata/sf0.001")
+    // Counting AFTER cleanup proves the sink is self-contained in memory —
+    // the result must not depend on the deleted slice files.
+    assert(out.count() > 0)
+    // subsetOf, not ==: a fresh JVM's run ids restart at 1, so the gate
+    // may legitimately REUSE (and then delete) a stale leftover dir from
+    // an earlier process; what must never happen is a NEW dir surviving.
+    assert(streamDirs.subsetOf(before),
+      "the slice input dir must be removed once the stream stops")
+  }
 }
