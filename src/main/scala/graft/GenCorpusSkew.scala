@@ -77,14 +77,14 @@ object GenCorpusSkew {
       v.map(x => (x / norm).toFloat)
     } else GenCorpusXl.embeddingOf(id, dim)
 
-  def main(args: Array[String]): Unit = {
-    val outDir = if (args.length > 0) args(0) else "testdata_skew"
-    val nDocs = if (args.length > 1) args(1).toLong else 10000L
-    val nEmb = if (args.length > 2) args(2).toLong else 4000L
-    val baseSf = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+  /** Write the two skewed tables (documents, embeddings) with an EXISTING
+    * session — also the SkewTierSpec arming path, so the salting-bound
+    * specs run on every checkout instead of auto-cancelling when the tier
+    * is absent. Deterministic: same (nDocs, nEmb) → identical files. */
+  def write(spark: org.apache.spark.sql.SparkSession, outDir: String,
+            nDocs: Long, nEmb: Long): Unit = {
     val dim = 64
     Files.createDirectories(Paths.get(outDir))
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     import spark.implicits._
 
     val docs = spark.range(0, nDocs, 1, 32).map { id =>
@@ -98,6 +98,15 @@ object GenCorpusSkew {
       (id, embeddingOf(id, dim), ((mix(0x1abL, id) >>> 8) % 10).toInt)
     }.toDF("vec_id", "embedding", "label")
     GenCorpusXl.writeSingleFile(emb, outDir, "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.length > 0) args(0) else "testdata_skew"
+    val nDocs = if (args.length > 1) args(1).toLong else 10000L
+    val nEmb = if (args.length > 2) args(2).toLong else 4000L
+    val baseSf = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    write(spark, outDir, nDocs, nEmb)
 
     Tables.names.filterNot(Set("documents", "embeddings")).foreach { t =>
       val link = Paths.get(s"$outDir/$t.parquet")

@@ -19,6 +19,24 @@ object StreamingQueries extends QueryPack {
     * query twice in one JVM). */
   private val mbRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Memory-sink temp views registered by past runMicroBatch calls. Each
+    * run registers a fresh `qn_runId` view; without eviction a 10+ run
+    * sweep accretes every run's full result set in driver memory even
+    * though only the latest is ever read. Gates run sequentially and the
+    * returned DataFrame is consumed before the next gate starts, so
+    * dropping all previous sinks at the start of a run is safe. */
+  private val liveSinks = scala.collection.mutable.Set.empty[String]
+
+  /** Delete a directory tree; closes the Files.walk stream (a leaked walk
+    * holds a directory handle until GC). */
+  private def deleteTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(dir)) { walk =>
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** Materialize the events table as `nSlices` time-ordered parquet FILES
     * in a fresh temp dir — the file-source stream input for the REAL
     * micro-batch gates (q186/q187). Slices partition the [min, max] event
@@ -44,11 +62,7 @@ object StreamingQueries extends QueryPack {
     val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
     val dir = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_$runId")
-    if (Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+    if (Files.exists(dir)) deleteTree(dir)
     Files.createDirectories(dir)
     val span = maxUs - minUs + 1
     val sentinels = Seq(maxUs + 36000000000L, maxUs + 72000000000L)
@@ -60,8 +74,7 @@ object StreamingQueries extends QueryPack {
         .map(_.toString).filter(_.endsWith(".parquet")).next()
       val dst = dir.resolve(f"slice_$idx%03d.parquet")
       Files.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      deleteTree(tmp)
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 1000L))
     }
@@ -87,6 +100,9 @@ object StreamingQueries extends QueryPack {
   private def runMicroBatch(s: SparkSession, d: String, qn: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val runId = mbRun.incrementAndGet()
+    // Evict previous runs' memory sinks — only the latest is ever read.
+    liveSinks.foreach(s.catalog.dropTempView)
+    liveSinks.clear()
     val dir = sliceEventsForStream(s, d, nSlices = 8, runId)
     val src = s.readStream
       .schema("event_id LONG, user_id LONG, event_type STRING, us LONG")
@@ -106,16 +122,15 @@ object StreamingQueries extends QueryPack {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try q.processAllAvailable() finally q.stop()
     // The memory sink holds the results; the slice files are dead weight
-    // once the stream stops. A sweep executes these gates 10+ times per
-    // JVM — clean up so runs don't accrete corpus-sized temp dirs.
-    locally {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    // once the stream stops — clean them in the SAME finally that stops
+    // the query, so a throwing processAllAvailable() can't leak the
+    // corpus-sized temp dir.
+    try q.processAllAvailable() finally {
+      try q.stop()
+      finally deleteTree(java.nio.file.Paths.get(dir))
     }
+    liveSinks += sink
     s.table(sink)
   }
 

@@ -245,9 +245,14 @@ object VectorQueries extends QueryPack {
       .filter(Vectors.cosine(col("ea"), col("eb")) >= DupCos)
       .select(col("id_a"), col("id_b"))
     // Both orientations: x survives only if no confirmed neighbor y
-    // precedes it in the keeper order.
-    val oriented = conf.select(col("id_a").as("x"), col("id_b").as("y"))
-      .union(conf.select(col("id_b").as("x"), col("id_a").as("y")))
+    // precedes it in the keeper order. Derived in ONE pass (explode of the
+    // two orderings) — a union of two projections would evaluate the
+    // salted pair-join + exact-cosine confirm subtree twice.
+    val oriented = conf
+      .select(explode(array(
+        struct(col("id_a").as("x"), col("id_b").as("y")),
+        struct(col("id_b").as("x"), col("id_a").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
     val ccn = cc.select(col("vec_id"), col("cos_cent"))
     val dropped = oriented
       .join(ccn.select(col("vec_id").as("x"), col("cos_cent").as("cx")), Seq("x"))

@@ -10,19 +10,25 @@ import org.apache.spark.sql.functions._
   * tests prove the tier genuinely stresses the salting guard and that the
   * guard keeps every join bucket's candidate-pair count bounded — the
   * property that makes the family survive one hot key at 100 TB.
-  * Conditional on the engine-generated tier existing
-  * (`runMain graft.GenCorpusSkew` arms it). */
+  * The tier self-arms: beforeAll generates the two skewed tables when
+  * absent (GenCorpusSkew.write is deterministic), so these bounds run on
+  * every checkout — no auto-cancel. */
 class SkewTierSpec extends SparkSpec {
 
   private val tier = "testdata_skew"
   private def armed = new java.io.File(s"$tier/embeddings.parquet").exists()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!armed) graft.GenCorpusSkew.write(spark, tier, 10000L, 4000L)
+  }
 
   // VectorQueries.MaxBucket — the maxGroup every SaltedSelfPairs call
   // site in the gate uses.
   private val MaxGroup = 1000L
 
   test("skew tier: the hot LSH bucket exceeds maxGroup, and salting bounds every join bucket") {
-    assume(armed, "testdata_skew not generated — runMain graft.GenCorpusSkew")
+    assert(armed, "testdata_skew missing after beforeAll arming")
     val emb = Tables.embeddings(spark, tier)
     val n = emb.count()
     val bd = VectorQueries.bandTable(emb, VectorQueries.planesPerBand(n))
@@ -51,7 +57,7 @@ class SkewTierSpec extends SparkSpec {
   }
 
   test("skew tier: boilerplate tokens cross the q149 df cap; one language owns ~90%") {
-    assume(armed, "testdata_skew not generated — runMain graft.GenCorpusSkew")
+    assert(armed, "testdata_skew missing after beforeAll arming")
     val docs = Tables.documents(spark, tier)
     val nDocs = docs.count()
     // Document frequency of a boilerplate token: must exceed the df≤1000

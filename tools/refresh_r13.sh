@@ -10,6 +10,11 @@ echo "PHASE gen-xl"
 if [ ! -d testdata_xl ]; then
   sbt -batch "runMain graft.GenCorpusXl" > /tmp/r13_genxl.log 2>&1
 fi
+# The check loop and the XL->XL2 slope probe below consume testdata_xl2
+# unconditionally — mirror the guard so a clean machine regenerates it.
+if [ ! -d testdata_xl2 ]; then
+  sbt -batch "runMain graft.GenCorpusXl testdata_xl2 50000 16000" > /tmp/r13_genxl2.log 2>&1
+fi
 
 for spec in sf0.001=/root/testdata/sf0.001 \
             sf0.1=/root/testdata/sf0.1 \
