@@ -32,17 +32,26 @@ import org.apache.spark.util.SerializableConfiguration
   * central directory is global), prunes columns, and pushes entry/archive
   * predicates down to the reader, where they gate DECOMPRESSION:
   *
-  *  - `content` not required → the reader parses only the central
-  *    directory (ZipCentral) and inflates nothing — a manifest query over
-  *    100 TB of archives reads archive tails, not archive bodies;
+  *  - `content` not required → the reader issues POSITIONED reads for the
+  *    archive tail and central directory only (ZipCentral over a
+  *    [[HadoopZipSource]]) and inflates nothing — a manifest query over
+  *    100 TB of archives TRANSFERS archive tails, not archive bodies
+  *    (ranged GETs on s3a; `ZipScanMetrics.bytesRead` proves it);
   *  - pushed `entry`/`archive`/`nested`/`method` predicates are evaluated
-  *    on central-directory metadata BEFORE inflating, so
-  *    `entry = 'report.csv'` inflates exactly one entry per archive.
+  *    on central-directory metadata BEFORE any data-span read, so
+  *    `entry = 'report.csv'` reads + inflates exactly one entry per
+  *    archive (two ranged reads: local header, compressed span);
+  *  - ZIP64 archives (>4 GiB, >65535 entries) list and inflate via the
+  *    ZIP64 EOCD locator/record and 0x0001 extra fields — only a single
+  *    ENTRY past ~2 GiB is rejected (JVM array bound);
+  *  - the scan reports post-pushdown statistics (SupportsReportStatistics)
+  *    from the central directories, so a small filtered zip relation
+  *    broadcast-joins instead of defaulting to sort-merge.
   *
   * At cluster scale the FileSystem listing and opens go through the Hadoop
   * conf captured from the driver (SerializableConfiguration), so the same
-  * code reads file://, hdfs:// or s3a:// archives. Inflation work is
-  * observable via [[ZipScanMetrics]] (process-wide counters; exact in
+  * code reads file://, hdfs:// or s3a:// archives. I/O and inflation work
+  * are observable via [[ZipScanMetrics]] (process-wide counters; exact in
   * local[n], per-executor telemetry on a cluster).
   *
   * Reference parity note: the reference consumes one archive per actor run
@@ -81,15 +90,41 @@ object ZipEntrySource {
   }
 }
 
-/** Process-wide scan observability: how many entries were inflated and how
-  * many archives opened. Exact under local[n] (single JVM); on a cluster
+/** Process-wide scan observability: how many entries were inflated, how
+  * many archives opened, and — the scale-critical one — how many bytes
+  * were actually TRANSFERRED from storage (`bytesRead`: every positioned
+  * read the scan issues). Exact under local[n] (single JVM); on a cluster
   * each executor counts its own work. Used by specs to prove pruning and
-  * pushdown actually skip decompression. */
+  * pushdown skip both decompression AND I/O: a metadata-only scan must
+  * read tail + central-directory bytes per archive, never archive bodies. */
 object ZipScanMetrics {
   val archivesOpened = new AtomicLong(0)
   val entriesInflated = new AtomicLong(0)
   val bytesInflated = new AtomicLong(0)
-  def reset(): Unit = { archivesOpened.set(0); entriesInflated.set(0); bytesInflated.set(0) }
+  val bytesRead = new AtomicLong(0)
+  def reset(): Unit = {
+    archivesOpened.set(0); entriesInflated.set(0)
+    bytesInflated.set(0); bytesRead.set(0)
+  }
+}
+
+/** Positioned reads against a Hadoop FileSystem path — `readFully(pos, …)`
+  * is a ranged read (a range GET on s3a, a positioned pread on HDFS), so
+  * consumers transfer exactly the spans they ask for. Every read lands in
+  * [[ZipScanMetrics.bytesRead]] when `metered` (execution-path reads;
+  * planning-time statistics probes pass false so the metric stays an
+  * exact measure of scan I/O). */
+final class HadoopZipSource(path: Path, conf: org.apache.hadoop.conf.Configuration,
+                            override val length: Long, metered: Boolean = true)
+    extends ZipByteSource {
+  private val in = path.getFileSystem(conf).open(path)
+  override def readAt(offset: Long, len: Int): Array[Byte] = {
+    val buf = new Array[Byte](len)
+    in.readFully(offset, buf)
+    if (metered) ZipScanMetrics.bytesRead.addAndGet(len.toLong)
+    buf
+  }
+  override def close(): Unit = in.close()
 }
 
 final class ZipEntryTable(options: CaseInsensitiveStringMap)
@@ -127,7 +162,8 @@ final class ZipScanBuilder(options: CaseInsensitiveStringMap)
                 options.getBoolean("recursive", true),
                 Option(options.get("glob")).getOrElse("*.zip"),
                 options.getBoolean("nested", false),
-                required, pushed)
+                required, pushed,
+                options.getInt("statsMaxArchives", 64))
 }
 
 /** Pushed-filter evaluation over metadata columns. A filter is accepted
@@ -200,8 +236,9 @@ object ZipScan {
 }
 
 final class ZipScan(path: String, recursive: Boolean, glob: String,
-                    nested: Boolean, required: StructType, filters: Array[Filter])
-    extends Scan with Batch {
+                    nested: Boolean, required: StructType, filters: Array[Filter],
+                    statsMaxArchives: Int)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -209,10 +246,9 @@ final class ZipScan(path: String, recursive: Boolean, glob: String,
     s"graft-zip $path, ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: [${filters.mkString(", ")}]"
 
-  /** One partition per archive — a ZIP's central directory is a single
-    * global footer, so an archive is the unit of parallelism; a 100 TB
-    * corpus of bounded archives fans out to (num archives) tasks. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The archive listing, computed once per scan (shared by partition
+    * planning and statistics). */
+  private lazy val archives: Array[ZipArchivePartition] = {
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -221,7 +257,7 @@ final class ZipScan(path: String, recursive: Boolean, glob: String,
       .getPathMatcher("glob:" + glob)
     def matches(st: FileStatus): Boolean =
       globMatcher.matches(java.nio.file.Paths.get(st.getPath.getName))
-    val out = ArrayBuffer.empty[InputPartition]
+    val out = ArrayBuffer.empty[ZipArchivePartition]
     val rootStatus = fs.getFileStatus(root)
     if (rootStatus.isFile) {
       out += ZipArchivePartition(rootStatus.getPath.toString, rootStatus.getLen)
@@ -233,7 +269,63 @@ final class ZipScan(path: String, recursive: Boolean, glob: String,
       }
     }
     // Deterministic order → deterministic partition ids across runs.
-    out.sortBy { case ZipArchivePartition(p, _) => p }.toArray
+    out.sortBy(_.archive).toArray
+  }
+
+  /** One partition per archive — a ZIP's central directory is a single
+    * global footer, so an archive is the unit of parallelism; a 100 TB
+    * corpus of bounded archives fans out to (num archives) tasks. */
+  override def planInputPartitions(): Array[InputPartition] =
+    archives.toArray[InputPartition]
+
+  /** Post-pushdown relation statistics, so Spark can SIZE this relation —
+    * the broadcast-join decision when a filtered zip scan feeds a join.
+    * For ≤ `statsMaxArchives` archives the central directories give EXACT
+    * post-pushdown row counts and entry sizes for a few KBs of tail reads
+    * each (planning-time, unmetered); beyond that — or on any read
+    * failure — the estimate falls back to the conservative Σ of archive
+    * file lengths (never under-estimates a content scan, so a huge
+    * relation is never wrongly broadcast). Nested inner entries are
+    * estimated by their blob rows (enumerating them would cost inflation,
+    * which planning must never do). */
+  override def estimateStatistics(): Statistics = stats
+
+  private lazy val stats: Statistics = {
+    def conservative: Statistics = new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, archives.map(_.length).sum))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+    if (archives.length > statsMaxArchives) conservative
+    else try {
+      val hconf = SparkSession.active.sessionState.newHadoopConf()
+      val needContent = required.fieldNames.contains("content")
+      var rows = 0L
+      var bytes = 0L
+      archives.foreach { p =>
+        val src = new HadoopZipSource(new Path(p.archive), hconf, p.length,
+          metered = false)
+        try ZipCentral.centralDirectory(src).filterNot(_.isDirectory).foreach { e =>
+          val m = ZipScan.Meta(p.archive, e.name, nested = false,
+            ZipEntrySource.methodName(e.method), e.compressedSize, e.size)
+          if (filters.forall(ZipFilters.eval(_, m))) {
+            rows += 1
+            // Per-row footprint: the metadata columns (~name + 5 fixed
+            // fields) plus the inflated payload when `content` survives
+            // column pruning.
+            bytes += e.name.length + 64L + (if (needContent) e.size else 0L)
+          }
+        } finally src.close()
+      }
+      val total = math.max(1L, bytes)
+      val n = rows
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+      }
+    } catch {
+      case _: java.io.IOException | _: java.util.zip.ZipException => conservative
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -253,79 +345,72 @@ final case class ZipReaderFactory(hconf: SerializableConfiguration,
       hconf, columns, nested, filters)
 }
 
-/** Reads one archive: central directory first, rows lazily.
+/** Reads one archive: central directory first (tail-only ranged reads),
+  * rows lazily.
   *
-  * Inflation discipline: an entry's bytes are inflated only if (a) the row
-  * survives every pushed filter, evaluated on metadata alone, AND (b) the
-  * `content` column is in the projection. Inner archives (nested=true
-  * rows) are the one exception — enumerating an inner ZIP requires
-  * inflating the inner archive blob itself (counted), but its entries then
-  * follow the same discipline against the inner central directory. */
+  * I/O + inflation discipline: an entry's DATA bytes are read and inflated
+  * only if (a) the row survives every pushed filter, evaluated on metadata
+  * alone, AND (b) the `content` column is in the projection. A
+  * metadata-only scan therefore transfers tail + central-directory bytes
+  * per archive — ~KBs out of arbitrarily large archives — and a selected
+  * entry adds two ranged reads (local header + its compressed span).
+  * Inner archives (nested=true rows) are the one exception — enumerating
+  * an inner ZIP requires inflating the inner archive blob itself
+  * (counted), but its entries then follow the same discipline against the
+  * inner central directory, served from the in-memory inner blob. */
 final class ZipPartitionReader(part: ZipArchivePartition,
                                hconf: SerializableConfiguration,
                                columns: Array[String], nested: Boolean,
                                filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val needContent = columns.contains("content")
+  private var srcOpened = false
 
-  private lazy val bytes: Array[Byte] = {
-    // ZipCentral is scoped to non-ZIP64 archives, which also bounds a
-    // valid archive under 4 GiB; a JVM byte array additionally caps the
-    // single-buffer read at ~2 GiB. Fail with the real reason instead of
-    // letting `length.toInt` wrap into a NegativeArraySizeException.
-    if (part.length > Int.MaxValue - 8)
-      throw new java.util.zip.ZipException(
-        s"archive ${part.archive} is ${part.length} bytes — exceeds the " +
-          "2 GiB single-buffer limit (ZIP64 archives are out of scope)")
+  private lazy val src: ZipByteSource = {
     ZipScanMetrics.archivesOpened.incrementAndGet()
-    val p = new Path(part.archive)
-    val in = p.getFileSystem(hconf.value).open(p)
-    try {
-      val buf = new Array[Byte](part.length.toInt)
-      in.readFully(0, buf)
-      buf
-    } finally in.close()
+    val s = new HadoopZipSource(new Path(part.archive), hconf.value, part.length)
+    srcOpened = true
+    s
   }
 
   /** (metadata, inflate-thunk) pairs; nested archives expand in place. */
   private lazy val rows: Iterator[(ZipScan.Meta, () => Array[Byte])] = {
-    val top = ZipCentral.centralDirectory(bytes)
+    val top = ZipCentral.centralDirectory(src)
     top.iterator.filterNot(_.isDirectory).flatMap { e =>
       val isInner = nested && e.name.toLowerCase.endsWith(".zip")
       if (!isInner) {
         Iterator.single((
           ZipScan.Meta(part.archive, e.name, nested = false,
             ZipEntrySource.methodName(e.method), e.compressedSize, e.size),
-          () => inflate(bytes, e)))
+          () => inflate(src, e)))
       } else {
         // Enumerating an inner archive costs one inflation of the inner
         // blob (unavoidable: its central directory lives inside); corrupt
         // inner ZIPs surface as zero rows rather than failing the scan —
         // the AuditEtl `partial` discipline (etl.js:190-196).
         try {
-          val innerBytes = inflate(bytes, e)
-          val inner = ZipCentral.centralDirectory(innerBytes)
+          val innerSrc = new ArrayZipSource(inflate(src, e))
+          val inner = ZipCentral.centralDirectory(innerSrc)
           inner.iterator.filterNot(_.isDirectory).map { ie =>
             (ZipScan.Meta(part.archive, s"${e.name}::${ie.name}", nested = true,
               ZipEntrySource.methodName(ie.method), ie.compressedSize, ie.size),
-              () => inflate(innerBytes, ie))
+              () => inflate(innerSrc, ie))
           }
         } catch {
           case _: java.util.zip.ZipException =>
             Iterator.single((
               ZipScan.Meta(part.archive, e.name, nested = false,
                 ZipEntrySource.methodName(e.method), e.compressedSize, e.size),
-              () => inflate(bytes, e)))
+              () => inflate(src, e)))
         }
       }
     }.filter { case (m, _) => filters.forall(ZipFilters.eval(_, m)) }
   }
 
-  private def inflate(buf: Array[Byte], e: ZipCentral.Entry): Array[Byte] = {
+  private def inflate(from: ZipByteSource, e: ZipCentral.Entry): Array[Byte] = {
     ZipScanMetrics.entriesInflated.incrementAndGet()
     ZipScanMetrics.bytesInflated.addAndGet(e.size)
-    ZipCentral.read(buf, e)
+    ZipCentral.read(from, e)
   }
 
   private var current: InternalRow = _
@@ -349,5 +434,5 @@ final class ZipPartitionReader(part: ZipArchivePartition,
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (srcOpened) src.close()
 }

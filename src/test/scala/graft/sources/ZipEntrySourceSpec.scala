@@ -149,16 +149,197 @@ class ZipEntrySourceSpec extends SparkSpec {
     assert(ZipCentral.read(bytes, stored).nonEmpty)
   }
 
-  test("an archive past the 2 GiB single-buffer limit fails with the real reason, before any I/O") {
-    val reader = new ZipPartitionReader(
-      ZipArchivePartition("hdfs://nowhere/huge.zip", 3L << 30),
-      new org.apache.spark.util.SerializableConfiguration(
-        new org.apache.hadoop.conf.Configuration()),
-      Array("entry"), nested = false, Array.empty)
-    // The guard must fire on the recorded length alone — the bogus
-    // hdfs:// URI proves no filesystem is ever contacted.
-    val ex = intercept[java.util.zip.ZipException] { reader.next() }
+  test("a single ENTRY past the 2 GiB buffer limit fails with the real reason, before any data read") {
+    // Archives of any size are readable (positioned reads + ZIP64); the
+    // retained bound is per entry — its bytes must fit one JVM array. The
+    // guard fires on the central-directory sizes alone, before the local
+    // header or data span is ever read.
+    val bytes = mixedMethodZip
+    val e = ZipCentral.centralDirectory(bytes).head
+    val huge = e.copy(size = 3L << 30, compressedSize = 3L << 30)
+    val ex = intercept[java.util.zip.ZipException] { ZipCentral.read(bytes, huge) }
     assert(ex.getMessage.contains("2 GiB"))
+  }
+
+  /** A ZIP with a `big`-byte stored entry (all zeros, written sparse) plus
+    * a small stored entry PAST it, with ZIP64 central-directory plumbing
+    * throughout (0x0001 extra fields, ZIP64 EOCD record + locator) — the
+    * shape of a >4 GiB archive, built in milliseconds because the big
+    * entry's data span is a filesystem hole. */
+  private def writeZip64Archive(path: java.nio.file.Path, big: Long): Unit = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val raf = new java.io.RandomAccessFile(path.toFile, "rw")
+    try {
+      val name1 = "huge.bin"; val name2 = "tail.txt"
+      val data2 = "hello zip64".getBytes("UTF-8")
+      val crc2 = { val c = new CRC32(); c.update(data2); c.getValue }
+      // Local header 1 at 0: ZIP64 sentinels + extra (as a real writer does).
+      val lh1 = buf(30 + name1.length + 20)
+      lh1.putInt(0x04034b50).putShort(45).putShort(0).putShort(0) // sig, version 4.5, flags, stored
+        .putShort(0).putShort(0).putInt(0)                        // time, date, crc (zeros: unchecked)
+        .putInt(-1).putInt(-1)                                    // csize/usize = 0xffffffff
+        .putShort(name1.length.toShort).putShort(20)              // name len, extra len
+      lh1.put(name1.getBytes("UTF-8"))
+      lh1.putShort(1).putShort(16).putLong(big).putLong(big)      // 0x0001: usize, csize
+      raf.seek(0); raf.write(lh1.array())
+      val data1Start = 30L + name1.length + 20
+      // The big entry's data is a hole [data1Start, data1Start + big).
+      val off2 = data1Start + big
+      val lh2 = buf(30 + name2.length)
+      lh2.putInt(0x04034b50).putShort(20).putShort(0).putShort(0)
+        .putShort(0).putShort(0).putInt(crc2.toInt)
+        .putInt(data2.length).putInt(data2.length)
+        .putShort(name2.length.toShort).putShort(0)
+      lh2.put(name2.getBytes("UTF-8"))
+      raf.seek(off2); raf.write(lh2.array()); raf.write(data2)
+      val cdOff = off2 + 30 + name2.length + data2.length
+      // CD record 1: sizes saturated -> 0x0001 extra (usize, csize); offset 0 fits.
+      val cd1 = buf(46 + name1.length + 20)
+      cd1.putInt(0x02014b50).putShort(45).putShort(45).putShort(0).putShort(0)
+        .putShort(0).putShort(0).putInt(0)
+        .putInt(-1).putInt(-1)                                    // csize/usize saturated
+        .putShort(name1.length.toShort).putShort(20).putShort(0)  // name/extra/comment len
+        .putShort(0).putShort(0).putInt(0).putInt(0)              // disk, int attrs, ext attrs, offset=0
+      cd1.put(name1.getBytes("UTF-8"))
+      cd1.putShort(1).putShort(16).putLong(big).putLong(big)
+      // CD record 2: small sizes, but its OFFSET is past 4 GiB -> saturated offset in extra.
+      val cd2 = buf(46 + name2.length + 12)
+      cd2.putInt(0x02014b50).putShort(45).putShort(45).putShort(0).putShort(0)
+        .putShort(0).putShort(0).putInt(crc2.toInt)
+        .putInt(data2.length).putInt(data2.length)
+        .putShort(name2.length.toShort).putShort(12).putShort(0)
+        .putShort(0).putShort(0).putInt(0).putInt(-1)             // offset = 0xffffffff
+      cd2.put(name2.getBytes("UTF-8"))
+      cd2.putShort(1).putShort(8).putLong(off2)                   // 0x0001: offset
+      raf.seek(cdOff); raf.write(cd1.array()); raf.write(cd2.array())
+      val cdSize = cd1.capacity().toLong + cd2.capacity()
+      val z64Off = cdOff + cdSize
+      val z64 = buf(56)
+      z64.putInt(0x06064b50).putLong(44)                          // sig, record size
+        .putShort(45).putShort(45).putInt(0).putInt(0)            // versions, disks
+        .putLong(2).putLong(2).putLong(cdSize).putLong(cdOff)     // entries ×2, cd size, cd offset
+      val loc = buf(20)
+      loc.putInt(0x07064b50).putInt(0).putLong(z64Off).putInt(1)
+      val eocd = buf(22)
+      eocd.putInt(0x06054b50).putShort(0).putShort(0)
+        .putShort(2).putShort(2).putInt(cdSize.toInt).putInt(-1)  // cd offset saturated
+        .putShort(0)
+      raf.seek(z64Off); raf.write(z64.array()); raf.write(loc.array()); raf.write(eocd.array())
+    } finally raf.close()
+  }
+
+  test("ZIP64: a sparse >4 GiB archive lists via tail reads and inflates the entry past the 4 GiB offset") {
+    val dir = Files.createTempDirectory("zip64").toString
+    val big = 4400000000L // past every 32-bit field
+    writeZip64Archive(Paths.get(s"$dir/huge.zip"), big)
+    assert(Files.size(Paths.get(s"$dir/huge.zip")) > 4294967295L)
+    ZipScanMetrics.reset()
+    val manifest = read(dir).selectExpr("entry", "size", "method").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(manifest("huge.bin") == ((big, "stored")))
+    assert(manifest("tail.txt") == ((11L, "stored")))
+    // The metadata scan of a 4.4 GB archive transferred only tail + CD.
+    assert(ZipScanMetrics.bytesRead.get() <= ZipCentral.MaxTailBytes + 4096L,
+      s"metadata scan read ${ZipScanMetrics.bytesRead.get()} bytes of a ${big} byte archive")
+    // The small entry AT AN OFFSET PAST 4 GiB round-trips (ZIP64 offset
+    // extra field + two ranged reads); the hole never transfers.
+    val content = read(dir).filter("entry = 'tail.txt'").select("content")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(new String(content, "UTF-8") == "hello zip64")
+    // The >2 GiB ENTRY is listable but rejected at inflate with the real reason.
+    val ex = intercept[org.apache.spark.SparkException] {
+      read(dir).filter("entry = 'huge.bin'").select("content").collect()
+    }
+    assert(ex.getMessage.contains("2 GiB") ||
+      Option(ex.getCause).exists(_.getMessage.contains("2 GiB")))
+    deleteDir(dir)
+  }
+
+  test("metadata-only scans transfer tail + central directory, not archive bodies") {
+    // An archive dominated by a stored 300 KB entry: the whole-archive
+    // read this spec guards against would move ~300 KB; the tail-read
+    // discipline moves <= magic + tail span + CD.
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    val blob = new Array[Byte](300 * 1024)
+    new java.util.Random(7).nextBytes(blob)
+    val e = new ZipEntry("blob.bin")
+    e.setMethod(ZipEntry.STORED); e.setSize(blob.length)
+    val crc = new CRC32(); crc.update(blob); e.setCrc(crc.getValue)
+    zos.putNextEntry(e); zos.write(blob); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("manifest.csv"))
+    zos.write("a,b\n1,2\n".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val archive = bos.toByteArray
+    assert(archive.length > ZipCentral.MaxTailBytes)
+    val dir = writeDir("big.zip" -> archive)
+
+    ZipScanMetrics.reset()
+    val rows = read(dir).selectExpr("entry", "size", "compressed").collect()
+    assert(rows.length == 2)
+    val metaBytes = ZipScanMetrics.bytesRead.get()
+    assert(metaBytes <= 2 + ZipCentral.MaxTailBytes + 1024L,
+      s"metadata scan read $metaBytes bytes — more than tail + CD")
+    assert(metaBytes < archive.length / 2,
+      s"metadata scan read $metaBytes of ${archive.length} — body transferred?")
+
+    // Selecting ONE small entry's content adds only its header + data spans.
+    ZipScanMetrics.reset()
+    read(dir).filter("entry = 'manifest.csv'").select("content").collect()
+    val oneBytes = ZipScanMetrics.bytesRead.get()
+    assert(oneBytes <= 2 + ZipCentral.MaxTailBytes + 1024L + 30 + 64,
+      s"one-entry read transferred $oneBytes bytes — the 300 KB body leaked in")
+    deleteDir(dir)
+  }
+
+  test("reported statistics: exact post-pushdown CD stats justify a broadcast the conservative fallback cannot") {
+    // One archive whose BULK is an 11 MB stored blob (past the 10 MB
+    // autoBroadcastJoinThreshold) plus the small entry a filter selects.
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    val blob = new Array[Byte](11 * 1024 * 1024)
+    new java.util.Random(11).nextBytes(blob)
+    val e = new ZipEntry("payload.bin")
+    e.setMethod(ZipEntry.STORED); e.setSize(blob.length)
+    val crc = new CRC32(); crc.update(blob); e.setCrc(crc.getValue)
+    zos.putNextEntry(e); zos.write(blob); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("manifest.csv"))
+    zos.write("a,b\n1,2\n".getBytes("UTF-8")); zos.closeEntry()
+    zos.close()
+    val dir = writeDir("big.zip" -> bos.toByteArray)
+    // Large probe side too (5M longs ≫ threshold), so a BroadcastHashJoin
+    // can only come from the ZIP side's reported statistics. The key must
+    // be NON-foldable (a literal would constant-fold the equi-condition
+    // away and degenerate the join to a nested-loop cross).
+    import org.apache.spark.sql.functions.{when => sqlWhen, col => sqlCol, lit => sqlLit}
+    val big = spark.range(0, 5000000L)
+      .withColumn("entry", sqlWhen(sqlCol("id") >= 0, sqlLit("manifest.csv")))
+    def planOf(opts: Map[String, String]): String = {
+      val zip = read(dir, opts).filter("entry = 'manifest.csv'")
+        .select("entry", "archive", "size")
+      // sparkPlan = the pre-AQE physical plan: join strategy here is chosen
+      // from LOGICAL stats, i.e. from estimateStatistics, not runtime sizes.
+      big.join(zip, Seq("entry")).queryExecution.sparkPlan.toString
+    }
+    // Exact central-directory stats: the filtered relation is one ~100 byte
+    // row — broadcastable, and the planner knows it.
+    val withStats = planOf(Map.empty)
+    assert(withStats.contains("BroadcastHashJoin"), withStats)
+    // statsMaxArchives=0 forces the conservative Σ-file-length estimate
+    // (11 MB): past the threshold, so the planner must NOT broadcast.
+    val conservative = planOf(Map("statsMaxArchives" -> "0"))
+    assert(conservative.contains("SortMergeJoin"), conservative)
+    deleteDir(dir)
+  }
+
+  /** Recursive temp-dir cleanup for the tests that write MB-scale inputs. */
+  private def deleteDir(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(Paths.get(dir))) { w =>
+      w.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
   }
 
   test("S5 scale path: SmartCsv over graft-zip content equals the driver-side parse") {
