@@ -42,19 +42,28 @@ import org.apache.spark.sql.functions._
   */
 object Percentiles {
 
-  /** One row per group with one column per requested quantile: the value
-    * at sorted index floor(q*(n-1)), exposed as `p{100q}` (e.g. `p75`;
-    * p05 renders as `p5`). NULL values must be pre-filtered by the caller
-    * (the reference filters non-finite before ranking). All quantiles are
-    * served from a single histogram — one corpus scan + one histogram
-    * shuffle + one chosen-buckets window regardless of `qs.size`. */
-  def nearestRanksByGroup(df: DataFrame, groupCols: Seq[String],
-                          valueCol: String, qs: Seq[Double],
-                          buckets: Int = 256): DataFrame = {
-    require(qs.nonEmpty && qs.distinct == qs, s"quantiles must be distinct: $qs")
-    val outCols = qs.map(q => s"p${(q * 100).round}")
+  /** One row per group with one column per requested (quantile, name)
+    * pair: the value at sorted index floor(q*(n-1)). NULL values must be
+    * pre-filtered by the caller (the reference filters non-finite before
+    * ranking). All quantiles are served from a single histogram — one
+    * corpus scan + one histogram shuffle + one chosen-buckets window
+    * regardless of `qs.size`. Explicit names exist for close quantiles
+    * whose default `p{100q}` labels collide (q61's p±3/acc bracket).
+    *
+    * Single-quantile calls take a SPECIALIZED path: the (qi, local) pick
+    * bookkeeping the multi form needs (target explode, distinct-bucket
+    * dedup, final pivot agg) costs 3 extra tiny-side stages per call —
+    * measured as the round-13 q82 growth (1.64→3.26 s: two single-q calls
+    * paying the multi plumbing). With one quantile the chosen bucket is
+    * unique per group, so the pick is a plain filter. */
+  def nearestRanksByGroupNamed(df: DataFrame, groupCols: Seq[String],
+                               valueCol: String, qs: Seq[(Double, String)],
+                               buckets: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.map(_._1).distinct == qs.map(_._1),
+      s"quantiles must be distinct: $qs")
+    val outCols = qs.map(_._2)
     require(outCols.distinct == outCols,
-      s"quantiles collide on output column names: ${qs.zip(outCols)}")
+      s"quantiles collide on output column names: $qs")
     val g = groupCols.map(col)
     val v = col(valueCol)
     val base = df.select((groupCols :+ valueCol).map(col): _*)
@@ -65,11 +74,39 @@ object Percentiles {
     val degenerate = stats.filter(col("__min") === col("__max"))
       .select(g ++ outCols.map(c => col("__min").as(c)): _*)
 
-    val live = stats.filter(col("__min") =!= col("__max"))
+    val live0 = stats.filter(col("__min") =!= col("__max"))
+
+    if (qs.size == 1) {
+      // Fast path: one target rank per group rides the stats row itself —
+      // no explode, no bucket dedup, no pivot.
+      val (q, outCol) = qs.head
+      val live = live0.withColumn("__target",
+        (floor(lit(q) * (col("__n") - 1)) + 1).cast("long"))
+      val bucketed = base.join(broadcast(live), groupCols)
+        .withColumn("__b",
+          least(floor((v - col("__min")) / ((col("__max") - col("__min")) / buckets)),
+                lit(buckets - 1)).cast("int"))
+      val hist = bucketed.groupBy((g :+ col("__b")): _*).agg(count(lit(1)).as("__c"))
+      val wcum = Window.partitionBy(g: _*).orderBy(col("__b"))
+      val chosen = hist
+        .withColumn("__cum", sum(col("__c")).over(wcum))
+        .withColumn("__before", col("__cum") - col("__c"))
+        .join(live.select((g :+ col("__target")): _*), groupCols)
+        .filter(col("__before") < col("__target") && col("__target") <= col("__cum"))
+        .select((g :+ col("__b") :+ (col("__target") - col("__before")).as("__local")): _*)
+      val wr = Window.partitionBy((groupCols :+ "__b").map(col): _*).orderBy(v)
+      val picked = bucketed.join(broadcast(chosen), groupCols :+ "__b")
+        .withColumn("__rn", row_number().over(wr))
+        .filter(col("__rn") === col("__local"))
+        .select(g :+ v.as(outCol): _*)
+      return degenerate.union(picked)
+    }
+
+    val live = live0
 
     // Per-(group, quantile) target ranks — |groups|·|qs| rows, tiny.
     val targets = live.select(g :+ explode(array(qs.zipWithIndex.map {
-        case (q, i) => struct(
+        case ((q, _), i) => struct(
           lit(i).as("__qi"),
           (floor(lit(q) * (col("__n") - 1)) + 1).cast("long").as("__target"))
       }: _*)).as("__t"): _*)
@@ -119,7 +156,16 @@ object Percentiles {
     degenerate.union(picked)
   }
 
-  /** Single-quantile form — delegates to [[nearestRanksByGroup]]. */
+  /** Default-named form: each quantile as `p{100q}` (e.g. `p75`; p05
+    * renders as `p5`). */
+  def nearestRanksByGroup(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, qs: Seq[Double],
+                          buckets: Int = 256): DataFrame =
+    nearestRanksByGroupNamed(df, groupCols, valueCol,
+      qs.map(q => q -> s"p${(q * 100).round}"), buckets)
+
+  /** Single-quantile form — delegates to [[nearestRanksByGroupNamed]]'s
+    * fast path. */
   def nearestRankByGroup(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, q: Double,
                          buckets: Int = 256): DataFrame =

@@ -57,4 +57,35 @@ object SaltedSelfPairs {
         least(col(s"x.$idCol"), col(s"y.$idCol")).as("id_a"),
         greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("id_b"))
   }
+
+  /** All CROSS pairs (one row from `left` × one from `right`) sharing
+    * `keyCols`, as (id_a = left id, id_b = right id) — the two-relation
+    * sibling of [[pairs]] for incremental pipelines (standing corpus ×
+    * arriving batch). Same guard, rectangle form: each side is sub-split
+    * into ceil(m/maxGroup) hash groups and the join is keyed on the
+    * (left-sub, right-sub) CELL — the left row replicates across the
+    * right's sub indices and vice versa, so every join bucket holds one
+    * ~maxGroup × maxGroup cell even when BOTH sides hash the same hot key
+    * (an unsalted key join would put the whole |L|·|R| block of a hot key
+    * into one task). Keys present on only one side produce nothing and
+    * are dropped by the size joins. Result-identical to the plain keyed
+    * join at any maxGroup. */
+  def crossPairs(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 idCol: String, maxGroup: Int): DataFrame = {
+    val lsz = left.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__ls"))
+    val rsz = right.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__rs"))
+    def grouped(df: DataFrame) = df.join(lsz, keyCols).join(rsz, keyCols)
+      .withColumn("__gl", ceil(col("__ls").cast("double") / maxGroup).cast("int"))
+      .withColumn("__gr", ceil(col("__rs").cast("double") / maxGroup).cast("int"))
+    val l = grouped(left)
+      .withColumn("__sub", pmod(hash(col(idCol)), col("__gl")).cast("int"))
+      .withColumn("__j", explode(sequence(lit(0), col("__gr") - 1)))
+    val r = grouped(right)
+      .withColumn("__sub", pmod(hash(col(idCol)), col("__gr")).cast("int"))
+      .withColumn("__i", explode(sequence(lit(0), col("__gl") - 1)))
+    val cond = keyCols.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col("l.__sub") === col("r.__i") && col("l.__j") === col("r.__sub")
+    l.as("l").join(r.as("r"), cond)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+  }
 }

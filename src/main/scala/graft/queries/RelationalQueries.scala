@@ -209,17 +209,18 @@ object RelationalQueries extends QueryPack {
     "q61_approx_percentile_bound" -> ((s, d) => {
       val acc = 1000
       val li = Tables.lineitem(s, d)
-      def exactAt(q: Double, as: String): DataFrame =
-        graft.functions.Percentiles.nearestRankByGroup(
-            li, Seq("l_returnflag"), "l_extendedprice", q)
-          .select(col("l_returnflag"), col("p50").as(as))
+      // The three exact bracket quantiles (p ± 3/accuracy and p itself)
+      // ride ONE histogram pass via the named multi-quantile API — three
+      // separate nearestRankByGroup calls cost three corpus scans for the
+      // same rows (the round-13 q61 growth). Names are explicit because
+      // 0.497/0.5/0.503 all round to the same default `p50` label.
+      val exact = graft.functions.Percentiles.nearestRanksByGroupNamed(
+        li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5 - 3.0 / acc -> "lo", 0.5 -> "exact_p50", 0.5 + 3.0 / acc -> "hi"))
       val approx = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
           .as("approx"))
-      exactAt(0.5, "exact_p50")
-        .join(exactAt(0.5 - 3.0 / acc, "lo"), Seq("l_returnflag"))
-        .join(exactAt(0.5 + 3.0 / acc, "hi"), Seq("l_returnflag"))
-        .join(approx, Seq("l_returnflag"))
+      exact.join(approx, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(col("exact_p50"), 2).as("exact_p50"),
           (col("approx") >= col("lo") && col("approx") <= col("hi"))

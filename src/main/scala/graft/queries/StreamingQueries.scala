@@ -134,6 +134,50 @@ object StreamingQueries extends QueryPack {
     s.table(sink)
   }
 
+  /** Parquet sink roots from past file-sink runs — deleted when the next
+    * run starts (same eviction discipline as `liveSinks`; the returned
+    * DataFrame is consumed before the next gate runs). */
+  private val liveSinkDirs = scala.collection.mutable.Set.empty[java.nio.file.Path]
+
+  /** The `runMicroBatch` execution path with a FILE (parquet) sink + real
+    * checkpoint dir instead of `format("memory")` — the only sink shape
+    * that survives 100× volume (a memory sink collects every emitted row
+    * into the driver; the parquet sink streams each micro-batch's
+    * emissions to storage and commits them via the sink's transaction
+    * log). The result is read BACK from the sink files, so the gate
+    * hashes what the sink durably wrote, not what the query emitted. */
+  private def runMicroBatchToFiles(s: SparkSession, d: String, qn: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val runId = mbRun.incrementAndGet()
+    liveSinkDirs.foreach(p => if (Files.exists(p)) deleteTree(p))
+    liveSinkDirs.clear()
+    val dir = sliceEventsForStream(s, d, nSlices = 8, runId)
+    val src = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, us LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_mbsink_$runId")
+    if (Files.exists(root)) deleteTree(root)
+    val out = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt").toString
+    // Same 8-state-partition rationale as runMicroBatch.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try build(src).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally {
+      try q.stop()
+      finally deleteTree(Paths.get(dir))
+    }
+    liveSinkDirs += root
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_tumbling_window" -> ((s, d) => {
       EventStreams.tumblingHourly(Tables.events(s, d))
@@ -298,6 +342,24 @@ object StreamingQueries extends QueryPack {
     // so that row IS the session's final shape) and gated against q130's
     // batch-window oracle VERBATIM — the q51/q52 oracle-identity
     // discipline applied to actual streaming execution.
+    // q186's stream through a PARQUET sink + checkpoint dir (no
+    // format("memory") anywhere in the write path): the same watermarked
+    // session-window build, one micro-batch per slice, each batch's
+    // append-mode emissions committed to the file sink's transaction log,
+    // then read back from the files and gated against the SAME
+    // gaps-and-islands oracle. This proves the scale-shaped sink
+    // end-to-end: the memory sink is driver-bounded, the file sink is
+    // exactly what a 100× corpus would stream into.
+    "q191_stream_sessions_filesink" -> ((s, d) => {
+      runMicroBatchToFiles(s, d, "graft_mb_sessions_file") { src =>
+        EventStreams.userSessions(
+          src.withColumn("ts", timestamp_micros(col("us"))),
+          withWatermark = true)
+      }
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "q187_stream_sessionization_microbatch" -> ((s, d) => {
       import s.implicits._
       val sink = runMicroBatch(s, d, "graft_mb_sessionize") { src =>
@@ -360,6 +422,9 @@ object StreamingQueries extends QueryPack {
     "q41_session_window" -> sessionWindowSql,
     // Micro-batch run of the same session-window aggregation: same oracle.
     "q186_stream_sessions_microbatch" -> sessionWindowSql,
+    // File-sink run: what the parquet sink durably wrote must equal the
+    // same oracle rows.
+    "q191_stream_sessions_filesink" -> sessionWindowSql,
 
     // Per-event cents rounding mirrors the state kernel's
     // `cents += math.round(value * 100)` exactly (all values positive, so

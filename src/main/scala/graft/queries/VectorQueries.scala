@@ -232,12 +232,22 @@ object VectorQueries extends QueryPack {
     * keeper of each confirmed neighborhood is the member farthest from
     * its centroid (cos_cent ASC, vec_id ASC tiebreak). Exposed so the
     * spec can drive it with a hand-built cluster geometry. */
-  def semDedupVerdict(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = assignTo(emb, cents)
-    val cc = assigned.join(broadcast(cents), col("cluster") === col("c_id"))
+  /** Per-vector (vec_id, embedding, cluster, cos_cent) against the trained
+    * centroids — the relation both SemDeDup forms score and report over. */
+  private def semDedupCc(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), col("cluster") === col("c_id"))
       .select(col("vec_id"), col("embedding"), col("cluster"),
               Vectors.cosine(col("embedding"), col("c_emb")).as("cos_cent"))
-    val conf = SaltedSelfPairs.pairs(assigned, Seq("cluster"), "vec_id", MaxBucket)
+
+  /** The SemDeDup core over a CANDIDATE pair relation (id_a, id_b):
+    * exact-cosine confirm at DupCos, then the keeper-order drop rule — x
+    * is dropped when any confirmed neighbor y precedes it in
+    * (cos_cent ASC, vec_id ASC). Shared by the one-pass (q189) and
+    * incremental (q190) verdicts, so the two can only differ in WHICH
+    * pairs they generate — never in how a pair is judged. */
+  private def semDedupDrops(pairs: DataFrame, emb: DataFrame,
+                            ccn: DataFrame): DataFrame = {
+    val conf = pairs
       .join(emb.select(col("vec_id").as("ia"), col("embedding").as("ea")),
             col("id_a") === col("ia"))
       .join(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")),
@@ -253,17 +263,61 @@ object VectorQueries extends QueryPack {
         struct(col("id_a").as("x"), col("id_b").as("y")),
         struct(col("id_b").as("x"), col("id_a").as("y")))).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
-    val ccn = cc.select(col("vec_id"), col("cos_cent"))
-    val dropped = oriented
+    oriented
       .join(ccn.select(col("vec_id").as("x"), col("cos_cent").as("cx")), Seq("x"))
       .join(ccn.select(col("vec_id").as("y"), col("cos_cent").as("cy")), Seq("y"))
       .filter(col("cy") < col("cx") ||
               (col("cy") === col("cx") && col("y") < col("x")))
       .select(col("x")).distinct()
+  }
+
+  private def semDedupFinish(cc: DataFrame, dropped: DataFrame): DataFrame =
     cc.join(dropped.withColumnRenamed("x", "dx"),
             col("vec_id") === col("dx"), "left_outer")
       .select(col("vec_id"), col("cluster"), col("cos_cent"),
               when(col("dx").isNotNull, 1).otherwise(0).as("is_dropped"))
+
+  def semDedupVerdict(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = assignTo(emb, cents)
+    val cc = semDedupCc(assigned, cents)
+    val drops = semDedupDrops(
+      SaltedSelfPairs.pairs(assigned, Seq("cluster"), "vec_id", MaxBucket),
+      emb, cc.select(col("vec_id"), col("cos_cent")))
+    semDedupFinish(cc, drops)
+  }
+
+  /** INCREMENTAL SemDeDup (the q51/q52/q188 discipline applied to q189):
+    * vectors with id < `t` are the STANDING corpus, id ≥ `t` the arriving
+    * batch. The standing pass re-derives the standing-only drops (in
+    * production, the previous run's output); the ARRIVAL pass generates
+    * only pairs that involve a batch member — batch × standing within
+    * cluster (salted rectangle: [[SaltedSelfPairs.crossPairs]]) plus the
+    * batch's own within-cluster self pairs — so an ingestion tick pays
+    * O(batch-scoped pairs), never the corpus². Because the full
+    * within-cluster pair set decomposes EXACTLY into
+    * {standing²} ∪ {batch×standing} ∪ {batch²}, and the keeper rule is
+    * per-pair over the SAME global cos_cent relation, the combined
+    * verdict equals the one-pass q189 — a new arrival farther from its
+    * centroid correctly displaces a standing keeper. The oracle IS
+    * q189's full-corpus SQL verbatim, so incremental ≡ full is
+    * machine-checked, not asserted. */
+  def semDedupIncrementalVerdict(emb: DataFrame, cents: DataFrame,
+                                 t: Long): DataFrame = {
+    val assigned = assignTo(emb, cents)
+    val cc = semDedupCc(assigned, cents)
+    val ccn = cc.select(col("vec_id"), col("cos_cent"))
+    val standing = assigned.select(col("cluster"), col("vec_id"))
+      .filter(col("vec_id") < t)
+    val batch = assigned.select(col("cluster"), col("vec_id"))
+      .filter(col("vec_id") >= t)
+    val standingDrops = semDedupDrops(
+      SaltedSelfPairs.pairs(standing, Seq("cluster"), "vec_id", MaxBucket),
+      emb, ccn)
+    val arrivalPairs = SaltedSelfPairs
+      .crossPairs(batch, standing, Seq("cluster"), "vec_id", MaxBucket)
+      .union(SaltedSelfPairs.pairs(batch, Seq("cluster"), "vec_id", MaxBucket))
+    semDedupFinish(cc,
+      standingDrops.union(semDedupDrops(arrivalPairs, emb, ccn)).distinct())
   }
 
   /** LSH-bucketed ANN, MULTI-band: each of the NumBands bands buckets the
@@ -527,6 +581,25 @@ object VectorQueries extends QueryPack {
         trainIvfCentroids(emb, n)
       }
       semDedupVerdict(emb, cents).orderBy(col("vec_id"))
+    }),
+
+    // INCREMENTAL SemDeDup (q189's ingestion-tick form — the last
+    // dedup-family member without a batch-vs-standing twin): the corpus
+    // splits at the 80% id point, arrivals are assigned to the STANDING
+    // memoized q189 centroids (no retraining — the same cents relation,
+    // same MaterializeOnce key), and new candidate pairs are generated
+    // only against standing members + the batch itself (salted rectangle
+    // cross + salted self pairs). The oracle is q189's full-corpus SQL
+    // VERBATIM, so incremental ≡ full is machine-checked per tier.
+    "q190_semdedup_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stats = embStats(s, d)
+      val cents = graft.operators.MaterializeOnce(
+        s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        trainIvfCentroids(emb, stats.n)
+      }
+      val t = (stats.maxId + 1L) * 4L / 5L
+      semDedupIncrementalVerdict(emb, cents, t).orderBy(col("vec_id"))
     }),
 
     // ANN recall gate: recall@K of the LSH (q39) and IVF (q44) indexes
@@ -1524,6 +1597,10 @@ object VectorQueries extends QueryPack {
       "q44_ann_ivf" -> q44Sql,
       "q188_ivf_incremental" -> q188Sql,
       "q189_semdedup" -> q189Sql,
+      // Incremental ≡ full is THE contract: q190 gates against q189's
+      // full-corpus SQL verbatim (the q51/q52/q188 oracle-identity
+      // discipline).
+      "q190_semdedup_incremental" -> q189Sql,
       "q50_ann_recall" -> q50Sql,
       "q129_dim_truncation" -> q129Sql,
       "q162_quant_recall" -> q162Sql,

@@ -69,4 +69,24 @@ class PercentilesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     for (g <- multi.keys) assert(multi(g) == ((lo(g), hi(g))), g)
   }
+
+  test("named quantiles: explicit labels for ranks whose default names collide") {
+    import spark.implicits._
+    val values = (0 until 400).map(i => ((i * 271) % 400).toDouble)
+    val df = values.map(v => ("a", v)).toDF("g", "v")
+    // 0.497/0.5/0.503 all round to `p50` — the q61 bracket shape that
+    // motivates explicit names.
+    val qs = Seq(0.497 -> "lo", 0.5 -> "mid", 0.503 -> "hi")
+    val out = Percentiles.nearestRanksByGroupNamed(df, Seq("g"), "v", qs)
+    assert(out.columns.toSeq == Seq("g", "lo", "mid", "hi"))
+    val r = out.collect().head
+    for (((q, _), i) <- qs.zipWithIndex)
+      assert(r.getDouble(i + 1) == naiveP(values, q), s"q=$q")
+    // And the single-quantile FAST PATH lands on the identical values.
+    for ((q, name) <- qs) {
+      val single = Percentiles.nearestRanksByGroupNamed(df, Seq("g"), "v",
+        Seq(q -> name)).collect().head.getDouble(1)
+      assert(single == naiveP(values, q), s"fast path q=$q")
+    }
+  }
 }

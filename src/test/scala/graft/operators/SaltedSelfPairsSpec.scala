@@ -62,4 +62,46 @@ class SaltedSelfPairsSpec extends SparkSpec {
     val unsaltedHotPairs = 500L * 499 / 2
     assert(maxSub * maxSub < unsaltedHotPairs / 10)
   }
+
+  test("crossPairs are exactly the plain keyed cross join's pairs, at any maxGroup") {
+    import spark.implicits._
+    // Both sides share the hot key 7 (300 × 200 rows — the shape where an
+    // unsalted key join puts a 60k-pair block into one task), plus a key
+    // present on only one side (must yield nothing).
+    val left = ((0 until 300).map(i => (6L * i, 7L)) ++
+      (0 until 10).map(i => (5000L + i, 8L)) ++ Seq((7000L, 5L)))
+      .toDF("vec_id", "key")
+    val right = ((0 until 200).map(i => (100000L + 3L * i, 7L)) ++
+      (0 until 4).map(i => (200000L + i, 8L)) ++ Seq((300000L, 6L)))
+      .toDF("vec_id", "key")
+    val expected = (for (a <- 0 until 300; b <- 0 until 200)
+        yield (6L * a, 100000L + 3L * b)) ++
+      (for (a <- 0 until 10; b <- 0 until 4)
+        yield (5000L + a, 200000L + b))
+    def got(maxGroup: Int) = SaltedSelfPairs
+      .crossPairs(left, right, Seq("key"), "vec_id", maxGroup)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got(1000000) == expected.sorted, "unsalted baseline")
+    assert(got(50) == expected.sorted, "hot key: 6 × 4 sub-cells")
+    assert(got(3) == expected.sorted, "aggressive split")
+  }
+
+  test("crossPairs: every (key, i, j) cell is bounded even when BOTH sides are hot") {
+    import spark.implicits._
+    val maxGroup = 25
+    val left = (0 until 300).map(i => (6L * i, 7L)).toDF("vec_id", "key")
+    val right = (0 until 200).map(i => (100000L + 3L * i, 7L)).toDF("vec_id", "key")
+    // Recompute the cell assignment exactly as crossPairs does.
+    def subSizes(df: org.apache.spark.sql.DataFrame, g: Int) =
+      df.withColumn("__sub", pmod(hash(col("vec_id")), lit(g)))
+        .groupBy(col("__sub")).agg(count(lit(1)).as("n"))
+        .collect().map(_.getAs[Long]("n"))
+    val gl = math.ceil(300.0 / maxGroup).toInt
+    val gr = math.ceil(200.0 / maxGroup).toInt
+    val maxL = subSizes(left, gl).max
+    val maxR = subSizes(right, gr).max
+    assert(maxL <= 2L * maxGroup && maxR <= 2L * maxGroup)
+    // One cell owns ≤ maxL·maxR pairs vs the whole 60k block unsalted.
+    assert(maxL * maxR < 300L * 200 / 10)
+  }
 }

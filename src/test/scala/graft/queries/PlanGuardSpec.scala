@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkSpec {
     "q50_ann_recall",    // composes q38/q44, inheriting their bounded sides
     "q188_ivf_incremental", // q44's bounded sides (centroids ~sqrt(n), probes <= 10)
     "q189_semdedup",     // centroids (~sqrt(n), broadcast) cross corpus, as q44
+    "q190_semdedup_incremental", // q189's assignTo: centroids (~sqrt(n), broadcast) cross corpus
     "q85_pmi_phrases",   // the 1-row N1/N2 scalar-agg totals, broadcast
     "q88_textrank",      // the 1-row node-count scalar aggregate, broadcast
     "q93_bm25",          // the 1-row corpus N/avgdl scalar aggregate, broadcast
