@@ -150,12 +150,23 @@ object ZipCentral {
           val id = u16(cd, q)
           val sz = u16(cd, q + 2)
           if (id == 0x0001) {
+            // Validate BEFORE reading: a corrupt `sz` must yield a clean
+            // ZipException, not an out-of-bounds read past the extra area
+            // (or past the directory buffer when the record is last).
+            val need = Seq(usize, csize, offset).count(_ == 0xffffffffL) * 8
+            if (q + 4 + sz > extraEnd)
+              throw new ZipException(
+                s"ZIP64 extra field of $sz bytes overruns the extra area")
+            if (need > sz)
+              throw new ZipException(
+                s"ZIP64 extra field of $sz bytes too short for its sentinels")
             var f = q + 4
             if (usize == 0xffffffffL) { usize = u64(cd, f); f += 8 }
             if (csize == 0xffffffffL) { csize = u64(cd, f); f += 8 }
             if (offset == 0xffffffffL) { offset = u64(cd, f); f += 8 }
-            if (f > q + 4 + sz)
-              throw new ZipException(s"ZIP64 extra field of $sz bytes too short for its sentinels")
+            if (usize < 0 || csize < 0 || offset < 0)
+              throw new ZipException(
+                s"ZIP64 extra field carries a negative size or offset")
             found = true
           } else q += 4 + sz
         }

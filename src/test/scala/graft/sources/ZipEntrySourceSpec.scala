@@ -256,6 +256,57 @@ class ZipEntrySourceSpec extends SparkSpec {
     deleteDir(dir)
   }
 
+  /** A minimal one-entry archive whose CENTRAL record saturates its sizes
+    * (0xffffffff) and carries a 0x0001 extra field with a LYING size word —
+    * the corrupt-ZIP64 shapes the parser must reject cleanly (a clean
+    * ZipException, never an out-of-bounds read of the directory buffer). */
+  private def corruptZip64Extra(extraSz: Short): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def buf(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val name = "a.txt"; val data = "x".getBytes("UTF-8")
+    val crc = { val c = new CRC32(); c.update(data); c.getValue }
+    val lh = buf(30 + name.length)
+    lh.putInt(0x04034b50).putShort(20).putShort(0).putShort(0)
+      .putShort(0).putShort(0).putInt(crc.toInt)
+      .putInt(data.length).putInt(data.length)
+      .putShort(name.length.toShort).putShort(0)
+    lh.put(name.getBytes("UTF-8"))
+    val cdOff = 30 + name.length + data.length
+    // Extra area: the 4-byte (id, sz) header + ONE u64 (8 bytes) = 12, but
+    // `sz` claims `extraSz` — too short for the two saturated sentinels, or
+    // far past the extra area's end.
+    val cd = buf(46 + name.length + 12)
+    cd.putInt(0x02014b50).putShort(45).putShort(45).putShort(0).putShort(0)
+      .putShort(0).putShort(0).putInt(crc.toInt)
+      .putInt(-1).putInt(-1)                                   // csize/usize saturated
+      .putShort(name.length.toShort).putShort(12).putShort(0)  // name/extra/comment len
+      .putShort(0).putShort(0).putInt(0).putInt(0)             // disk, attrs, offset 0
+    cd.put(name.getBytes("UTF-8"))
+    cd.putShort(1).putShort(extraSz).putLong(1L)               // 0x0001 with a lying sz
+    val cdSize = cd.capacity()
+    val eocd = buf(22)
+    eocd.putInt(0x06054b50).putShort(0).putShort(0)
+      .putShort(1).putShort(1).putInt(cdSize).putInt(cdOff).putShort(0)
+    val out = buf(cdOff + cdSize + 22)
+    out.put(lh.array()).put(data).put(cd.array()).put(eocd.array())
+    out.array()
+  }
+
+  test("corrupt ZIP64 extra fields fail with a clean ZipException, not an out-of-bounds read") {
+    // sz = 8: one u64 where the two saturated sentinels need 16 bytes.
+    val tooShort = intercept[java.util.zip.ZipException] {
+      ZipCentral.centralDirectory(corruptZip64Extra(8))
+    }
+    assert(tooShort.getMessage.contains("too short"))
+    // sz = 100: the declared body overruns the 12-byte extra area (and,
+    // this record being last, the directory buffer itself — unvalidated
+    // u64 reads here were an ArrayIndexOutOfBoundsException).
+    val overrun = intercept[java.util.zip.ZipException] {
+      ZipCentral.centralDirectory(corruptZip64Extra(100))
+    }
+    assert(overrun.getMessage.contains("overruns"))
+  }
+
   test("metadata-only scans transfer tail + central directory, not archive bodies") {
     // An archive dominated by a stored 300 KB entry: the whole-archive
     // read this spec guards against would move ~300 KB; the tail-read
