@@ -79,15 +79,18 @@ object ZipCentral {
 
   /** Entries in central-directory order (== ZipInputStream order for
     * archives written front-to-back, which is every writer in practice).
-    * Reads: 2 bytes of magic, one tail span, the CD span — nothing else. */
+    * Reads: one tail span, the CD span — nothing else (the magic is
+    * validated from the tail read when the tail covers offset 0; larger
+    * archives are validated by the EOCD/CD signatures alone, which
+    * already reject non-ZIP bytes — no extra body-offset round trip,
+    * which on s3a would be one more HTTP request per archive per scan). */
   def centralDirectory(src: ZipByteSource): Vector[Entry] = {
-    val magic = src.readAt(0, math.min(2L, src.length).toInt)
-    if (!graft.etl.Zips.isZip(magic))
-      throw new ZipException("not a zip archive (bad magic)")
     // EOCD: scan the tail span backwards for the signature.
     val tailLen = math.min(src.length, MaxTailBytes.toLong).toInt
     val tailStart = src.length - tailLen
     val tail = src.readAt(tailStart, tailLen)
+    if (tailStart == 0L && !graft.etl.Zips.isZip(tail))
+      throw new ZipException("not a zip archive (bad magic)")
     var eocd = -1
     var i = tailLen - 22
     while (i >= 0 && eocd < 0) {
@@ -96,24 +99,56 @@ object ZipCentral {
     }
     if (eocd < 0) throw new ZipException("no end-of-central-directory record")
 
+    // Multi-part (split/spanned) archives are not supported: this reader
+    // has exactly one byte source, so an entry on another disk could only
+    // fail later with an opaque LocalSig error — reject up front with the
+    // real reason. 0xffff defers the check to the ZIP64 record's fields.
+    val eocdDisk = u16(tail, eocd + 4)
+    val eocdCdDisk = u16(tail, eocd + 6)
+    if ((eocdDisk != 0 && eocdDisk != 0xffff) ||
+        (eocdCdDisk != 0 && eocdCdDisk != 0xffff))
+      throw new ZipException(
+        s"split archives unsupported (EOCD disk $eocdDisk, central directory on disk $eocdCdDisk)")
+
     var total: Long = u16(tail, eocd + 10).toLong
     var cdSize: Long = u32(tail, eocd + 12)
     var cdOffset: Long = u32(tail, eocd + 16)
-    val saturated = total == 0xffffL || cdSize == 0xffffffffL || cdOffset == 0xffffffffL
+    val saturated = total == 0xffffL || cdSize == 0xffffffffL ||
+      cdOffset == 0xffffffffL || eocdDisk == 0xffff || eocdCdDisk == 0xffff
     // ZIP64 EOCD locator sits immediately before the EOCD when present.
-    if (eocd >= 20 && u32(tail, eocd - 20) == Eocd64LocatorSig) {
-      val rec64At = u64(tail, eocd - 20 + 8)
-      if (rec64At < 0 || rec64At >= src.length)
-        throw new ZipException(s"ZIP64 EOCD locator points outside archive ($rec64At)")
-      val rec = src.readAt(rec64At, 56)
-      if (u32(rec, 0) != Eocd64Sig)
-        throw new ZipException(s"bad ZIP64 end-of-central-directory record at $rec64At")
-      total = u64(rec, 32)
-      cdSize = u64(rec, 40)
-      cdOffset = u64(rec, 48)
-    } else if (saturated) {
-      throw new ZipException(
-        "EOCD carries ZIP64 sentinel values but no ZIP64 locator precedes it (corrupt archive)")
+    // Detection is by signature, and a valid non-ZIP64 archive's last data
+    // bytes can coincidentally contain it — so when the plain EOCD fields
+    // are NOT saturated (the archive does not need ZIP64), any malformed
+    // ZIP64 chain falls back to the EOCD values instead of hard-failing;
+    // when they ARE saturated the chain is required and failures are
+    // clean ZipExceptions (never an EOFException from an overrun read).
+    val zip64: Option[(Long, Long, Long)] =
+      if (eocd >= 20 && u32(tail, eocd - 20) == Eocd64LocatorSig) {
+        def bad(msg: String): Option[(Long, Long, Long)] =
+          if (saturated) throw new ZipException(msg) else None
+        val locDisk = u32(tail, eocd - 20 + 4)
+        val locTotalDisks = u32(tail, eocd - 20 + 16)
+        val rec64At = u64(tail, eocd - 20 + 8)
+        if (locDisk != 0L || locTotalDisks > 1L)
+          bad(s"split archives unsupported (ZIP64 locator: record on disk $locDisk of $locTotalDisks)")
+        else if (rec64At < 0 || rec64At + 56 > src.length)
+          bad(s"ZIP64 EOCD locator points outside archive ($rec64At)")
+        else {
+          val rec = src.readAt(rec64At, 56)
+          if (u32(rec, 0) != Eocd64Sig)
+            bad(s"bad ZIP64 end-of-central-directory record at $rec64At")
+          else if (u32(rec, 16) != 0L || u32(rec, 20) != 0L)
+            throw new ZipException(
+              s"split archives unsupported (ZIP64 EOCD: disk ${u32(rec, 16)}, central directory on disk ${u32(rec, 20)})")
+          else Some((u64(rec, 32), u64(rec, 40), u64(rec, 48)))
+        }
+      } else None
+    zip64 match {
+      case Some((t, sz, off)) => total = t; cdSize = sz; cdOffset = off
+      case None if saturated =>
+        throw new ZipException(
+          "EOCD carries ZIP64 sentinel values but no ZIP64 locator precedes it (corrupt archive)")
+      case None => ()
     }
     if (cdSize > MaxEntryBytes)
       throw new ZipException(s"central directory of $cdSize bytes exceeds the single-buffer limit")
@@ -138,6 +173,12 @@ object ZipCentral {
       var offset = u32(cd, p + 42)
       if (p + 46 + nameLen + extraLen > cd.length)
         throw new ZipException(s"truncated central-directory record at ${cdOffset + p}")
+      // Entries on another disk of a split archive cannot be read from
+      // this byte source — fail with the real reason, not a downstream
+      // LocalSig mismatch. 0xffff defers to the ZIP64 extra field below.
+      if (disk != 0 && disk != 0xffff)
+        throw new ZipException(
+          s"split archives unsupported (central-directory entry on disk $disk)")
       // ZIP64 extended-information extra field (id 0x0001): holds, IN
       // ORDER, 8-byte replacements for exactly the header fields that are
       // saturated (usize, csize, offset; then a 4-byte disk number).
@@ -153,7 +194,8 @@ object ZipCentral {
             // Validate BEFORE reading: a corrupt `sz` must yield a clean
             // ZipException, not an out-of-bounds read past the extra area
             // (or past the directory buffer when the record is last).
-            val need = Seq(usize, csize, offset).count(_ == 0xffffffffL) * 8
+            val need = Seq(usize, csize, offset).count(_ == 0xffffffffL) * 8 +
+              (if (disk == 0xffff) 4 else 0)
             if (q + 4 + sz > extraEnd)
               throw new ZipException(
                 s"ZIP64 extra field of $sz bytes overruns the extra area")
@@ -167,6 +209,9 @@ object ZipCentral {
             if (usize < 0 || csize < 0 || offset < 0)
               throw new ZipException(
                 s"ZIP64 extra field carries a negative size or offset")
+            if (disk == 0xffff && u32(cd, f) != 0L)
+              throw new ZipException(
+                s"split archives unsupported (ZIP64 entry on disk ${u32(cd, f)})")
             found = true
           } else q += 4 + sz
         }

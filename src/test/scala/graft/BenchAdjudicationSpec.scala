@@ -35,6 +35,26 @@ class BenchAdjudicationSpec extends SparkSpec {
     assert(adj.get("verdict").asText() == "confirmed")
   }
 
+  test("over-ratio but under-floor: not regressed, yet evidence is still embedded") {
+    // The r14 gap: a >2× ratio whose absolute delta sat under the floor
+    // shipped with no adjudication block. The floor governs the `regressed`
+    // verdict only — evidence must accompany EVERY over-ratio entry.
+    val json = Bench.run(spark, sfDir = "unused",
+      queries = Seq("toy_query" -> fast),
+      baseline = Map("toy_query" -> 1e-9), // any real run is >2x this
+      floor = 1e9,                         // but never over the floor
+      adjRuns = 3)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(json)
+    assert(node.get("regressed").size() == 0, json)
+    val adj = node.get("adjudication").get("toy_query")
+    assert(adj != null, s"no adjudication evidence for the over-ratio entry in $json")
+    assert(adj.get("times").size() == 3)
+    // Under the (huge) floor with a stable plan, the verdict reads
+    // environmental — the guard's verdict logic, on the embedded evidence.
+    assert(adj.get("verdict").asText() == "environmental")
+  }
+
   test("no flag, no adjudication entries; artifact parses with empty block") {
     val json = Bench.run(spark, sfDir = "unused",
       queries = Seq("toy_query" -> fast),
