@@ -53,20 +53,49 @@ object StreamingQueries extends QueryPack {
     * pushes event time past every real session and sentinel 2 provides
     * the extra batch in which that advanced watermark actually flushes
     * state. Consumers filter `user_id >= 0`. */
+  private val EventsSchema =
+    "event_id LONG, user_id LONG, event_type STRING, us LONG"
+
   private def sliceEventsForStream(s: SparkSession, d: String,
                                    nSlices: Int, runId: Int): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
       col("event_type"), unix_micros(col("ts")).as("us"))
-    val r = ev.agg(min(col("us")), max(col("us"))).head()
-    val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_$runId")
+    val maxUs = ev.agg(max(col("us"))).head().getLong(0)
+    import s.implicits._
+    val sentinels = Seq(36000000000L, 72000000000L).map { off =>
+      Seq((-1L, -1L, "sentinel", maxUs + off))
+        .toDF("event_id", "user_id", "event_type", "us")
+    }
+    writeSlices(s, s"graft_stream_$runId",
+      rangeSlices(ev, "us", nSlices) ++ sentinels)
+  }
+
+  /** `df` split into `nSlices` key-range partitions of the long column
+    * `keyCol` — consecutive stream slices whose key ranges increase with
+    * the slice index (monotone "arrival order" under one-file triggers). */
+  private def rangeSlices(df: DataFrame, keyCol: String, nSlices: Int): Seq[DataFrame] = {
+    val r = df.agg(min(col(keyCol)), max(col(keyCol))).head()
+    val (lo0, hi0) = (r.getLong(0), r.getLong(1))
+    val span = hi0 - lo0 + 1
+    (0 until nSlices).map { k =>
+      val lo = lo0 + span * k / nSlices
+      val hi = lo0 + span * (k + 1) / nSlices
+      df.filter(col(keyCol) >= lo && col(keyCol) < hi)
+    }
+  }
+
+  /** Write each DataFrame in `parts` as ONE parquet file under a fresh
+    * temp dir named `dirName`. File names and modification times both
+    * increase with the part index, so FileStreamSource's ordering (mtime,
+    * path tiebreak) processes them in part order however it resolves —
+    * with `maxFilesPerTrigger=1`, one micro-batch per part. */
+  private def writeSlices(s: SparkSession, dirName: String,
+                          parts: Seq[DataFrame]): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), dirName)
     if (Files.exists(dir)) deleteTree(dir)
     Files.createDirectories(dir)
-    val span = maxUs - minUs + 1
-    val sentinels = Seq(maxUs + 36000000000L, maxUs + 72000000000L)
-    def writeFile(df: DataFrame, idx: Int): Unit = {
+    parts.zipWithIndex.foreach { case (df, idx) =>
       val tmp = dir.resolve(s"_tmp_$idx")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       import scala.jdk.CollectionConverters._
@@ -77,16 +106,6 @@ object StreamingQueries extends QueryPack {
       deleteTree(tmp)
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 1000L))
-    }
-    (0 until nSlices).foreach { k =>
-      val lo = minUs + span * k / nSlices
-      val hi = minUs + span * (k + 1) / nSlices
-      writeFile(ev.filter(col("us") >= lo && col("us") < hi), k)
-    }
-    sentinels.zipWithIndex.foreach { case (us, i) =>
-      import s.implicits._
-      writeFile(Seq((-1L, -1L, "sentinel", us))
-        .toDF("event_id", "user_id", "event_type", "us"), nSlices + i)
     }
     dir.toString
   }
@@ -105,7 +124,7 @@ object StreamingQueries extends QueryPack {
     liveSinks.clear()
     val dir = sliceEventsForStream(s, d, nSlices = 8, runId)
     val src = s.readStream
-      .schema("event_id LONG, user_id LONG, event_type STRING, us LONG")
+      .schema(EventsSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
     val sink = s"${qn}_$runId"
@@ -134,10 +153,31 @@ object StreamingQueries extends QueryPack {
     s.table(sink)
   }
 
-  /** Parquet sink roots from past file-sink runs — deleted when the next
-    * run starts (same eviction discipline as `liveSinks`; the returned
-    * DataFrame is consumed before the next gate runs). */
-  private val liveSinkDirs = scala.collection.mutable.Set.empty[java.nio.file.Path]
+  /** Parquet sink roots from past file-sink runs, keyed by GATE NAME.
+    * Eviction is per key: a run deletes only the SAME gate's previous
+    * root (the bench executes every query twice, so same-gate reruns are
+    * the accretion path), never another gate's — a previously returned
+    * q191 DataFrame stays re-readable while later gates run. Whatever
+    * remains at JVM exit is removed by a shutdown hook (the same
+    * root-cleanup pattern as MaterializeOnce), so the LAST run's dir
+    * doesn't outlive the suite. ConcurrentHashMap: gates run sequentially
+    * today, but the registry must not corrupt if that ever changes. */
+  private val liveSinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val sinkHookArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def claimSinkRoot(qn: String, runId: Int): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    if (sinkHookArmed.compareAndSet(false, true))
+      sys.addShutdownHook {
+        liveSinkDirs.values.forEach(p => if (Files.exists(p)) deleteTree(p))
+      }
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_mbsink_$runId")
+    if (Files.exists(root)) deleteTree(root)
+    Option(liveSinkDirs.put(qn, root))
+      .foreach(prev => if (prev != root && Files.exists(prev)) deleteTree(prev))
+    root
+  }
 
   /** The `runMicroBatch` execution path with a FILE (parquet) sink + real
     * checkpoint dir instead of `format("memory")` — the only sink shape
@@ -145,22 +185,40 @@ object StreamingQueries extends QueryPack {
     * into the driver; the parquet sink streams each micro-batch's
     * emissions to storage and commits them via the sink's transaction
     * log). The result is read BACK from the sink files, so the gate
-    * hashes what the sink durably wrote, not what the query emitted. */
-  private def runMicroBatchToFiles(s: SparkSession, d: String, qn: String)(
-      build: DataFrame => DataFrame): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    * hashes what the sink durably wrote, not what the query emitted.
+    * `sliceDir`/`schema` describe the pre-sliced file-source input (see
+    * [[writeSlices]]); the slice dir is deleted with the stream. */
+  private def runMicroBatchToFiles(s: SparkSession, qn: String,
+                                   sliceDir: String, schema: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    runMicroBatchToFilesRoot(s, qn, sliceDir, schema)(build)._1
+
+  /** As [[runMicroBatchToFiles]], also returning the claimed sink root so
+    * a composing gate (q197's compaction) can place derived output under
+    * the same per-gate-evicted, shutdown-hooked lifecycle. */
+  private def runMicroBatchToFilesRoot(s: SparkSession, qn: String,
+                                       sliceDir: String, schema: String)(
+      build: DataFrame => DataFrame): (DataFrame, java.nio.file.Path) = {
     val runId = mbRun.incrementAndGet()
-    liveSinkDirs.foreach(p => if (Files.exists(p)) deleteTree(p))
-    liveSinkDirs.clear()
-    val dir = sliceEventsForStream(s, d, nSlices = 8, runId)
-    val src = s.readStream
-      .schema("event_id LONG, user_id LONG, event_type STRING, us LONG")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_mbsink_$runId")
-    if (Files.exists(root)) deleteTree(root)
+    val root = claimSinkRoot(qn, runId)
     val out = root.resolve("data").toString
     val ckpt = root.resolve("ckpt").toString
+    try runStreamOnce(s, sliceDir, schema, out, ckpt)(build)
+    finally deleteTree(java.nio.file.Paths.get(sliceDir))
+    (s.read.parquet(out), root)
+  }
+
+  /** One `writeStream` run over the slice-dir file source into the parquet
+    * sink at `out` with checkpoint `ckpt`: start, drain every available
+    * slice (one micro-batch each), stop. Restartable: a second call with
+    * the same out/ckpt resumes from the checkpointed offsets. */
+  private def runStreamOnce(s: SparkSession, sliceDir: String, schema: String,
+                            out: String, ckpt: String)(
+      build: DataFrame => DataFrame): Unit = {
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sliceDir)
     // Same 8-state-partition rationale as runMicroBatch.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -170,11 +228,59 @@ object StreamingQueries extends QueryPack {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try q.processAllAvailable() finally {
-      try q.stop()
-      finally deleteTree(Paths.get(dir))
-    }
-    liveSinkDirs += root
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** CHECKPOINT-RECOVERY harness: q191's stream run in TWO query
+    * incarnations against one checkpoint + sink. The first sees only the
+    * first `firstFiles` slices; after it drains and stops, the newest
+    * entry of the checkpoint's commit log is DELETED — the exact on-disk
+    * state of a crash between the offset write and the commit write — the
+    * remaining slices are made visible, and a NEW query starts from the
+    * same checkpoint. The restart must REPLAY the uncommitted batch; the
+    * file sink's own transaction log makes the replay idempotent (the
+    * batch is already recorded there, so its rewrite is skipped), which is
+    * the exactly-once contract this gate hashes: sink contents after
+    * crash + replay + continuation must equal the uninterrupted oracle. */
+  private def runMicroBatchWithRestart(s: SparkSession, qn: String,
+                                       sliceDir: String, schema: String,
+                                       firstFiles: Int)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val runId = mbRun.incrementAndGet()
+    val root = claimSinkRoot(qn, runId)
+    val out = root.resolve("data").toString
+    val ckpt = root.resolve("ckpt")
+    try {
+      // Stage the slices: only the first `firstFiles` are visible to the
+      // first query incarnation (a live stream has not yet received the
+      // rest); the remainder move in before the restart.
+      val all = Files.list(Paths.get(sliceDir)).iterator().asScala.toSeq
+        .sortBy(_.getFileName.toString)
+      val live = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_live_$runId")
+      if (Files.exists(live)) deleteTree(live)
+      Files.createDirectories(live)
+      def reveal(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+        Files.move(p, live.resolve(p.getFileName))
+      }
+      reveal(all.take(firstFiles))
+      try {
+        runStreamOnce(s, live.toString, schema, out, ckpt.toString)(build)
+        // Crash simulation: drop the newest commit marker (and its
+        // checksum twin if the local FS wrote one), leaving its offsets
+        // entry in place — the restart sees "offsets written, commit
+        // missing" and must re-execute that batch from checkpointed state.
+        val commits = Files.list(ckpt.resolve("commits")).iterator().asScala
+          .filter(_.getFileName.toString.matches("\\d+")).toSeq
+        val newest = commits.maxBy(_.getFileName.toString.toLong)
+        Files.delete(newest)
+        Files.deleteIfExists(newest.resolveSibling(s".${newest.getFileName}.crc"))
+        reveal(all.drop(firstFiles))
+        runStreamOnce(s, live.toString, schema, out, ckpt.toString)(build)
+      } finally deleteTree(live)
+    } finally deleteTree(java.nio.file.Paths.get(sliceDir))
     s.read.parquet(out)
   }
 
@@ -351,11 +457,108 @@ object StreamingQueries extends QueryPack {
     // end-to-end: the memory sink is driver-bounded, the file sink is
     // exactly what a 100× corpus would stream into.
     "q191_stream_sessions_filesink" -> ((s, d) => {
-      runMicroBatchToFiles(s, d, "graft_mb_sessions_file") { src =>
+      runMicroBatchToFiles(s, "q191_stream_sessions_filesink",
+        sliceEventsForStream(s, d, nSlices = 8, mbRun.incrementAndGet()),
+        EventsSchema) { src =>
         EventStreams.userSessions(
           src.withColumn("ts", timestamp_micros(col("us"))),
           withWatermark = true)
       }
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // CHECKPOINT RECOVERY (q191's missing half — the file sink's actual
+    // scale claim is exactly-once ACROSS RESTARTS, which one uninterrupted
+    // run never exercises): the same watermarked session-window stream is
+    // run as TWO query incarnations against one checkpoint + sink. The
+    // first drains 4 of the 10 slices and stops; the newest commit-log
+    // entry is then deleted — the exact on-disk state of a crash between
+    // the offset write and the commit write — and a NEW query resumes from
+    // the checkpoint, REPLAYS the uncommitted batch (the file sink's
+    // transaction log makes the rewrite a no-op), and processes the rest.
+    // The sink is read back and gated against the SAME gaps-and-islands
+    // oracle as the uninterrupted run: any duplicate from the replayed
+    // trigger, any dropped state, any watermark regression hash-fails.
+    "q194_stream_sessions_restart" -> ((s, d) => {
+      runMicroBatchWithRestart(s, "q194_stream_sessions_restart",
+        sliceEventsForStream(s, d, nSlices = 8, mbRun.incrementAndGet()),
+        EventsSchema, firstFiles = 4) { src =>
+        EventStreams.userSessions(
+          src.withColumn("ts", timestamp_micros(col("us"))),
+          withWatermark = true)
+      }
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // REAL micro-batch + parquet-sink run of the streaming EXACT-dedup
+    // kernel (q53's streaming half — the last operator family verified
+    // only as a batch twin): the documents table becomes an 8-file
+    // doc_id-range file-source stream, each slice one trigger, the
+    // per-fingerprint first-arrival state carried between micro-batches
+    // by the state store, every verdict committed to the file sink's
+    // transaction log and read back from the sink files. Slices are
+    // doc_id-ordered and the kernel scans each batch in doc_id order, so
+    // first_id = min(doc_id) per fingerprint exactly as in batch mode —
+    // the oracle is q53's SQL VERBATIM: streaming execution and the batch
+    // kernel can never drift (the q186/q191 discipline applied to dedup).
+    "q192_stream_exact_dedup_microbatch" -> ((s, d) => {
+      import s.implicits._
+      runMicroBatchToFiles(s, "q192_stream_exact_dedup_microbatch",
+        writeSlices(s, s"graft_stream_${mbRun.incrementAndGet()}",
+          rangeSlices(Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", 8)),
+        "doc_id LONG, text STRING") { src =>
+        graft.streaming.StreamingDedup.exactDedup(
+          graft.streaming.StreamingDedup.fingerprints(
+            src.as[graft.streaming.StreamingDedup.DocText])).toDF()
+      }
+        .orderBy(col("doc_id"))
+    }),
+
+    // q192's near-dup sibling: the streaming MinHash-band kernel (q54)
+    // through the same real micro-batch + parquet-sink harness. The
+    // stream input is the corpus's STANDING shingle table (the
+    // MaterializeOnce relation every dedup consumer reads) sliced by
+    // doc_id range, so per-bucket signature state accumulates across
+    // micro-batches exactly as arrivals would feed it in production; the
+    // earliest-member verdicts equal the batch kernel's because arrival
+    // order is doc_id order both between slices (range slicing) and
+    // within each batch (the kernel's sort). Oracle = q54's SQL VERBATIM.
+    "q193_stream_near_dedup_microbatch" -> ((s, d) => {
+      runMicroBatchToFiles(s, "q193_stream_near_dedup_microbatch",
+        writeSlices(s, s"graft_stream_${mbRun.incrementAndGet()}",
+          rangeSlices(TextPipelineQueries.materializedShingles(s, d),
+            "doc_id", 8)),
+        "doc_id LONG, hs ARRAY<LONG>") { src =>
+        graft.streaming.StreamingDedup.nearDupVerdicts(
+          graft.streaming.StreamingDedup.signaturesFromShingles(src),
+          minAgree = 4, maxBucketSigs = Int.MaxValue).toDF()
+      }
+        .orderBy(col("doc_id"), col("band"))
+    }),
+
+    // SMALL-FILE COMPACTION for streaming sinks (the ops gap a micro-batch
+    // parquet sink creates at scale: one file per trigger per partition —
+    // at 100× volume, the classic small-file swamp). The q191 stream runs
+    // into its own file sink, then SinkCompaction.compact rewrites the
+    // committed files into size-targeted ones (file count from committed
+    // bytes / target, hash-partitioned rewrite) in a sibling dir, and the
+    // gate hashes the COMPACTED relation against the same session-window
+    // oracle — compaction must be byte-content-invariant. The 64 KiB
+    // target forces a real many→few rewrite at gate scale.
+    "q197_stream_sink_compaction" -> ((s, d) => {
+      val (sink, root) = runMicroBatchToFilesRoot(s, "q197_stream_sink_compaction",
+        sliceEventsForStream(s, d, nSlices = 8, mbRun.incrementAndGet()),
+        EventsSchema) { src =>
+        EventStreams.userSessions(
+          src.withColumn("ts", timestamp_micros(col("us"))),
+          withWatermark = true)
+      }
+      graft.streaming.SinkCompaction
+        .compact(s, sink, targetBytes = 64 * 1024,
+          outDir = root.resolve("compact").toString)
         .filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("session_start"))
     }),
@@ -398,58 +601,10 @@ object StreamingQueries extends QueryPack {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start"""
 
-  val oracles: Map[String, String] = Map(
-    // Oracle-identity with the batch window formulation: the defining
-    // property of the streaming kernel is equality with q130.
-    "q143_stream_sessionization" ->
-      RelationalQueries.oracles("q130_sessionization"),
-    // The micro-batch runs are gated against the SAME oracles as their
-    // batch twins — real streaming execution must land on identical rows.
-    "q187_stream_sessionization_microbatch" ->
-      RelationalQueries.oracles("q130_sessionization"),
-    "q40_tumbling_window" -> """
-      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-             event_type,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_value
-      FROM events
-      GROUP BY 1, 2
-      ORDER BY window_start, event_type""",
-
-    // Gaps-and-islands: a session break is a gap STRICTLY GREATER than the
-    // 2h inactivity timeout (Spark merges windows that touch exactly:
-    // [t, t+gap) U [t+gap, ...) share the boundary instant).
-    "q41_session_window" -> sessionWindowSql,
-    // Micro-batch run of the same session-window aggregation: same oracle.
-    "q186_stream_sessions_microbatch" -> sessionWindowSql,
-    // File-sink run: what the parquet sink durably wrote must equal the
-    // same oracle rows.
-    "q191_stream_sessions_filesink" -> sessionWindowSql,
-
-    // Per-event cents rounding mirrors the state kernel's
-    // `cents += math.round(value * 100)` exactly (all values positive, so
-    // JS/Scala half-up and DuckDB half-away-from-zero agree).
-    "q46_running_totals" -> """
-      SELECT user_id,
-             COUNT(*) AS n_events,
-             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
-      FROM events
-      GROUP BY user_id
-      ORDER BY user_id""",
-
-    // Each event belongs to the two hour-aligned 2h windows covering it.
-    "q42_sliding_window" -> """
-      SELECT strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
-                      '%Y-%m-%d %H:%M:%S') AS window_start,
-             COUNT(*) AS n
-      FROM events, unnest([0, 1]) AS t(o)
-      GROUP BY 1
-      ORDER BY window_start""",
-
-    // Streaming exact dedup ≡ per-fingerprint min-id: the fingerprint CTE
-    // is q48's Rabin-Karp fold verbatim (same hex32 hash arithmetic), the
-    // verdict columns are pure window SQL over it.
-    "q53_stream_exact_dedup" -> s"""
+  /** q53's oracle — shared verbatim with the real micro-batch run (q192):
+    * the streaming kernel under actual `writeStream` execution must land
+    * on identical rows to the batch-mode twin. */
+  private val exactDedupSql: String = s"""
       WITH t AS (
         SELECT doc_id,
                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
@@ -465,16 +620,10 @@ object StreamingQueries extends QueryPack {
              MIN(doc_id) OVER (PARTITION BY fp) AS first_id,
              doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
       FROM h
-      ORDER BY doc_id""",
+      ORDER BY doc_id"""
 
-    // Streaming near-dup kernel ≡ per-(doc, band) earliest bucket member
-    // with slot agreement >= 4/8. The shingle/minhash/band CTEs are the
-    // q34 oracle's construction (8 affine permutations, 4 bands × 2 rows,
-    // md5 band keys) with the same hex32 hash arithmetic; the verdict is a
-    // grouped min over agreement-qualified in-bucket predecessors, with
-    // arg_min picking the est_jaccard of exactly the member the kernel's
-    // oldest-first scan reports.
-    "q54_stream_near_dedup" -> s"""
+  /** q54's oracle — shared verbatim with the real micro-batch run (q193). */
+  private val nearDedupSql: String = s"""
       WITH t AS (
         SELECT doc_id,
                list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
@@ -511,7 +660,83 @@ object StreamingQueries extends QueryPack {
       FROM matches
       WHERE n_agree >= 4
       GROUP BY doc_id, band
-      ORDER BY doc_id, band""",
+      ORDER BY doc_id, band"""
+
+  val oracles: Map[String, String] = Map(
+    // Oracle-identity with the batch window formulation: the defining
+    // property of the streaming kernel is equality with q130.
+    "q143_stream_sessionization" ->
+      RelationalQueries.oracles("q130_sessionization"),
+    // The micro-batch runs are gated against the SAME oracles as their
+    // batch twins — real streaming execution must land on identical rows.
+    "q187_stream_sessionization_microbatch" ->
+      RelationalQueries.oracles("q130_sessionization"),
+    "q40_tumbling_window" -> """
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+
+    // Gaps-and-islands: a session break is a gap STRICTLY GREATER than the
+    // 2h inactivity timeout (Spark merges windows that touch exactly:
+    // [t, t+gap) U [t+gap, ...) share the boundary instant).
+    "q41_session_window" -> sessionWindowSql,
+    // Micro-batch run of the same session-window aggregation: same oracle.
+    "q186_stream_sessions_microbatch" -> sessionWindowSql,
+    // File-sink run: what the parquet sink durably wrote must equal the
+    // same oracle rows.
+    "q191_stream_sessions_filesink" -> sessionWindowSql,
+    // Crash + checkpoint-restart run: the sink after a replayed trigger
+    // and a resumed query must STILL equal the uninterrupted oracle rows
+    // (exactly-once across restarts).
+    "q194_stream_sessions_restart" -> sessionWindowSql,
+    // Compacted-sink run: rewriting the sink's files must not change one
+    // row — same oracle as the stream that filled it.
+    "q197_stream_sink_compaction" -> sessionWindowSql,
+
+    // Per-event cents rounding mirrors the state kernel's
+    // `cents += math.round(value * 100)` exactly (all values positive, so
+    // JS/Scala half-up and DuckDB half-away-from-zero agree).
+    "q46_running_totals" -> """
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    // Each event belongs to the two hour-aligned 2h windows covering it.
+    "q42_sliding_window" -> """
+      SELECT strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
+                      '%Y-%m-%d %H:%M:%S') AS window_start,
+             COUNT(*) AS n
+      FROM events, unnest([0, 1]) AS t(o)
+      GROUP BY 1
+      ORDER BY window_start""",
+
+    // Streaming exact dedup ≡ per-fingerprint min-id: the fingerprint CTE
+    // is q48's Rabin-Karp fold verbatim (same hex32 hash arithmetic), the
+    // verdict columns are pure window SQL over it.
+    "q53_stream_exact_dedup" -> exactDedupSql,
+    // The REAL micro-batch + parquet-sink run of the same kernel: what the
+    // file sink durably wrote across 8 stateful triggers must equal the
+    // batch twin's oracle rows.
+    "q192_stream_exact_dedup_microbatch" -> exactDedupSql,
+
+    // Streaming near-dup kernel ≡ per-(doc, band) earliest bucket member
+    // with slot agreement >= 4/8. The shingle/minhash/band CTEs are the
+    // q34 oracle's construction (8 affine permutations, 4 bands × 2 rows,
+    // md5 band keys) with the same hex32 hash arithmetic; the verdict is a
+    // grouped min over agreement-qualified in-bucket predecessors, with
+    // arg_min picking the est_jaccard of exactly the member the kernel's
+    // oldest-first scan reports.
+    "q54_stream_near_dedup" -> nearDedupSql,
+    // The REAL micro-batch + parquet-sink run of the same kernel: bucket
+    // state accumulated across triggers must yield the batch twin's rows.
+    "q193_stream_near_dedup_microbatch" -> nearDedupSql,
 
     // Capped kernel ≡ first-N retention per bucket: processing is doc_id
     // ordered, so the held set when a doc arrives is the first
