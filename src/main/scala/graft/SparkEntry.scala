@@ -15,7 +15,8 @@ object SparkEntry {
     AuditKitQueries,
     TextPipelineQueries,
     VectorQueries,
-    StreamingQueries
+    StreamingQueries,
+    ZipGateQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

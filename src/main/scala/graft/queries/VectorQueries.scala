@@ -417,6 +417,65 @@ object VectorQueries extends QueryPack {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Sub-split plan for hot IVF posting lists — the operator that ACTS on
+    * q112's `is_hot` audit signal (a cluster past `hotFactor`× the even
+    * share would otherwise be scanned by ONE task per probe at serve
+    * time): per cluster, the number of hash sub-lists its posting list is
+    * split into — `ceil(balance / hotFactor)` so every sub-list lands
+    * near-or-under hotFactor× the even share, 1 for non-hot clusters.
+    * Pure integer arithmetic over the (≤ √n)-row size relation; the 1-row
+    * (total, occupied) aggregate broadcasts back (whitelisted NLJ). */
+  def ivfSubSplits(assigned: DataFrame, hotFactor: Int = 2): DataFrame = {
+    val sz = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_assigned"))
+    val tot = sz.agg(sum(col("n_assigned")).as("n_total"), count(lit(1)).as("k_occ"))
+    sz.join(broadcast(tot), expr("true"))
+      .select(col("cluster"),
+        expr(s"greatest(CAST(1 AS BIGINT), (n_assigned * k_occ + $hotFactor * n_total - 1) div ($hotFactor * n_total))")
+          .as("nsplits"))
+  }
+
+  /** The assignment relation with its sub-list id: a deterministic hash of
+    * vec_id mod the cluster's split count (same md5 hash family as every
+    * engine-stable gate — partitioning-independent, so the layout is
+    * reproducible across engines and reshuffles). `splits` is ≤ √n rows —
+    * broadcast. */
+  def ivfSubSplitAssignments(assigned: DataFrame, splits: DataFrame): DataFrame =
+    assigned.join(broadcast(splits), Seq("cluster"))
+      .withColumn("sub",
+        pmod(TextFns.hash32(concat(lit("ivfsub|"), col("vec_id").cast("string"))),
+          col("nsplits")))
+
+  /** IVF serve over the SUB-SPLIT layout: probes explode to one row per
+    * (probed cluster, sub-list) and the candidate join is keyed on
+    * (cluster, sub) — so a hot cluster's posting list is scanned by
+    * `nsplits` tasks instead of one, while the union of its sub-lists is
+    * exactly the flat posting list: results are IDENTICAL to
+    * [[ivfSearch]] by construction (gate q196 machine-checks this against
+    * q44's oracle). Probe fan-out is nprobe · ceil(balance/hotFactor)
+    * rows per query — bounded by the layout invariant, broadcastable. */
+  def ivfSearchSubSplit(assignedSub: DataFrame, splits: DataFrame,
+                        cents: DataFrame, queries: DataFrame,
+                        k: Int, nprobe: Int): DataFrame = {
+    val probes = queries.join(broadcast(cents), expr("true"))
+      .select(col("q_id"), col("q_emb"), col("c_id"),
+              Vectors.cosine(col("q_emb"), col("c_emb")).as("sim"))
+    val probed = TopK.perKey(probes, Seq("q_id"),
+        Seq(col("sim").desc, col("c_id")), nprobe, col("c_id"), salt = 4)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("probe_cluster"))
+    val probedSub = probed.join(broadcast(splits),
+        col("probe_cluster") === col("cluster"))
+      .select(col("q_id"), col("q_emb"), col("probe_cluster"),
+        explode(expr("sequence(CAST(0 AS BIGINT), nsplits - 1)")).as("probe_sub"))
+    val scored = assignedSub.join(broadcast(probedSub),
+        col("cluster") === col("probe_cluster") &&
+        col("sub") === col("probe_sub") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+              Vectors.cosine(col("q_emb"), col("embedding")).as("cos"))
+    TopK.perKey(scored, Seq("q_id"), Seq(col("cos").desc, col("vec_id")),
+        k, col("vec_id"))
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val n = embStats(s, d).n
@@ -552,6 +611,32 @@ object VectorQueries extends QueryPack {
       val qs = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       ivfSearch(standing.union(arriving), cents, qs, K, NProbe)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // HOT-CLUSTER SUB-SPLIT SERVE (the operator q112's is_hot flag calls
+    // for — before this, a skewed corpus served its hottest posting list
+    // from one task per probe): the SAME memoized index as q44, re-laid
+    // as hash sub-lists sized to ≤ ~2× the even share (ivfSubSplits /
+    // ivfSubSplitAssignments), probed via the exploded (cluster, sub)
+    // keys. The q188/q190 "layout ≡ semantics" discipline: the oracle is
+    // q44's flat-index SQL VERBATIM, so the sub-split layout is
+    // machine-checked result-identical at every tier; the task-size bound
+    // itself is spec-asserted on the adversarial skew tier
+    // (IvfSubSplitSpec).
+    "q196_ivf_subsplit_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embStats(s, d).n
+      val cents = graft.operators.MaterializeOnce(
+        s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        trainIvfCentroids(emb, n)
+      }
+      val assigned = assignTo(emb, cents)
+      val splits = ivfSubSplits(assigned)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ivfSearchSubSplit(ivfSubSplitAssignments(assigned, splits), splits,
+          cents, qs, K, NProbe)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -1595,6 +1680,9 @@ object VectorQueries extends QueryPack {
       // — same oracle as q47, enforced by the gate's hash compare.
       "q52_embed_dedup_incremental" -> q47Sql,
       "q44_ann_ivf" -> q44Sql,
+      // Sub-split layout serve: the flat-index oracle VERBATIM — a layout
+      // change must never change a result.
+      "q196_ivf_subsplit_serve" -> q44Sql,
       "q188_ivf_incremental" -> q188Sql,
       "q189_semdedup" -> q189Sql,
       // Incremental ≡ full is THE contract: q190 gates against q189's

@@ -35,6 +35,7 @@ class PlanGuardSpec extends SparkSpec {
     "q50_ann_recall",    // composes q38/q44, inheriting their bounded sides
     "q188_ivf_incremental", // q44's bounded sides (centroids ~sqrt(n), probes <= 10)
     "q189_semdedup",     // centroids (~sqrt(n), broadcast) cross corpus, as q44
+    "q196_ivf_subsplit_serve", // q44's bounded sides + the 1-row size-totals aggregate, broadcast
     "q190_semdedup_incremental", // q189's assignTo: centroids (~sqrt(n), broadcast) cross corpus
     "q85_pmi_phrases",   // the 1-row N1/N2 scalar-agg totals, broadcast
     "q88_textrank",      // the 1-row node-count scalar aggregate, broadcast
@@ -72,8 +73,15 @@ class PlanGuardSpec extends SparkSpec {
     // generation is a fully keyed (band, key, sub) equi-join; q39 left out
     // since round 6's multi-band rework — band-key equi-joins throughout.
 
+  /** Memoized per (query, sf): the three lint tests below each sweep the
+    * full surface, and deriving a plan is not free — the micro-batch
+    * gates EXECUTE their stream to produce the sink relation, so an
+    * uncached sweep would run every stream three times per sf. */
+  private val planCache =
+    scala.collection.mutable.Map.empty[(String, String), SparkPlan]
   private def planOf(name: String, sf: String): SparkPlan =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    planCache.getOrElseUpdate((name, sf),
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
 
   /** Single-partition shuffles that funnel UNAGGREGATED data through one
     * task — the plan-shape that turns a distributed query into a
