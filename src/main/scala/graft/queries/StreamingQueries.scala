@@ -37,6 +37,15 @@ object StreamingQueries extends QueryPack {
     }
   }
 
+  /** Directory listing with the stream CLOSED before returning (same
+    * handle-leak rule as [[deleteTree]]'s walk). */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.list(dir)) { ls =>
+      ls.iterator().asScala.toSeq
+    }
+  }
+
   /** Materialize the events table as `nSlices` time-ordered parquet FILES
     * in a fresh temp dir — the file-source stream input for the REAL
     * micro-batch gates (q186/q187). Slices partition the [min, max] event
@@ -98,9 +107,8 @@ object StreamingQueries extends QueryPack {
     parts.zipWithIndex.foreach { case (df, idx) =>
       val tmp = dir.resolve(s"_tmp_$idx")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      import scala.jdk.CollectionConverters._
-      val part = Files.list(tmp).iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).next()
+      val part = listDir(tmp)
+        .map(_.toString).find(_.endsWith(".parquet")).get
       val dst = dir.resolve(f"slice_$idx%03d.parquet")
       Files.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
       deleteTree(tmp)
@@ -247,7 +255,6 @@ object StreamingQueries extends QueryPack {
                                        firstFiles: Int)(
       build: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val runId = mbRun.incrementAndGet()
     val root = claimSinkRoot(qn, runId)
     val out = root.resolve("data").toString
@@ -256,8 +263,7 @@ object StreamingQueries extends QueryPack {
       // Stage the slices: only the first `firstFiles` are visible to the
       // first query incarnation (a live stream has not yet received the
       // rest); the remainder move in before the restart.
-      val all = Files.list(Paths.get(sliceDir)).iterator().asScala.toSeq
-        .sortBy(_.getFileName.toString)
+      val all = listDir(Paths.get(sliceDir)).sortBy(_.getFileName.toString)
       val live = Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_stream_live_$runId")
       if (Files.exists(live)) deleteTree(live)
@@ -272,8 +278,8 @@ object StreamingQueries extends QueryPack {
         // checksum twin if the local FS wrote one), leaving its offsets
         // entry in place — the restart sees "offsets written, commit
         // missing" and must re-execute that batch from checkpointed state.
-        val commits = Files.list(ckpt.resolve("commits")).iterator().asScala
-          .filter(_.getFileName.toString.matches("\\d+")).toSeq
+        val commits = listDir(ckpt.resolve("commits"))
+          .filter(_.getFileName.toString.matches("\\d+"))
         val newest = commits.maxBy(_.getFileName.toString.toLong)
         Files.delete(newest)
         Files.deleteIfExists(newest.resolveSibling(s".${newest.getFileName}.crc"))
