@@ -1045,6 +1045,31 @@ object RelationalQueries extends QueryPack {
           (col("cls_fp") / 1e4).cast("double").as("revenue"),
           round(col("cls_fp").cast("double") / col("tot_fp"), 6).as("share"))
         .orderBy(col("cls"))
+    }),
+
+    // CDC MERGE (operators/CdcApply): the events table read as a change
+    // log on user_id — each event an upsert carrying (event_type, value),
+    // 'error' a delete tombstone, latest-op-wins under the unique
+    // (ts, event_id) order — applied to the customer base table. The
+    // operator is ONE max_by aggregation (map-side partial — the log
+    // never shuffles whole) plus ONE key join; deleted keys vanish,
+    // untouched customers pass through with null payloads. This is the
+    // serving-table materialization every CDC/event pipeline ends in,
+    // and the batch kernel the streaming upsert sink (q202) must match.
+    "q201_cdc_apply" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val log = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"), col("value"))
+      graft.operators.CdcApply.applyLog(base, log,
+          baseKeyCol = "c_custkey", changeKeyCol = "user_id",
+          ordCols = Seq("us", "event_id"), opCol = "event_type",
+          deleteOp = "error", payloadCols = Seq("event_type", "value"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -1756,6 +1781,26 @@ object RelationalQueries extends QueryPack {
              ROUND(CAST(SUM(rev_fp) AS DOUBLE) / MAX(tot2.tot_fp), 6) AS share
       FROM k CROSS JOIN tot tot2
       GROUP BY 1
-      ORDER BY cls"""
+      ORDER BY cls""",
+
+    // q201's twin: latest change per key via arg_max over the SAME unique
+    // (ts, event_id) order, packed losslessly into one HUGEINT scalar
+    // (epoch_us·10^7 + event_id — ids are well under 10^7 at every tier,
+    // the q56 as-of encoding); tombstoned keys are dropped, untouched
+    // customers keep null payloads.
+    "q201_cdc_apply" -> """
+      WITH latest AS (
+        SELECT user_id,
+               arg_max(event_type,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS last_event_type,
+               arg_max(value,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS last_value
+        FROM events GROUP BY user_id)
+      SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+             l.last_event_type, l.last_value
+      FROM customer c
+      LEFT JOIN latest l ON l.user_id = c.c_custkey
+      WHERE l.user_id IS NULL OR l.last_event_type <> 'error'
+      ORDER BY c.c_custkey"""
   )
 }

@@ -569,6 +569,112 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // CHECKPOINT RECOVERY for the streaming DEDUP kernel (q194's restart
+    // harness applied to q192's stream — sessionization proved the
+    // crash/replay machinery, but the operator family a training-data
+    // pipeline runs 24/7 is dedup, and its state shape is different: a
+    // per-fingerprint first-arrival map, not a window accumulator). The
+    // exact-dedup stream is stopped after 4 of its 8 doc_id-range slices,
+    // the newest commit-log entry is deleted to force a replay, and a NEW
+    // query resumes from the checkpoint: the replayed trigger must emit
+    // verdicts from the RESTORED state version (a lost or double-applied
+    // fingerprint map flips first_id/is_dup on every later duplicate), and
+    // the file sink's transaction log must absorb the replayed write.
+    // Oracle = q53's SQL VERBATIM: crash + replay + continuation must be
+    // indistinguishable from the uninterrupted batch twin.
+    "q198_stream_exact_dedup_restart" -> ((s, d) => {
+      import s.implicits._
+      runMicroBatchWithRestart(s, "q198_stream_exact_dedup_restart",
+        writeSlices(s, s"graft_stream_${mbRun.incrementAndGet()}",
+          rangeSlices(Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", 8)),
+        "doc_id LONG, text STRING", firstFiles = 4) { src =>
+        graft.streaming.StreamingDedup.exactDedup(
+          graft.streaming.StreamingDedup.fingerprints(
+            src.as[graft.streaming.StreamingDedup.DocText])).toDF()
+      }
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAM-STATIC enrichment join through the real micro-batch +
+    // parquet-sink harness: each micro-batch of the events stream is
+    // joined to the STATIC customer dimension (explicitly broadcast — the
+    // canonical scale shape: the dim ships to every executor once, the
+    // stream never shuffles), and the enriched rows are committed to the
+    // file sink. Stateless, so append mode needs no watermark and every
+    // input row surfaces exactly once; the oracle is the plain batch join.
+    // This is the everything-pipeline operator (fact stream × dim table)
+    // that had zero streaming-execution coverage before this gate.
+    "q199_stream_static_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      runMicroBatchToFiles(s, "q199_stream_static_join",
+        writeSlices(s, s"graft_stream_${mbRun.incrementAndGet()}",
+          rangeSlices(ev, "us", 8)),
+        "event_id LONG, user_id LONG, event_type STRING, us LONG, value DOUBLE") { src =>
+        src.join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("c_mktsegment"), col("c_nationkey"))
+      }
+        .orderBy(col("event_id"))
+    }),
+
+    // STREAM-STREAM interval join under REAL watermarked execution (q57 is
+    // the batch twin; the join-state machinery — per-side buffers keyed by
+    // user_id, evicted as the watermark passes the time-range bound — only
+    // exists under writeStream and was never exercised). One time-sliced
+    // file source feeds both branches (purchases and clicks filtered from
+    // the same stream — still a genuine stream-stream join: two watermarked
+    // inputs to a streaming symmetric hash join); matches emit in the
+    // trigger where both sides are present. Safety margin: slices advance
+    // event time monotonically, the 2h watermark delay exceeds the 1h join
+    // window, so no click is evicted before its last possible purchase
+    // arrives — any premature eviction hash-fails against q57's oracle.
+    "q200_stream_stream_join" -> ((s, d) => {
+      runMicroBatchToFiles(s, "q200_stream_stream_join",
+        sliceEventsForStream(s, d, nSlices = 8, mbRun.incrementAndGet()),
+        EventsSchema) { src =>
+        EventStreams.purchaseClickPairs(
+          src.withColumn("ts", timestamp_micros(col("us"))),
+          withWatermark = true)
+      }
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // STREAMING UPSERT SINK (foreachBatch → bucketed, versioned serving
+    // table): the events stream applied as a CDC change log — each event
+    // upserts its user's (event_type, value), 'error' is a delete
+    // tombstone — into an on-storage keyed table, one micro-batch per
+    // slice, only TOUCHED buckets rewritten per batch (the write shape
+    // that survives 100× volume: a batch touching 3 of 4096 buckets
+    // rewrites 3 buckets, not the table). The gate reads the FINAL
+    // materialized state back from the bucket files and hashes it against
+    // the latest-op-wins oracle — so cross-batch merge order, tombstone
+    // retention, and the versioned-bucket read rule are all on the hook.
+    // Must equal q201's CDC-apply semantics restricted to keys in the log.
+    "q202_stream_upsert_sink" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      val runId = mbRun.incrementAndGet()
+      val root = claimSinkRoot("q202_stream_upsert_sink", runId)
+      val sliceDir = writeSlices(s, s"graft_stream_$runId",
+        rangeSlices(ev, "us", 8))
+      val state =
+        try graft.streaming.UpsertSink.run(s, sliceDir,
+          "user_id LONG, us LONG, event_id LONG, event_type STRING, value DOUBLE",
+          root.resolve("state"), keyCol = "user_id",
+          ordCols = Seq("us", "event_id"), opCol = "event_type",
+          deleteOp = "error", payloadCols = Seq("value"), nBuckets = 8)
+        finally deleteTree(java.nio.file.Paths.get(sliceDir))
+      state
+        .select(col("user_id"), col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     "q187_stream_sessionization_microbatch" -> ((s, d) => {
       import s.implicits._
       val sink = runMicroBatch(s, d, "graft_mb_sessionize") { src =>
@@ -627,6 +733,20 @@ object StreamingQueries extends QueryPack {
              doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
       FROM h
       ORDER BY doc_id"""
+
+  /** q57's oracle — inclusive on both ends, exactly the Spark predicate;
+    * shared verbatim with the real stream-stream run (q200): watermarked
+    * join-state execution must land on identical pairs. */
+  private val intervalJoinSql: String = """
+      WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click')
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM p
+      JOIN c ON c.user_id = p.user_id
+            AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 1 HOUR
+      ORDER BY purchase_id, click_id"""
 
   /** q54's oracle — shared verbatim with the real micro-batch run (q193). */
   private val nearDedupSql: String = s"""
@@ -731,6 +851,40 @@ object StreamingQueries extends QueryPack {
     // file sink durably wrote across 8 stateful triggers must equal the
     // batch twin's oracle rows.
     "q192_stream_exact_dedup_microbatch" -> exactDedupSql,
+    // Crash + checkpoint-restart run of the dedup kernel: the replayed
+    // trigger's verdicts from restored state plus the resumed stream must
+    // STILL equal the uninterrupted batch twin's rows.
+    "q198_stream_exact_dedup_restart" -> exactDedupSql,
+
+    // Stream-static join: the sink after 8 enrichment micro-batches must
+    // hold exactly the batch join's rows.
+    "q199_stream_static_join" -> """
+      SELECT e.event_id, e.user_id, e.event_type, e.value,
+             c.c_mktsegment, c.c_nationkey
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id""",
+
+    // Stream-stream run of the interval join: the watermarked join-state
+    // execution must land on the batch twin's exact pair set.
+    "q200_stream_stream_join" -> intervalJoinSql,
+
+    // Streaming upsert sink: the final bucketed state after 8 foreachBatch
+    // merges must equal latest-op-wins over the whole log (the same
+    // HUGEINT-packed unique order as q201's oracle), tombstoned keys
+    // absent.
+    "q202_stream_upsert_sink" -> """
+      WITH latest AS (
+        SELECT user_id,
+               arg_max(event_type,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS last_event_type,
+               arg_max(value,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS last_value
+        FROM events GROUP BY user_id)
+      SELECT user_id, last_event_type, last_value
+      FROM latest
+      WHERE last_event_type <> 'error'
+      ORDER BY user_id""",
 
     // Streaming near-dup kernel ≡ per-(doc, band) earliest bucket member
     // with slot agreement >= 4/8. The shingle/minhash/band CTEs are the
@@ -800,16 +954,7 @@ object StreamingQueries extends QueryPack {
       ORDER BY doc_id, band, dup_of""",
 
     // Interval join: inclusive on both ends, exactly the Spark predicate.
-    "q57_interval_join" -> """
-      WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'),
-           c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click')
-      SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
-             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-      FROM p
-      JOIN c ON c.user_id = p.user_id
-            AND c.ts <= p.ts
-            AND c.ts >= p.ts - INTERVAL 1 HOUR
-      ORDER BY purchase_id, click_id""",
+    "q57_interval_join" -> intervalJoinSql,
 
     // As-of ≡ arg_max over at-or-before candidates. The operator's window
     // order is (time, then tie=event_id); arg_max needs one scalar key, so
