@@ -675,6 +675,77 @@ object StreamingQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // CRASH-RESTART for the UPSERT sink (q194/q198's harness applied to
+    // q202's stream — the one streaming gate whose exactly-once is the
+    // ENGINE'S OWN code, not the file sink's transaction log; before this
+    // gate the replay claim in UpsertSink's doc was argued in comments and
+    // spec'd at toy scale only). Incarnation 1 drains 4 of the 8 CDC
+    // slices; then the sharpest reachable crash state is constructed by
+    // hand: the newest commit-log entry is deleted (offsets written,
+    // commit missing), the newest manifest is deleted, and the newest
+    // version dir is renamed back to its `_tmp_v` staging name — exactly a
+    // crash between the staging write and the publish rename. Incarnation
+    // 2 resumes from the checkpoint: its replayed batch must GC the
+    // orphaned staging dir, re-merge from the last MANIFESTED state, and
+    // republish idempotently before the remaining slices apply. The final
+    // bucket table is hashed against q202's latest-op-wins oracle
+    // VERBATIM: a lost bucket, a double-applied change, or a reader
+    // trusting unmanifested data all hash-fail.
+    "q203_stream_upsert_restart" -> ((s, d) => {
+      import java.nio.file.{Files, Paths}
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      val runId = mbRun.incrementAndGet()
+      val root = claimSinkRoot("q203_stream_upsert_restart", runId)
+      val sliceDir = writeSlices(s, s"graft_stream_$runId",
+        rangeSlices(ev, "us", 8))
+      val stateRoot = root.resolve("state")
+      val schema =
+        "user_id LONG, us LONG, event_id LONG, event_type STRING, value DOUBLE"
+      val applier = new graft.streaming.UpsertSink.Applier(s, stateRoot,
+        "user_id", Seq("us", "event_id"), "event_type", Seq("value"),
+        nBuckets = 8)
+      try {
+        val all = listDir(Paths.get(sliceDir)).sortBy(_.getFileName.toString)
+        val live = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_live_$runId")
+        if (Files.exists(live)) deleteTree(live)
+        Files.createDirectories(live)
+        def reveal(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
+          Files.move(p, live.resolve(p.getFileName))
+        }
+        reveal(all.take(4))
+        try {
+          graft.streaming.UpsertSink.runIncarnation(
+            s, live.toString, schema, stateRoot, applier)
+          // Forced crash between staging write and publish of the newest
+          // batch: commit gone, manifest gone, data back in staging.
+          val commits = listDir(stateRoot.resolve("_ckpt").resolve("commits"))
+            .filter(_.getFileName.toString.matches("\\d+"))
+          val newest = commits.maxBy(_.getFileName.toString.toLong)
+          val lastBatch = newest.getFileName.toString.toLong
+          Files.delete(newest)
+          Files.deleteIfExists(
+            newest.resolveSibling(s".${newest.getFileName}.crc"))
+          Files.deleteIfExists(
+            stateRoot.resolve("_manifest").resolve(lastBatch.toString))
+          val vDir = stateRoot.resolve(s"v$lastBatch")
+          if (Files.exists(vDir))
+            Files.move(vDir, stateRoot.resolve(s"_tmp_v$lastBatch"))
+          reveal(all.drop(4))
+          graft.streaming.UpsertSink.runIncarnation(
+            s, live.toString, schema, stateRoot, applier)
+        } finally deleteTree(live)
+      } finally deleteTree(Paths.get(sliceDir))
+      graft.streaming.UpsertSink
+        .readState(s, stateRoot, "user_id", "event_type",
+          deleteOp = "error", payloadCols = Seq("value"))
+        .select(col("user_id"), col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     "q187_stream_sessionization_microbatch" -> ((s, d) => {
       import s.implicits._
       val sink = runMicroBatch(s, d, "graft_mb_sessionize") { src =>
@@ -788,6 +859,22 @@ object StreamingQueries extends QueryPack {
       GROUP BY doc_id, band
       ORDER BY doc_id, band"""
 
+  /** q202's oracle — shared verbatim with the crash-restart run (q203):
+    * crash + replay + continuation must be indistinguishable from the
+    * uninterrupted stream. */
+  private val upsertSinkSql: String = """
+      WITH latest AS (
+        SELECT user_id,
+               arg_max(event_type,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS last_event_type,
+               arg_max(value,
+                 CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS last_value
+        FROM events GROUP BY user_id)
+      SELECT user_id, last_event_type, last_value
+      FROM latest
+      WHERE last_event_type <> 'error'
+      ORDER BY user_id"""
+
   val oracles: Map[String, String] = Map(
     // Oracle-identity with the batch window formulation: the defining
     // property of the streaming kernel is equality with q130.
@@ -873,18 +960,12 @@ object StreamingQueries extends QueryPack {
     // merges must equal latest-op-wins over the whole log (the same
     // HUGEINT-packed unique order as q201's oracle), tombstoned keys
     // absent.
-    "q202_stream_upsert_sink" -> """
-      WITH latest AS (
-        SELECT user_id,
-               arg_max(event_type,
-                 CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS last_event_type,
-               arg_max(value,
-                 CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id) AS last_value
-        FROM events GROUP BY user_id)
-      SELECT user_id, last_event_type, last_value
-      FROM latest
-      WHERE last_event_type <> 'error'
-      ORDER BY user_id""",
+    "q202_stream_upsert_sink" -> upsertSinkSql,
+    // Crash + checkpoint-restart run of the upsert sink: the table after a
+    // forced mid-publish crash, a replayed merge from manifested state,
+    // and the resumed stream must STILL equal the uninterrupted oracle
+    // rows (the engine-owned exactly-once claim, machine-checked).
+    "q203_stream_upsert_restart" -> upsertSinkSql,
 
     // Streaming near-dup kernel ≡ per-(doc, band) earliest bucket member
     // with slot agreement >= 4/8. The shingle/minhash/band CTEs are the

@@ -2,33 +2,50 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, StandardCopyOption}
 
 /** Streaming UPSERT materialization — `foreachBatch` applying a CDC change
   * stream to a bucketed, versioned serving table on storage (the sink shape
   * behind every "stream into a keyed table" pipeline; Spark's built-in file
   * sink is append-only, so upsert is necessarily a foreachBatch operator).
   *
-  * Layout: `stateRoot/v<batchId>/bucket=<b>/part-*.parquet`. Each micro-batch
-  *  1. compacts its rows to one winning change per key
+  * Layout: `stateRoot/v<batchId>/bucket=<b>/part-*.parquet`, with a
+  * MANIFEST (`stateRoot/_manifest/<batchId>`, one `bucket<TAB>version` line
+  * per live bucket) as the single source of truth for "current". Each
+  * micro-batch:
+  *  1. GCs state left by crashed or superseded writes: any bucket dir not
+  *     referenced by the newest manifest, stray `_tmp_v*` staging dirs,
+  *     and all older manifests. GC runs at the START of the batch — after
+  *     the previous batch's manifest is durable — so a crash anywhere in
+  *     the write path always leaves the referenced copies intact for
+  *     replay to read.
+  *  2. compacts the batch to one winning change per key
   *     ([[graft.operators.CdcApply.latestChanges]] — map-side partial, the
   *     batch never shuffles whole);
-  *  2. computes the TOUCHED buckets (`hash(key) mod nBuckets`) — at scale
+  *  3. computes the TOUCHED buckets (`hash(key) mod nBuckets`) — at scale
   *     this is the point: a batch touching 3 of 4096 buckets rewrites 3
   *     buckets, not the table;
-  *  3. reads only those buckets' current content, merges latest-wins (the
-  *     ord columns are retained in state, so out-of-order batches still
-  *     resolve correctly), and writes the result as ONE job partitioned by
-  *     bucket under a version dir named by the batch id;
-  *  4. GCs superseded older copies of the touched buckets (best-effort —
-  *     correctness never depends on it, see below).
+  *  4. reads only those buckets' current content (resolved through the
+  *     manifest — ZERO directory listing on the read path; at 4096 buckets
+  *     on an object store, a listing-based read rule is thousands of LIST
+  *     calls per trigger and depends on listing consistency), merges
+  *     latest-wins, and writes the result to a staging dir
+  *     (`_tmp_v<batchId>`) as ONE job partitioned by bucket;
+  *  5. publishes: renames the staging dir to `v<batchId>`, then writes the
+  *     new manifest (previous entries with the touched buckets remapped)
+  *     LAST, via atomic rename.
   *
-  * Exactly-once: the version dir is keyed by batchId, so a replayed batch
-  * overwrites `v<batchId>` with identical content. Latest-wins merge is
-  * idempotent (re-merging rows already absorbed into state changes
-  * nothing), so recovery converges even if the crash left `v<batchId>`
-  * partially visible. Readers take the NEWEST version of each bucket;
-  * stale un-GC'd copies are ignored, never wrong.
+  * Exactly-once across crash/replay (machine-checked per tier by gate
+  * q203, which forces the crash and hashes the recovered table against the
+  * uninterrupted oracle): whatever step the crash lands on, the newest
+  * manifest still describes a fully-consistent table — staged or published
+  * data without a manifest is invisible and GC'd on replay. A replayed
+  * batch re-reads exactly the state its first attempt read (or, if the
+  * manifest did land, state that already absorbed it — latest-wins
+  * re-merge of absorbed rows is a no-op), and overwrites `v<batchId>` and
+  * manifest `<batchId>` with identical content. The stage-then-rename
+  * publish also keeps the merge's input paths disjoint from its output, so
+  * a replay never overwrites a directory its own scan is reading.
   *
   * Tombstones: a delete op is RETAINED in state (with its ord) and filtered
   * at read time — physically dropping it would let an out-of-order earlier
@@ -36,7 +53,7 @@ import java.nio.file.{Files, Path}
   */
 object UpsertSink {
 
-  /** Observability for specs/ops: per-run write amplification. */
+  /** Observability for specs/ops: per-incarnation write amplification. */
   final case class Stats(batches: Int, bucketWrites: Long)
   @volatile var lastStats: Stats = Stats(0, 0L)
 
@@ -52,37 +69,104 @@ object UpsertSink {
 
   private def deleteTree(dir: Path): Unit = {
     import scala.jdk.CollectionConverters._
-    scala.util.Using.resource(Files.walk(dir)) { walk =>
-      walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+    if (Files.exists(dir))
+      scala.util.Using.resource(Files.walk(dir)) { walk =>
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+  }
+
+  private def manifestDir(stateRoot: Path): Path = stateRoot.resolve("_manifest")
+
+  /** The newest committed manifest: (batchId, bucket → version dir name).
+    * One listing of the manifest dir (1-2 files after GC) — never of the
+    * data tree. */
+  private def newestManifest(stateRoot: Path): Option[(Long, Map[Int, String])] = {
+    import scala.jdk.CollectionConverters._
+    val files = listDir(manifestDir(stateRoot))
+      .filter(_.getFileName.toString.matches("\\d+"))
+    if (files.isEmpty) None
+    else {
+      val newest = files.maxBy(_.getFileName.toString.toLong)
+      val entries = Files.readAllLines(newest).asScala.iterator
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(b, v) = line.split('\t')
+          b.toInt -> v
+        }.toMap
+      Some((newest.getFileName.toString.toLong, entries))
     }
   }
 
-  /** bucket → newest version dir holding it (readers' view of "current"). */
-  private def currentBuckets(stateRoot: Path): Map[Int, Path] = {
-    val versions = listDir(stateRoot)
-      .filter(_.getFileName.toString.startsWith("v"))
-      .sortBy(_.getFileName.toString.drop(1).toLong)
-    versions.foldLeft(Map.empty[Int, Path]) { (acc, v) =>
-      acc ++ listDir(v).flatMap(b => b.getFileName.toString match {
-        case BucketRe(n) => Some(n.toInt -> b)
-        case _ => None
-      })
+  /** Readers' view of "current": bucket → its manifest-referenced dir. */
+  private def currentBuckets(stateRoot: Path): Map[Int, Path] =
+    newestManifest(stateRoot).fold(Map.empty[Int, Path]) { case (_, m) =>
+      m.map { case (b, v) => b -> stateRoot.resolve(v).resolve(s"bucket=$b") }
+    }
+
+  /** Manifest-last commit: write to a dotted temp name, atomic-rename into
+    * place. A replayed batch overwrites its own entry with identical
+    * content (REPLACE_EXISTING), preserving idempotence. */
+  private def writeManifest(stateRoot: Path, batchId: Long,
+                            entries: Map[Int, String]): Unit = {
+    val dir = manifestDir(stateRoot)
+    Files.createDirectories(dir)
+    val body = entries.toSeq.sorted
+      .map { case (b, v) => s"$b\t$v" }.mkString("", "\n", "\n")
+    val tmp = dir.resolve(s".$batchId.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, dir.resolve(batchId.toString),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop everything the newest manifest does not reference: superseded
+    * bucket copies, stray `_tmp_v*` staging dirs from crashed writes,
+    * emptied version dirs, and older manifests. Runs at batch START (and
+    * is itself crash-safe: it only ever deletes unreferenced state). */
+  private def gcSuperseded(stateRoot: Path): Unit = {
+    val m = newestManifest(stateRoot)
+    val live: Set[Path] = m.fold(Set.empty[Path]) { case (_, entries) =>
+      entries.map { case (b, v) =>
+        stateRoot.resolve(v).resolve(s"bucket=$b")
+      }.toSet
+    }
+    listDir(stateRoot).foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("_tmp_v")) deleteTree(p)
+      else if (name.startsWith("v")) {
+        listDir(p).foreach { b =>
+          b.getFileName.toString match {
+            case BucketRe(_) if !live.contains(b) => deleteTree(b)
+            case _ => ()
+          }
+        }
+        if (!listDir(p).exists(_.getFileName.toString.startsWith("bucket=")))
+          deleteTree(p)
+      }
+    }
+    m.foreach { case (newest, _) =>
+      listDir(manifestDir(stateRoot))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.matches("\\d+") && n.toLong != newest
+        }
+        .foreach(Files.delete)
     }
   }
 
-  /** Run the upsert stream over `sliceDir` (one micro-batch per file) to
-    * completion and return the FINAL serving table: one row per live key
-    * (tombstoned keys filtered), columns key + op + payloads. */
-  def run(spark: SparkSession, sliceDir: String, schema: String,
-          stateRoot: Path, keyCol: String, ordCols: Seq[String],
-          opCol: String, deleteOp: String, payloadCols: Seq[String],
-          nBuckets: Int): DataFrame = {
-    val stateCols = (opCol +: ordCols) ++ payloadCols
-    var batches = 0
-    var bucketWrites = 0L
+  /** The per-micro-batch merge, exposed so a restart harness (gate q203)
+    * can run two stream incarnations over one `stateRoot`. Mutable
+    * counters observe write amplification per incarnation. */
+  final class Applier(spark: SparkSession, stateRoot: Path, keyCol: String,
+                      ordCols: Seq[String], opCol: String,
+                      payloadCols: Seq[String], nBuckets: Int)
+      extends Serializable {
+    @volatile var batches = 0
+    @volatile var bucketWrites = 0L
+    private val stateCols = (opCol +: ordCols) ++ payloadCols
 
-    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    def apply(batch: DataFrame, batchId: Long): Unit = {
+      gcSuperseded(stateRoot)
       // Ord columns ride along as payload so state keeps the winning
       // change's ordering key for cross-batch latest-wins merges.
       val latest = graft.operators.CdcApply
@@ -100,41 +184,65 @@ object UpsertSink {
         val merged = graft.operators.CdcApply.latestChanges(
           existing.fold(latest)(latest.unionByName(_)),
           keyCol, ordCols, opCol, ordCols ++ payloadCols)
-        val vDir = stateRoot.resolve(s"v$batchId")
+        // Stage → rename → manifest: each step leaves a recoverable state
+        // (see the object doc), and the scan over current buckets is fully
+        // consumed by the staging write before anything is deleted.
+        val tmpDir = stateRoot.resolve(s"_tmp_v$batchId")
         merged.withColumn("bucket", bucketOf)
           .write.mode("overwrite").partitionBy("bucket")
-          .parquet(vDir.toString)
-        // GC superseded copies of the touched buckets (best-effort: the
-        // newest-version read rule keeps stragglers harmless).
-        val touchedSet = touched.toSet
-        listDir(stateRoot)
-          .filter(v => v.getFileName.toString.startsWith("v") && v != vDir)
-          .foreach { v =>
-            listDir(v).foreach(b => b.getFileName.toString match {
-              case BucketRe(n) if touchedSet(n.toInt) => deleteTree(b)
-              case _ => ()
-            })
-            if (listDir(v).isEmpty) Files.delete(v)
-          }
+          .parquet(tmpDir.toString)
+        val vDir = stateRoot.resolve(s"v$batchId")
+        deleteTree(vDir)
+        Files.move(tmpDir, vDir)
+        val prev = newestManifest(stateRoot).fold(Map.empty[Int, String])(_._2)
+        writeManifest(stateRoot, batchId,
+          prev ++ touched.map(_ -> s"v$batchId"))
         bucketWrites += touched.length
       }
       batches += 1
     }
+  }
 
+  /** One `writeStream` incarnation over `sliceDir` (one micro-batch per
+    * file) driven through `applier`: start, drain, stop. Restartable — a
+    * second call with the same stateRoot resumes from the checkpointed
+    * offsets and REPLAYS any batch whose commit never landed. */
+  def runIncarnation(spark: SparkSession, sliceDir: String, schema: String,
+                     stateRoot: Path, applier: Applier): Unit = {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(sliceDir)
       .writeStream
       .option("checkpointLocation", stateRoot.resolve("_ckpt").toString)
-      .foreachBatch(applyBatch _)
+      .foreachBatch((b: DataFrame, id: Long) => applier.apply(b, id))
       .start()
     try q.processAllAvailable() finally q.stop()
-    lastStats = Stats(batches, bucketWrites)
+    lastStats = Stats(applier.batches, applier.bucketWrites)
+  }
 
+  /** The FINAL serving table at `stateRoot`: one row per live key
+    * (tombstoned keys filtered), columns key + op + payloads. Resolved
+    * entirely through the manifest — a stale or foreign version dir on
+    * disk is never consulted. */
+  def readState(spark: SparkSession, stateRoot: Path, keyCol: String,
+                opCol: String, deleteOp: String,
+                payloadCols: Seq[String]): DataFrame = {
     val cur = currentBuckets(stateRoot).values.map(_.toString).toSeq
     if (cur.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(cur: _*)
       .filter(col(opCol) =!= lit(deleteOp))
       .select((keyCol +: opCol +: payloadCols).map(col): _*)
+  }
+
+  /** Run the upsert stream over `sliceDir` to completion and return the
+    * final serving table (single-incarnation convenience; gate q202). */
+  def run(spark: SparkSession, sliceDir: String, schema: String,
+          stateRoot: Path, keyCol: String, ordCols: Seq[String],
+          opCol: String, deleteOp: String, payloadCols: Seq[String],
+          nBuckets: Int): DataFrame = {
+    val applier = new Applier(spark, stateRoot, keyCol, ordCols, opCol,
+      payloadCols, nBuckets)
+    runIncarnation(spark, sliceDir, schema, stateRoot, applier)
+    readState(spark, stateRoot, keyCol, opCol, deleteOp, payloadCols)
   }
 }

@@ -122,4 +122,112 @@ class UpsertSinkSpec extends SparkSpec {
       assert(replayed == first)
     } finally { deleteTree(root); deleteTree(slices) }
   }
+
+  test("read path trusts the manifest, not directory listing: an unmanifested version dir is invisible") {
+    val root = tmpRoot("graft_upsert_spec5")
+    val slices = tmpRoot("graft_upsert_spec5_in")
+    val b1 = (1L to 10L).map(k => (k, 10L, k, "U", k * 1.0))
+    try {
+      writeBatches(slices, Seq(df(b1)))
+      val before = collect(run(root, slices))
+      // Plant a decoy: a higher-numbered version dir holding a poison row.
+      // A "newest version dir wins" listing rule would surface key 9999;
+      // the manifest rule must never consult it.
+      df(Seq((9999L, 99L, 0L, "U", -1.0)))
+        .withColumn("bucket", lit(0))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(root.resolve("v999").toString)
+      val after = collect(UpsertSink.readState(spark, root,
+        "k", "op", "D", Seq("v")))
+      assert(after == before)
+      assert(!after.exists(_._1 == 9999L))
+    } finally { deleteTree(root); deleteTree(slices) }
+  }
+
+  test("after each batch only one manifest survives GC and it references every live bucket") {
+    val root = tmpRoot("graft_upsert_spec6")
+    val slices = tmpRoot("graft_upsert_spec6_in")
+    val b1 = (1L to 20L).map(k => (k, 10L, k, "U", 1.0))
+    val b2 = Seq((7L, 20L, 0L, "U", 2.0))
+    val b3 = Seq((8L, 30L, 0L, "U", 3.0))
+    try {
+      writeBatches(slices, Seq(df(b1), df(b2), df(b3)))
+      run(root, slices)
+      import scala.jdk.CollectionConverters._
+      // GC runs at batch START, so after batch 2 the manifests on disk are
+      // {1, 2}; a fourth batch would collapse them to {2}. Never more than
+      // the in-flight pair.
+      val manifests = scala.util.Using.resource(
+        Files.list(root.resolve("_manifest")))(_.iterator().asScala
+          .map(_.getFileName.toString).filter(_.matches("\\d+")).toSeq)
+      assert(manifests.sorted == Seq("1", "2"), manifests)
+      val entries = Files.readAllLines(
+        root.resolve("_manifest").resolve("2")).asScala.filter(_.nonEmpty)
+      // Every referenced bucket dir exists on disk.
+      entries.foreach { line =>
+        val Array(b, v) = line.split('\t')
+        assert(Files.isDirectory(root.resolve(v).resolve(s"bucket=$b")), line)
+      }
+    } finally { deleteTree(root); deleteTree(slices) }
+  }
+
+  test("forced mid-publish crash: replay GCs the staging dir, re-merges from manifested state, and converges") {
+    val root = tmpRoot("graft_upsert_spec7")
+    val rootRef = tmpRoot("graft_upsert_spec7_ref")
+    val slices = tmpRoot("graft_upsert_spec7_in")
+    val slicesRef = tmpRoot("graft_upsert_spec7_ref_in")
+    val batches = Seq(
+      (1L to 16L).map(k => (k, 10L, k, "U", k * 1.0)),
+      Seq((3L, 20L, 0L, "U", 33.0), (4L, 20L, 0L, "D", 0.0)),
+      Seq((4L, 30L, 0L, "U", 44.0), (17L, 30L, 0L, "U", 17.0)),
+      Seq((5L, 40L, 0L, "D", 0.0), (18L, 40L, 0L, "U", 18.0)))
+    try {
+      writeBatches(slicesRef, batches.map(df))
+      val uninterrupted = collect(run(rootRef, slicesRef))
+
+      // Incarnation 1 sees only the first two slices.
+      writeBatches(slices, batches.take(2).map(df))
+      val applier = new UpsertSink.Applier(spark, root, "k",
+        Seq("t", "i"), "op", Seq("v"), nBuckets = 8)
+      UpsertSink.runIncarnation(spark, slices.toString, Schema, root, applier)
+      // Crash shape: newest commit gone, newest manifest gone, newest
+      // version dir back in staging — exactly a crash between the staging
+      // write and the publish rename of batch 1.
+      import scala.jdk.CollectionConverters._
+      val commits = scala.util.Using.resource(
+        Files.list(root.resolve("_ckpt").resolve("commits")))(
+          _.iterator().asScala.toSeq)
+        .filter(_.getFileName.toString.matches("\\d+"))
+      val newest = commits.maxBy(_.getFileName.toString.toLong)
+      val lastBatch = newest.getFileName.toString.toLong
+      assert(lastBatch == 1L)
+      Files.delete(newest)
+      Files.deleteIfExists(newest.resolveSibling(s".${newest.getFileName}.crc"))
+      Files.delete(root.resolve("_manifest").resolve("1"))
+      Files.move(root.resolve("v1"), root.resolve("_tmp_v1"))
+
+      // Remaining slices arrive; incarnation 2 resumes from the checkpoint.
+      writeBatches(slices, batches.map(df))
+      val applier2 = new UpsertSink.Applier(spark, root, "k",
+        Seq("t", "i"), "op", Seq("v"), nBuckets = 8)
+      UpsertSink.runIncarnation(spark, slices.toString, Schema, root, applier2)
+      assert(!Files.exists(root.resolve("_tmp_v1")), "staging dir not GC'd")
+      val recovered = collect(UpsertSink.readState(spark, root,
+        "k", "op", "D", Seq("v")))
+      assert(recovered == uninterrupted)
+
+      // The replayed incarnation rewrote only the touched buckets of the
+      // batches it ran (replayed batch 1 + batches 2, 3), never the table.
+      def buckets(keys: Seq[Long]): Long =
+        df(keys.map(k => (k, 0L, 0L, "U", 0.0)))
+          .select(pmod(hash(col("k")), lit(8))).distinct().count()
+      val expected = buckets(Seq(3L, 4L)) + buckets(Seq(4L, 17L)) +
+        buckets(Seq(5L, 18L))
+      assert(applier2.batches == 3 && applier2.bucketWrites == expected,
+        s"batches=${applier2.batches} bucketWrites=${applier2.bucketWrites} expected=$expected")
+    } finally {
+      deleteTree(root); deleteTree(rootRef)
+      deleteTree(slices); deleteTree(slicesRef)
+    }
+  }
 }
