@@ -160,6 +160,16 @@ object Bench {
     queries.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val matsBefore = graft.operators.MaterializeOnce.relationCount
+        // Quiesce before each query (the BenchSlope mitigation, r11):
+        // ~400 executions in one JVM pile up unreferenced broadcast/
+        // shuffle/RDD blocks faster than the async ContextCleaner retires
+        // them (it only acts on GC'd references), and the accumulated
+        // churn lands on whichever query runs next — r15's q195 measured
+        // 3.15 s warm in-loop vs 0.30 s in the same JVM once the sweep
+        // drained, and r16's probe flagged q94 at 2.97× with an
+        // adjudicated 0.64 s. The GC runs OUTSIDE the timed window; cold
+        // absorbs the cleaner catch-up.
+        System.gc()
         cold(name) = once(fn)
         if (graft.operators.MaterializeOnce.relationCount > matsBefore)
           mats += name

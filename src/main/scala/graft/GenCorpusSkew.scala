@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 
 /** Deterministic SKEW-tier generator — the adversarial sibling of
   * [[GenCorpusXl]]. The driver tiers and the XL tiers are uniform in the
@@ -64,6 +65,32 @@ object GenCorpusSkew {
       toks.mkString(" ")
   }
 
+  /** Epoch micros of 2024-01-01T00:00Z — the base tier's event-time
+    * origin. */
+  private val EventBaseUs = 1704067200000000L
+  private val EventTypes: IndexedSeq[String] =
+    Vector("signup", "click", "purchase", "error", "view")
+
+  /** One skewed event row: ≈30% of events belong to USER 0 — the hot
+    * state-store key (the streaming analogue of the hot LSH bucket below:
+    * one user's session/dedup state partition carries 30% of the whole
+    * stream, so the q187/q192 skew-tier runs push a genuinely hot key
+    * through the stateful kernels). The remainder spread uniformly over
+    * 1499 other users; types uniform over the five base types. Event time
+    * is STRICTLY INCREASING in event_id (each id jittered inside its own
+    * ~25.9 s slot of the 30-day span) — the base generator's contract,
+    * which the sessionization oracles lean on (`min(event_id)` per
+    * session IS the time-first event). */
+  def eventOf(id: Long): (Long, Long, Long, String, Double) = {
+    val hot = (mix(0x40aL, id) >>> 8) % 10 < 3
+    val user = if (hot) 0L else 1L + (mix(0x40bL, id) >>> 8) % 1499L
+    val slotUs = 25920000L // 30 days / 100k events
+    val us = EventBaseUs + id * slotUs + (mix(0x40cL, id) >>> 8) % slotUs
+    val etype = EventTypes(((mix(0x40dL, id) >>> 8) % 5).toInt)
+    val value = ((mix(0x40eL, id) >>> 8) % 100000L) / 100.0
+    (id, us, user, etype, value)
+  }
+
   /** ≈30% of vectors are tiny-noise copies of vector 0 — the hot LSH
     * bucket; the rest are the XL iid unit-norm stream. */
   def embeddingOf(id: Long, dim: Int): Array[Float] =
@@ -77,12 +104,13 @@ object GenCorpusSkew {
       v.map(x => (x / norm).toFloat)
     } else GenCorpusXl.embeddingOf(id, dim)
 
-  /** Write the two skewed tables (documents, embeddings) with an EXISTING
-    * session — also the SkewTierSpec arming path, so the salting-bound
-    * specs run on every checkout instead of auto-cancelling when the tier
-    * is absent. Deterministic: same (nDocs, nEmb) → identical files. */
+  /** Write the three skewed tables (documents, embeddings, events) with an
+    * EXISTING session — also the SkewTierSpec arming path, so the
+    * salting-bound specs run on every checkout instead of auto-cancelling
+    * when the tier is absent. Deterministic: same (nDocs, nEmb, nEvents) →
+    * identical files. */
   def write(spark: org.apache.spark.sql.SparkSession, outDir: String,
-            nDocs: Long, nEmb: Long): Unit = {
+            nDocs: Long, nEmb: Long, nEvents: Long = 100000L): Unit = {
     val dim = 64
     Files.createDirectories(Paths.get(outDir))
     import spark.implicits._
@@ -98,6 +126,12 @@ object GenCorpusSkew {
       (id, embeddingOf(id, dim), ((mix(0x1abL, id) >>> 8) % 10).toInt)
     }.toDF("vec_id", "embedding", "label")
     GenCorpusXl.writeSingleFile(emb, outDir, "embeddings")
+
+    val ev = spark.range(0, nEvents, 1, 32).map(id => eventOf(id))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    GenCorpusXl.writeSingleFile(ev, outDir, "events")
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,7 +142,7 @@ object GenCorpusSkew {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     write(spark, outDir, nDocs, nEmb)
 
-    Tables.names.filterNot(Set("documents", "embeddings")).foreach { t =>
+    Tables.names.filterNot(Set("documents", "embeddings", "events")).foreach { t =>
       val link = Paths.get(s"$outDir/$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(s"$baseSf/$t.parquet"))

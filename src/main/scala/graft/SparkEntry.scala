@@ -16,7 +16,8 @@ object SparkEntry {
     TextPipelineQueries,
     VectorQueries,
     StreamingQueries,
-    ZipGateQueries
+    ZipGateQueries,
+    MediaGateQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -504,6 +504,25 @@ object TextPipelineQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SQL-PARSER SURFACE gate (q36's spark.sql twin): every other gate
+    // builds through the DataFrame API, so the GraftExtensions function
+    // registry — parser resolution of `graft_hash16_arr`/`graft_simhash16`
+    // through FunctionIdentifier, argument binding, the ExpressionInfo
+    // wiring — had zero per-round coverage: a registration regression
+    // would pass the whole gate while breaking every plain-SQL user. This
+    // query is the identical kernel chain expressed as a SQL string over a
+    // temp view; the oracle is q36's VERBATIM, so the two front doors can
+    // never drift.
+    "q206_sql_simhash" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_sql_documents")
+      s.sql("""
+        SELECT doc_id,
+               graft_simhash16(graft_hash16_arr(
+                 filter(split(trim(text), '\\s+'), t -> t != ''))) AS simhash
+        FROM graft_sql_documents
+        ORDER BY doc_id""")
+    }),
+
     // Blocked n-gram Jaccard: char-3-gram similarity for all pairs within a
     // (lang, source, length-bucket) block — the classic blocking pattern
     // that turns an O(n²) comparison into per-block joins keyed on the
@@ -3262,6 +3281,27 @@ object TextPipelineQueries extends QueryPack {
       s"(strpos('0123456789abcdef', substr(md5(t), $p, 1)) - 1) * ${1L << (4 * (4 - p))}"
     }.mkString(" + ")
 
+    // Shared verbatim by q36 (DataFrame surface) and q206 (spark.sql
+    // surface): the two front doors to the same native kernels must land
+    // on identical rows.
+    val q36SimhashSql = s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                   t -> $hex16) AS hs
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 ${(0 until 16).map(i =>
+                     s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s_$i"
+                   ).mkString(",\n                 ")}
+          FROM t)
+        SELECT doc_id,
+               CAST(${(0 until 16).map(i => s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")} AS BIGINT) AS simhash
+        FROM b
+        ORDER BY doc_id"""
+
     // bm25Scored's oracle twin: the fixed-point BM25 CTE chain shared by
     // q93 (presentation top-10) and q128 (nDCG ranking audit) — ends at
     // `sc(doc_id, dl, n_hit, sfp)`.
@@ -3392,23 +3432,8 @@ object TextPipelineQueries extends QueryPack {
         FROM r WHERE rank <= 3
         ORDER BY doc_id, rank""",
 
-      "q36_simhash" -> s"""
-        WITH t AS (
-          SELECT doc_id,
-                 list_transform(
-                   list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-                   t -> $hex16) AS hs
-          FROM documents),
-        b AS (
-          SELECT doc_id,
-                 ${(0 until 16).map(i =>
-                     s"list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s_$i"
-                   ).mkString(",\n                 ")}
-          FROM t)
-        SELECT doc_id,
-               CAST(${(0 until 16).map(i => s"CASE WHEN s_$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")} AS BIGINT) AS simhash
-        FROM b
-        ORDER BY doc_id""",
+      "q36_simhash" -> q36SimhashSql,
+      "q206_sql_simhash" -> q36SimhashSql,
 
       "q49_stratified_sample" -> {
         val sampHash = hex32.replace("md5(x)", "md5('samp|' || CAST(doc_id AS VARCHAR))")

@@ -476,6 +476,69 @@ object VectorQueries extends QueryPack {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** CENTROID-DRIFT REFRESH plan — the operator that ACTS on the drift
+    * audit family (q170 flags label-centroid drift; q205 gives the IVF
+    * index the same audit→actuator upgrade q196 gave q112's `is_hot`):
+    * per occupied cluster, the fixed-point mean of its CURRENT members
+    * (one [[lloydStep]] — the mini-Lloyd pass over standing assignments,
+    * no retraining) is compared to the standing centroid by the
+    * deterministic index-ordered cosine; the quarter of occupied clusters
+    * that drifted farthest (rank by drift_cos ASC, c_id tiebreak — never
+    * vacuous at any tier, unlike a fixed threshold) take their member
+    * mean as the refreshed centroid, the rest keep the standing centroid
+    * UNCHANGED — so an ingestion tick pays O(n·d) for the means and the
+    * undrifted majority of the index is bit-identical before and after
+    * (the q188/q196 incremental-≡-full discipline; machine-checked by the
+    * oracle's verbatim per-element array compare). Scale shape: one keyed
+    * (cluster, dim) shuffle agg for the means; ranking is a single-task
+    * window over the ≤ √n occupied-cluster relation — bounded at any
+    * corpus size. */
+  private def centroidRefreshFull(assigned: DataFrame, cents: DataFrame): DataFrame = {
+    val means = lloydStep(assigned).withColumnRenamed("c_emb", "m_emb")
+    val sizes = assigned.groupBy(col("cluster").as("c_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val dr = cents.join(means, Seq("c_id")).join(sizes, Seq("c_id"))
+      .select(col("c_id"), col("n_members"), col("c_emb"), col("m_emb"),
+        Vectors.cosine(col("c_emb"), col("m_emb")).as("drift_cos"))
+    // Drift cut WITHOUT a global rank window (that plan funnels the
+    // relation through one SinglePartition exchange — forbidden by the
+    // plan lint even on a bounded input): the quarter threshold is the
+    // ⌊k_occ/4⌋-th smallest (drift_cos, c_id) pair, derived by ONE scalar
+    // aggregate over the ≤ √n cluster relation (the sanctioned
+    // partial→final shape) and broadcast back; is_drifted = pair ≤
+    // threshold — equivalent to rank ≤ greatest(1, k_occ div 4) because
+    // c_id makes every pair unique.
+    val kth = dr.agg(
+        sort_array(collect_list(struct(col("drift_cos"), col("c_id")))).as("sorted"),
+        count(lit(1)).as("k_occ"))
+      .select(element_at(col("sorted"),
+        greatest(lit(1L), expr("k_occ div 4")).cast("int")).as("thresh"))
+    dr.join(broadcast(kth), expr("true"))
+      .withColumn("is_drifted",
+        when(struct(col("drift_cos"), col("c_id")) <= col("thresh"), 1).otherwise(0))
+      .withColumn("refreshed_emb",
+        when(col("is_drifted") === 1, col("m_emb")).otherwise(col("c_emb")))
+  }
+
+  def centroidRefresh(assigned: DataFrame, cents: DataFrame): DataFrame =
+    centroidRefreshFull(assigned, cents)
+      .select(col("c_id"), col("n_members"),
+        round(col("drift_cos"), 6).as("drift_cos"), col("is_drifted"),
+        // Gate outputs are scalars-only (GateSchemaSpec / the driver's
+        // comparator): the centroid array serializes to one string of
+        // 1e-9-fixed-point integers — HALF_UP and DuckDB's
+        // half-away-from-zero agree at every scale for identical doubles.
+        concat_ws(",", transform(col("refreshed_emb"),
+          x => round(x * 1000000000.0).cast("long").cast("string")))
+          .as("refreshed"))
+
+  /** The refreshed centroid TABLE (c_id, c_emb) [[centroidRefresh]]
+    * implies — the serve-side relation RecallFloorSpec gates: the
+    * refreshed index must still clear the q50 recall floor. */
+  def refreshedCentroids(assigned: DataFrame, cents: DataFrame): DataFrame =
+    centroidRefreshFull(assigned, cents)
+      .select(col("c_id"), col("refreshed_emb").as("c_emb"))
+
   private def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val n = embStats(s, d).n
@@ -638,6 +701,26 @@ object VectorQueries extends QueryPack {
       ivfSearchSubSplit(ivfSubSplitAssignments(assigned, splits), splits,
           cents, qs, K, NProbe)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // INCREMENTAL CENTROID REFRESH (the drift family's actuator — see
+    // centroidRefresh): the SAME memoized index as q44 is audited against
+    // its members' current fixed-point means, the most-drifted quarter of
+    // occupied clusters takes the mean as its refreshed centroid, the rest
+    // are REQUIRED unchanged — the oracle compares the refreshed centroid
+    // ARRAYS element-wise against the full SQL re-derivation (training
+    // CTEs verbatim + member means + the same rank rule), so a wrongly
+    // touched undrifted centroid, a drifted one left stale, or any drifted
+    // mean off by one element hash-fails at every tier. The refreshed
+    // index's retrieval quality is gated by RecallFloorSpec.
+    "q205_ivf_centroid_refresh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embStats(s, d).n
+      val cents = graft.operators.MaterializeOnce(
+        s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        trainIvfCentroids(emb, n)
+      }
+      centroidRefresh(assignTo(emb, cents), cents).orderBy(col("c_id"))
     }),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
@@ -1461,6 +1544,40 @@ object VectorQueries extends QueryPack {
         FROM cc LEFT JOIN dropped d ON d.x = cc.vec_id
         ORDER BY cc.vec_id"""
 
+    // q205's twin: the q44 training/assignment CTEs verbatim, then the
+    // member means re-derived with the SAME fixed-point arithmetic as the
+    // Spark lloydStep, the same deterministic drift cosine, and the same
+    // most-drifted-quarter rank rule — the refreshed centroid ARRAYS are
+    // compared element-wise, so undrifted centroids must be bit-identical
+    // to the standing index and drifted ones bit-identical to their means.
+    val q205Sql = s"""$ivfAssignCtes,
+        mz AS (
+          SELECT cluster, i,
+                 SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+                 COUNT(*) AS cnt
+          FROM assigned, generate_series(1, $Dim) t(i)
+          GROUP BY cluster, i),
+        means AS (
+          SELECT cluster AS c_id, MAX(cnt) AS n_members,
+                 list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS m_emb
+          FROM mz GROUP BY cluster),
+        dr AS (
+          SELECT c.c_id, m.n_members, c.c_emb, m.m_emb,
+                 ${cosSql("c.c_emb", "m.m_emb")} AS drift_cos
+          FROM c JOIN means m ON m.c_id = c.c_id),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY drift_cos ASC, c_id) AS rn,
+                 COUNT(*) OVER () AS k_occ
+          FROM dr)
+        SELECT c_id, n_members,
+               ROUND(drift_cos, 6) AS drift_cos,
+               CAST(CASE WHEN rn <= GREATEST(1, k_occ // 4) THEN 1 ELSE 0 END AS INT) AS is_drifted,
+               array_to_string(list_transform(
+                 CASE WHEN rn <= GREATEST(1, k_occ // 4) THEN m_emb ELSE c_emb END,
+                 x -> CAST(ROUND(x * 1000000000.0) AS BIGINT)), ',') AS refreshed
+        FROM rk
+        ORDER BY c_id"""
+
     // Recall@K of each approximate index against the exact ranking —
     // the three inputs are the gate queries above, composed as subqueries
     // (DuckDB scopes each subquery's WITH independently). Denominator =
@@ -1684,6 +1801,7 @@ object VectorQueries extends QueryPack {
       // change must never change a result.
       "q196_ivf_subsplit_serve" -> q44Sql,
       "q188_ivf_incremental" -> q188Sql,
+      "q205_ivf_centroid_refresh" -> q205Sql,
       "q189_semdedup" -> q189Sql,
       // Incremental ≡ full is THE contract: q190 gates against q189's
       // full-corpus SQL verbatim (the q51/q52/q188 oracle-identity

@@ -30,6 +30,45 @@ class RecallFloorSpec extends SparkSpec {
     assert(ivf >= 0.60, s"mean IVF recall@10 $ivf below floor 0.60")
   }
 
+  // q205's retrieval-quality half: the refresh gate machine-checks WHICH
+  // centroids move and to WHAT values (oracle-hashed per tier); this floor
+  // checks the refreshed index still RETRIEVES. The bar is RELATIVE to the
+  // standing index on the SAME 50-query panel (absolute recall varies with
+  // the panel — the 0.60 floors above are calibrated to q50's 5-query
+  // panel): serving the q44 2-probe search from the refreshed centroids
+  // must not cost more than 0.05 mean recall@10 vs the standing index,
+  // and must stay above an absolute collapse guard. A refresh rule that
+  // chased drift into degenerate centroids fails both.
+  test("centroid refresh preserves IVF recall at sf0.01") {
+    import org.apache.spark.sql.functions.{broadcast, col, count}
+    val d = "/root/testdata/sf0.01"
+    val emb = graft.Tables.embeddings(spark, d)
+    val cents = VectorQueries.trainIvfCentroids(emb, emb.count())
+    val refreshed = VectorQueries.refreshedCentroids(
+      VectorQueries.assignTo(emb, cents), cents)
+    val qs = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = VectorQueries.cosineTopK(emb, qs, 10)
+      .select(col("q_id"), col("vec_id"))
+    def meanRecall(c: org.apache.spark.sql.DataFrame): Double = {
+      val served = VectorQueries.ivfSearch(
+        VectorQueries.assignTo(emb, c), c, qs, 10, 2)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.as("e").join(served.as("a"),
+          col("e.q_id") === col("a.q_id") && col("e.vec_id") === col("a.vec_id"))
+        .groupBy(col("e.q_id")).agg(count("*").as("h"))
+      val rows = exact.groupBy(col("q_id")).agg(count("*").as("ne"))
+        .join(broadcast(hits), Seq("q_id"), "left_outer")
+        .selectExpr("cast(coalesce(h, 0) as double) / ne AS r").collect()
+      rows.map(_.getDouble(0)).sum / rows.length
+    }
+    val standing = meanRecall(cents)
+    val after = meanRecall(refreshed)
+    assert(after >= standing - 0.05,
+      s"refresh cost recall: standing $standing -> refreshed $after")
+    assert(after >= 0.40, s"refreshed-index mean recall@10 $after collapsed")
+  }
+
   // The XL tier (TESTDATA_XL.md; 10,000 embeddings → planes 9, centroids
   // 100, Lloyd sample gate active at ~0.30) is engine-generated and
   // gitignored, so this floor runs only when the tier has been generated —
