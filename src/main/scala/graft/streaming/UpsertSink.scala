@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
 
 /** Streaming UPSERT materialization — `foreachBatch` applying a CDC change
   * stream to a bucketed, versioned serving table on storage (the sink shape
@@ -39,13 +40,15 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * q203, which forces the crash and hashes the recovered table against the
   * uninterrupted oracle): whatever step the crash lands on, the newest
   * manifest still describes a fully-consistent table — staged or published
-  * data without a manifest is invisible and GC'd on replay. A replayed
-  * batch re-reads exactly the state its first attempt read (or, if the
-  * manifest did land, state that already absorbed it — latest-wins
-  * re-merge of absorbed rows is a no-op), and overwrites `v<batchId>` and
-  * manifest `<batchId>` with identical content. The stage-then-rename
-  * publish also keeps the merge's input paths disjoint from its output, so
-  * a replay never overwrites a directory its own scan is reading.
+  * data without a manifest is invisible and GC'd on replay, while a batch
+  * whose manifest DID land is already durable, so its replay is a pure
+  * no-op (latest-wins would reproduce byte-identical content; re-publishing
+  * would only open a delete-then-rename window over the one live copy).
+  * A replayed un-manifested batch re-reads exactly the state its first
+  * attempt read and publishes `v<batchId>` + manifest `<batchId>` afresh.
+  * The stage-then-rename publish also keeps the merge's input paths
+  * disjoint from its output, so a replay never overwrites a directory its
+  * own scan is reading, and the rename target is never live data.
   *
   * Tombstones: a delete op is RETAINED in state (with its ord) and filtered
   * at read time — physically dropping it would let an out-of-order earlier
@@ -80,22 +83,27 @@ object UpsertSink {
 
   /** The newest committed manifest: (batchId, bucket → version dir name).
     * One listing of the manifest dir (1-2 files after GC) — never of the
-    * data tree. */
+    * data tree. An empty or unparseable file (an OS-crash torn write that
+    * slipped past the fsync in [[writeManifest]]) is treated as ABSENT and
+    * the next-newest manifest wins — a torn newest must never read as "the
+    * table is empty", because GC would then delete every live bucket. */
   private def newestManifest(stateRoot: Path): Option[(Long, Map[Int, String])] = {
     import scala.jdk.CollectionConverters._
-    val files = listDir(manifestDir(stateRoot))
+    def parse(p: Path): Option[(Long, Map[Int, String])] =
+      try {
+        val entries = Files.readAllLines(p).asScala.iterator
+          .filter(_.nonEmpty)
+          .map { line =>
+            val Array(b, v) = line.split('\t')
+            b.toInt -> v
+          }.toMap
+        if (entries.isEmpty) None
+        else Some((p.getFileName.toString.toLong, entries))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    listDir(manifestDir(stateRoot))
       .filter(_.getFileName.toString.matches("\\d+"))
-    if (files.isEmpty) None
-    else {
-      val newest = files.maxBy(_.getFileName.toString.toLong)
-      val entries = Files.readAllLines(newest).asScala.iterator
-        .filter(_.nonEmpty)
-        .map { line =>
-          val Array(b, v) = line.split('\t')
-          b.toInt -> v
-        }.toMap
-      Some((newest.getFileName.toString.toLong, entries))
-    }
+      .sortBy(-_.getFileName.toString.toLong)
+      .iterator.flatMap(parse).nextOption()
   }
 
   /** Readers' view of "current": bucket → its manifest-referenced dir. */
@@ -104,9 +112,21 @@ object UpsertSink {
       m.map { case (b, v) => b -> stateRoot.resolve(v).resolve(s"bucket=$b") }
     }
 
-  /** Manifest-last commit: write to a dotted temp name, atomic-rename into
-    * place. A replayed batch overwrites its own entry with identical
-    * content (REPLACE_EXISTING), preserving idempotence. */
+  /** Best-effort fsync of a directory so a completed rename inside it
+    * survives an OS/power crash (a no-op where the FS/JDK refuses a
+    * directory channel — object stores and some network FSes). */
+  private def fsyncDir(dir: Path): Unit =
+    try scala.util.Using.resource(
+      java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ)
+    )(_.force(true))
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Manifest-last commit: write to a dotted temp name, fsync the bytes,
+    * atomic-rename into place, fsync the directory. Without the two syncs
+    * a power crash can surface the renamed file EMPTY — which GC would
+    * read as "no live buckets" and delete the table. A replayed batch
+    * overwrites its own entry with identical content (REPLACE_EXISTING),
+    * preserving idempotence. */
   private def writeManifest(stateRoot: Path, batchId: Long,
                             entries: Map[Int, String]): Unit = {
     val dir = manifestDir(stateRoot)
@@ -114,9 +134,15 @@ object UpsertSink {
     val body = entries.toSeq.sorted
       .map { case (b, v) => s"$b\t$v" }.mkString("", "\n", "\n")
     val tmp = dir.resolve(s".$batchId.tmp")
-    Files.writeString(tmp, body)
+    scala.util.Using.resource(java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)) { ch =>
+      ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8)))
+      ch.force(true)
+    }
     Files.move(tmp, dir.resolve(batchId.toString),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir(dir)
   }
 
   /** Drop everything the newest manifest does not reference: superseded
@@ -148,7 +174,10 @@ object UpsertSink {
       listDir(manifestDir(stateRoot))
         .filter { p =>
           val n = p.getFileName.toString
-          n.matches("\\d+") && n.toLong != newest
+          // Older (or torn) manifests, plus temp files a crash left
+          // between the temp write and the rename in writeManifest.
+          (n.matches("\\d+") && n.toLong != newest) ||
+            n.matches("\\.\\d+\\.tmp")
         }
         .foreach(Files.delete)
     }
@@ -167,6 +196,17 @@ object UpsertSink {
 
     def apply(batch: DataFrame, batchId: Long): Unit = {
       gcSuperseded(stateRoot)
+      // Replay of a batch whose manifest ALREADY committed (crash landed
+      // between writeManifest and the checkpoint commit): the publish is
+      // durable, and latest-wins re-merge would produce byte-identical
+      // content — so re-publishing is pure risk (a crash between deleting
+      // the live v<batchId> and re-renaming staging over it would orphan
+      // the only copy). Skip the merge entirely; the manifest IS the
+      // commit.
+      if (newestManifest(stateRoot).exists(_._1 >= batchId)) {
+        batches += 1
+        return
+      }
       // Ord columns ride along as payload so state keeps the winning
       // change's ordering key for cross-batch latest-wins merges.
       val latest = graft.operators.CdcApply
@@ -191,8 +231,13 @@ object UpsertSink {
         merged.withColumn("bucket", bucketOf)
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(tmpDir.toString)
+        // The rename target can never be live data: a manifested
+        // v<batchId> short-circuits above, and an unmanifested leftover
+        // (crash between this rename and writeManifest) was removed by
+        // gcSuperseded at batch start — so no delete-before-move, which
+        // would otherwise open a window where the newest manifest points
+        // at deleted buckets.
         val vDir = stateRoot.resolve(s"v$batchId")
-        deleteTree(vDir)
         Files.move(tmpDir, vDir)
         val prev = newestManifest(stateRoot).fold(Map.empty[Int, String])(_._2)
         writeManifest(stateRoot, batchId,

@@ -230,4 +230,88 @@ class UpsertSinkSpec extends SparkSpec {
       deleteTree(slices); deleteTree(slicesRef)
     }
   }
+
+  test("replay of a batch whose manifest already committed is a no-op: no re-publish, no delete of the live copy") {
+    val root = tmpRoot("graft_upsert_spec8")
+    val rootRef = tmpRoot("graft_upsert_spec8_ref")
+    val slices = tmpRoot("graft_upsert_spec8_in")
+    val slicesRef = tmpRoot("graft_upsert_spec8_ref_in")
+    val batches = Seq(
+      (1L to 16L).map(k => (k, 10L, k, "U", k * 1.0)),
+      Seq((3L, 20L, 0L, "U", 33.0), (4L, 20L, 0L, "D", 0.0)),
+      Seq((4L, 30L, 0L, "U", 44.0), (17L, 30L, 0L, "U", 17.0)))
+    try {
+      writeBatches(slicesRef, batches.map(df))
+      val uninterrupted = collect(run(rootRef, slicesRef))
+
+      // Incarnation 1 drains two slices; the crash lands BETWEEN
+      // writeManifest and the checkpoint commit of batch 1 — the publish
+      // is durable, only the offset commit is lost.
+      writeBatches(slices, batches.take(2).map(df))
+      val applier = new UpsertSink.Applier(spark, root, "k",
+        Seq("t", "i"), "op", Seq("v"), nBuckets = 8)
+      UpsertSink.runIncarnation(spark, slices.toString, Schema, root, applier)
+      import scala.jdk.CollectionConverters._
+      val commits = scala.util.Using.resource(
+        Files.list(root.resolve("_ckpt").resolve("commits")))(
+          _.iterator().asScala.toSeq)
+        .filter(_.getFileName.toString.matches("\\d+"))
+      val newest = commits.maxBy(_.getFileName.toString.toLong)
+      assert(newest.getFileName.toString.toLong == 1L)
+      Files.delete(newest)
+      Files.deleteIfExists(newest.resolveSibling(s".${newest.getFileName}.crc"))
+      assert(Files.exists(root.resolve("_manifest").resolve("1")))
+      assert(Files.isDirectory(root.resolve("v1")))
+
+      // Incarnation 2 replays batch 1 (already durable) then runs batch 2.
+      writeBatches(slices, batches.map(df))
+      val applier2 = new UpsertSink.Applier(spark, root, "k",
+        Seq("t", "i"), "op", Seq("v"), nBuckets = 8)
+      UpsertSink.runIncarnation(spark, slices.toString, Schema, root, applier2)
+      val recovered = collect(UpsertSink.readState(spark, root,
+        "k", "op", "D", Seq("v")))
+      assert(recovered == uninterrupted)
+      // The replayed batch wrote NOTHING — only batch 2's buckets moved.
+      def buckets(keys: Seq[Long]): Long =
+        df(keys.map(k => (k, 0L, 0L, "U", 0.0)))
+          .select(pmod(hash(col("k")), lit(8))).distinct().count()
+      assert(applier2.batches == 2 &&
+        applier2.bucketWrites == buckets(Seq(4L, 17L)),
+        s"batches=${applier2.batches} bucketWrites=${applier2.bucketWrites}")
+    } finally {
+      deleteTree(root); deleteTree(rootRef)
+      deleteTree(slices); deleteTree(slicesRef)
+    }
+  }
+
+  test("a torn (empty or unparseable) newest manifest never reads as an empty table: readers and GC fall back to the next-newest") {
+    val root = tmpRoot("graft_upsert_spec9")
+    val slices = tmpRoot("graft_upsert_spec9_in")
+    val b1 = (1L to 12L).map(k => (k, 10L, k, "U", k * 1.0))
+    try {
+      writeBatches(slices, Seq(df(b1)))
+      val before = collect(run(root, slices))
+      // A power-crash torn write: the newest manifest file exists but is
+      // empty (and a second one is garbage). Readers must fall back.
+      Files.writeString(root.resolve("_manifest").resolve("99"), "")
+      Files.writeString(root.resolve("_manifest").resolve("100"), "notab\n")
+      assert(collect(UpsertSink.readState(spark, root,
+        "k", "op", "D", Seq("v"))) == before)
+      // A stray temp file from a crash mid-writeManifest.
+      Files.writeString(root.resolve("_manifest").resolve(".55.tmp"), "x")
+      // The next batch's GC must NOT treat the torn newest as "no live
+      // buckets" (which would delete the table); it sweeps the torn files
+      // and the stray temp, then applies normally.
+      val applier = new UpsertSink.Applier(spark, root, "k",
+        Seq("t", "i"), "op", Seq("v"), nBuckets = 8)
+      applier.apply(df(Seq((1L, 20L, 0L, "U", 111.0))), 101L)
+      val after = collect(UpsertSink.readState(spark, root,
+        "k", "op", "D", Seq("v")))
+      assert(after == before.map { case (k, op, v) =>
+        if (k == 1L) (k, op, 111.0) else (k, op, v) })
+      assert(!Files.exists(root.resolve("_manifest").resolve("99")))
+      assert(!Files.exists(root.resolve("_manifest").resolve("100")))
+      assert(!Files.exists(root.resolve("_manifest").resolve(".55.tmp")))
+    } finally { deleteTree(root); deleteTree(slices) }
+  }
 }
