@@ -68,6 +68,17 @@ object QoiCodec extends MediaCodec {
     Multimodal.decodeQoiFeatures(bytes)
 }
 
+/** Built-in: true frame decode for GIF (LZW) via the JDK's ImageIO
+  * reader — whole-frame rasters only (sub-rectangle delta frames fall to
+  * the stub; compositing them is Multimodal.frameSample's job). Feature
+  * vector is the per-frame image-stat mean over at most 16 frames with
+  * the total frame count in slot 5. */
+object GifCodec extends MediaCodec {
+  val formats: Set[String] = Set("gif")
+  def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    Multimodal.decodeGifFeatures(bytes)
+}
+
 /** The codec registry behind Multimodal.decodeFeatures. Format-keyed; last
   * registration wins, so a deployment can override a built-in (or claim a
   * format that currently stubs).
@@ -97,4 +108,5 @@ object Codecs {
   register(AviCodec)
   register(BmpCodec)
   register(QoiCodec)
+  register(GifCodec)
 }

@@ -768,7 +768,11 @@ object Multimodal {
           val predict = (samp1 * c1 + samp2 * c2) / 256
           val sample = clamp16(predict + signed * delta)
           samp2 = samp1; samp1 = sample
-          delta = math.max(16, (MsAdaptTable(code) * delta) / 256)
+          // iDelta is a 16-bit field in the block header; clamp the
+          // adaptation to its range — an adversarial/corrupt nibble
+          // stream could otherwise grow delta without bound and silently
+          // wrap the Int products above.
+          delta = math.min(32767, math.max(16, (MsAdaptTable(code) * delta) / 256))
           out += sample.toShort
           produced += 1
           half += 1
@@ -783,6 +787,52 @@ object Multimodal {
   /** Feature vector over MS-ADPCM-decoded samples. */
   def decodeMsAdpcmWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
     decodeMsAdpcmSamples(bytes).map(audioFeatures(_, bytes))
+
+  /** REAL frame decode for GIF (LZW via the JDK's ImageIO reader — in the
+    * JDK since 1.4, no third-party code): the feature vector is the
+    * componentwise MEAN of per-frame image stats over at most the first 16
+    * frames (the same bounded-work rule as AVI), with the TOTAL frame
+    * count in slot 5 — the decode analogue of frameSample's sampling cap.
+    * Frames are read as stored (whole-frame rasters); delta-optimized GIFs
+    * with sub-rectangle frames are the COMPOSITING path's business
+    * ([[frameSample]]) and are rejected here (any frame smaller than the
+    * logical screen → None → stub fallback) so the per-frame stats are
+    * never computed over a misleading sub-rect. None for undecodable
+    * bytes. */
+  def decodeGifFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 10 ||
+        !(bytes.startsWith("GIF87a".getBytes) || bytes.startsWith("GIF89a".getBytes)))
+      return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    var reader: javax.imageio.ImageReader = null
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val meta = parseMeta(bytes)
+      val sampled = (0 until math.min(n, 16)).map(reader.read)
+      if (sampled.exists(im => im.getWidth < meta.width || im.getHeight < meta.height))
+        return None
+      val acc = new Array[Float](8)
+      sampled.foreach { im =>
+        val s = imageStats(im)
+        var i = 0
+        while (i < 5) { acc(i) += s(i) / sampled.size; i += 1 }
+      }
+      acc(5) = n.toFloat
+      acc(6) = math.log1p(meta.width.toDouble).toFloat
+      acc(7) = if (meta.height > 0) (meta.width.toDouble / meta.height).toFloat else 0f
+      Some(acc)
+    } catch { case _: Exception => None }
+    finally {
+      if (reader != null) reader.dispose()
+      iis.close()
+    }
+  }
 
   /** Decode dispatch through the Codecs registry: the codec claiming the
     * sniffed format decodes; registry miss OR decode failure (corrupt

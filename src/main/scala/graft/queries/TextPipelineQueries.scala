@@ -523,6 +523,85 @@ object TextPipelineQueries extends QueryPack {
         ORDER BY doc_id""")
     }),
 
+    // COMPOSED CURATION PIPELINE (the five-stage path a real training-data
+    // run chains, gated as ONE query so stage-interface drift — a schema
+    // change, a keep-flag inversion, a survivor-set recount — fails the
+    // hash even when every stage passes its own gate): exact dedup (q33's
+    // keep-lowest-id kernel) → quality keep-gate (q131's three
+    // language-agnostic rules; the stopword rule would empty every
+    // non-en language here — the corpus embeds stopwords only for en —
+    // and a single-language survivor set would make the mixture stage
+    // vacuous; p_stop stays covered by q131's own gate) → decontamination
+    // (q79's 8-gram bench overlap, bench set
+    // drawn from the FULL corpus — the eval suite is external and fixed,
+    // not subject to upstream curation) → mixture balancing (q80's
+    // integer-exact hash gate, quotas recomputed over the SURVIVORS — the
+    // stage-coupling the single-operator gates can't see) → sequence
+    // packing (q68's per-lang cumsum). Scale shape per stage is each
+    // operator's own: keyed aggs, a broadcast bench semi-join, a 5-row
+    // quota broadcast, one per-lang window — nothing new materializes.
+    "q209_pipeline_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+      // S1 — exact dedup: survivors = min doc_id per 2-token prefix key.
+      val keep1 = docs
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), 1, 2)).as("key"))
+        .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val s1 = docs.join(keep1, Seq("doc_id"), "left_semi")
+      // S2 — quality cascade (q131's language-agnostic predicates as a
+      // keep-filter).
+      val s2 = s1.filter(size(col("toks")) > 0)
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("sum_len",
+          expr("cast(aggregate(toks, 0L, (a, x) -> a + length(x)) as bigint)"))
+        .withColumn("max_rep", expr(
+          "cast(array_max(transform(array_distinct(toks)," +
+          " x -> size(filter(toks, y -> y = x)))) as bigint)"))
+        .filter(col("n") >= 5 && col("n") <= 1000 &&
+          lit(2) * col("n") <= col("sum_len") &&
+          col("sum_len") <= lit(12) * col("n") &&
+          lit(5) * col("max_rep") <= col("n"))
+        .select(col("doc_id"), col("lang"), col("toks"), col("n"))
+      // S3 — decontaminate: bench grams from the FULL corpus (docs ≡ 0
+      // mod 10), tiny by construction → broadcast semi-join.
+      val N = 8
+      val bench = docs
+        .filter(col("doc_id") % 10 === 0 && size(col("toks")) >= N)
+        .select(explode(TextFns.wordShingles(col("toks"), N)).as("gram"))
+        .distinct()
+      val contaminated = s2.filter(size(col("toks")) >= N)
+        .select(col("doc_id"), explode(TextFns.wordShingles(col("toks"), N)).as("gram"))
+        .join(broadcast(bench), Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val s3 = s2.filter(col("doc_id") % 10 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // S4 — mixture balance over the survivors: quotas from the s3
+      // census (5-row agg + window + broadcast back, q80's shape).
+      val perLang = s3.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val quotas = perLang
+        .withColumn("n_total", sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("quota", expr("(n_total * 3) div 20"))
+        .select(col("lang"), col("n_docs"), col("quota"))
+      val s4 = s3.join(broadcast(quotas), Seq("lang"))
+        .filter(graft.functions.KeepGate.ltScaled(
+          graft.functions.KeepGate.draw("mix", col("doc_id")),
+          col("n_docs"), col("quota")))
+      // S5 — sequence packing (q68's per-lang cumsum, cap 512).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      s4.select(col("doc_id"), col("lang"), col("n"))
+        .withColumn("cum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n"),
+          expr("cum_prev DIV 512").as("first_seq"),
+          expr("(cum_prev + n - 1) DIV 512").as("last_seq"),
+          expr("cum_prev % 512").as("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Blocked n-gram Jaccard: char-3-gram similarity for all pairs within a
     // (lang, source, length-bucket) block — the classic blocking pattern
     // that turns an O(n²) comparison into per-block joins keyed on the
@@ -3782,6 +3861,68 @@ object TextPipelineQueries extends QueryPack {
         FROM documents d JOIN q ON d.lang = q.lang
         GROUP BY d.lang, q.n_docs, q.quota
         ORDER BY d.lang"""
+      },
+
+      // The five-stage chain built from the member oracles' verbatim
+      // fragments: q33's prefix-key dedup, q131's rule cascade, q79's
+      // 8-gram bench overlap (bench from the full corpus), q80's HUGEINT
+      // mixture gate (census over the s3 survivors), q68's packing window.
+      "q209_pipeline_curation" -> {
+        val mixHash = hex32.replace("md5(x)",
+          "md5('mix|' || CAST(doc_id AS VARCHAR))")
+        s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        k1 AS (
+          SELECT doc_id, lang, toks,
+                 array_to_string(toks[1:2], ' ') AS key
+          FROM t),
+        s1 AS (
+          SELECT doc_id, lang, toks FROM k1
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM k1 GROUP BY key)),
+        f AS (
+          SELECT doc_id, lang, toks,
+                 CAST(len(toks) AS BIGINT) AS n,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len,
+                 CAST(list_max(list_transform(list_distinct(toks),
+                   x -> len(list_filter(toks, y -> y = x)))) AS BIGINT) AS max_rep
+          FROM s1 WHERE len(toks) > 0),
+        s2 AS (
+          SELECT doc_id, lang, toks, n FROM f
+          WHERE n BETWEEN 5 AND 1000 AND 2 * n <= sum_len AND sum_len <= 12 * n
+            AND 5 * max_rep <= n),
+        bg AS (
+          SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+          FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+          WHERE doc_id % 10 = 0),
+        cont AS (
+          SELECT DISTINCT doc_id
+          FROM s2, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+          WHERE array_to_string(toks[i:i+7], ' ') IN (SELECT gram FROM bg)),
+        s3 AS (
+          SELECT doc_id, lang, n FROM s2
+          WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        pl AS (SELECT lang, COUNT(*) AS n_docs FROM s3 GROUP BY lang),
+        q AS (SELECT lang, n_docs,
+                     (SELECT COUNT(*) FROM s3) * 3 // 20 AS quota
+              FROM pl),
+        s4 AS (
+          SELECT s3.doc_id, s3.lang, s3.n
+          FROM s3 JOIN q USING (lang)
+          WHERE CAST($mixHash AS HUGEINT) * q.n_docs
+                < CAST(q.quota AS HUGEINT) * ${1L << 32}),
+        w AS (
+          SELECT doc_id, lang, n,
+                 COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+          FROM s4)
+        SELECT doc_id, lang, n,
+               CAST(cum_prev // 512 AS BIGINT) AS first_seq,
+               CAST((cum_prev + n - 1) // 512 AS BIGINT) AS last_seq,
+               CAST(cum_prev % 512 AS BIGINT) AS seq_offset
+        FROM w ORDER BY doc_id"""
       },
 
       // Add-one bigram LM: both engines compute −ln((c2+1)/(c1+V)) per

@@ -723,6 +723,31 @@ object VectorQueries extends QueryPack {
       centroidRefresh(assignTo(emb, cents), cents).orderBy(col("c_id"))
     }),
 
+    // SERVE FROM THE REFRESHED INDEX (closes q205's refresh→serve loop —
+    // before this gate the refreshed centroid table was produced and
+    // recall-floor-spec'd but never driven through retrieval under the
+    // per-round hash discipline): the q44 2-probe search runs with the
+    // REFRESHED centroids as the probe relation while the standing
+    // posting lists (assignments) stay as-is — exactly what an IVF serve
+    // tier does between a centroid refresh and the next re-assignment
+    // tick. The oracle re-derives the refreshed table from the training
+    // CTEs verbatim (q205's chain) and serves through it with q44's
+    // verbatim serve SQL — a probe ranked against a stale centroid, or a
+    // refreshed array off by one element, reorders rows and hash-fails.
+    "q210_ivf_refreshed_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embStats(s, d).n
+      val cents = graft.operators.MaterializeOnce(
+        s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
+        trainIvfCentroids(emb, n)
+      }
+      val assigned = assignTo(emb, cents)
+      val qs = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      ivfSearch(assigned, refreshedCentroids(assigned, cents), qs, K, NProbe)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     // scoped to the k-means coarse quantizer's clusters — the THIRD
     // member of the embedding-dedup family (q47 buckets by LSH band
@@ -1578,6 +1603,55 @@ object VectorQueries extends QueryPack {
         FROM rk
         ORDER BY c_id"""
 
+    // q205's refresh chain re-derived, then q44's serve SQL verbatim with
+    // the refreshed relation as the probe set (posting lists standing).
+    val q210Sql = s"""$ivfAssignCtes,
+        mz AS (
+          SELECT cluster, i,
+                 SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+                 COUNT(*) AS cnt
+          FROM assigned, generate_series(1, $Dim) t(i)
+          GROUP BY cluster, i),
+        means AS (
+          SELECT cluster AS c_id, MAX(cnt) AS n_members,
+                 list(CAST(s AS DOUBLE) / cnt / 1000000.0 ORDER BY i) AS m_emb
+          FROM mz GROUP BY cluster),
+        dr AS (
+          SELECT c.c_id, c.c_emb, m.m_emb,
+                 ${cosSql("c.c_emb", "m.m_emb")} AS drift_cos
+          FROM c JOIN means m ON m.c_id = c.c_id),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY drift_cos ASC, c_id) AS rn,
+                 COUNT(*) OVER () AS k_occ
+          FROM dr),
+        cn AS (
+          SELECT c_id,
+                 CASE WHEN rn <= GREATEST(1, k_occ // 4) THEN m_emb ELSE c_emb END AS c_emb
+          FROM rk),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+        p0 AS (
+          SELECT q.q_id, q.q_emb, c.c_id,
+                 ${cosSql("q.q_emb", "c.c_emb")} AS sim
+          FROM q, cn c),
+        probed AS (
+          SELECT q_id, q_emb, c_id AS probe_cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+            FROM p0)
+          WHERE rn <= $NProbe),
+        scored AS (
+          SELECT p.q_id, a.vec_id, ${cosSql("p.q_emb", "a.embedding")} AS cos
+          FROM probed p JOIN assigned a
+            ON a.cluster = p.probe_cluster AND a.vec_id <> p.q_id),
+        ranked AS (
+          SELECT q_id, vec_id, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT q_id, rank, vec_id, cos
+        FROM ranked
+        WHERE rank <= $K
+        ORDER BY q_id, rank"""
+
     // Recall@K of each approximate index against the exact ranking —
     // the three inputs are the gate queries above, composed as subqueries
     // (DuckDB scopes each subquery's WITH independently). Denominator =
@@ -1802,6 +1876,7 @@ object VectorQueries extends QueryPack {
       "q196_ivf_subsplit_serve" -> q44Sql,
       "q188_ivf_incremental" -> q188Sql,
       "q205_ivf_centroid_refresh" -> q205Sql,
+      "q210_ivf_refreshed_serve" -> q210Sql,
       "q189_semdedup" -> q189Sql,
       // Incremental ≡ full is THE contract: q190 gates against q189's
       // full-corpus SQL verbatim (the q51/q52/q188 oracle-identity

@@ -460,30 +460,45 @@ class MultimodalSpec extends SparkSpec {
 
   test("codec registry: a registered codec claims a format; unregister reverts to stub") {
     val gif = animatedGif(Seq(0xFF0000), 4, 4)
-    // No built-in claims "gif" for feature decode: stub fallback.
-    assert(Multimodal.decodeFeatures("gif", gif).toSeq ==
+    // Registry miss ("unknown" has no built-in — every sniffable format
+    // is claimed since GifCodec landed): stub fallback.
+    assert(Multimodal.decodeFeatures("unknown", gif).toSeq ==
       Multimodal.decodeStub(gif).toSeq)
-    object ToyGifCodec extends MediaCodec {
-      val formats: Set[String] = Set("gif")
+    object ToyCodec extends MediaCodec {
+      val formats: Set[String] = Set("toyfmt")
       def decode(bytes: Array[Byte]): Option[Array[Float]] =
         Some(Array.fill(8)(bytes.length.toFloat))
     }
-    Codecs.register(ToyGifCodec)
+    Codecs.register(ToyCodec)
     try {
-      assert(Codecs.forFormat("gif").contains(ToyGifCodec))
-      assert(Multimodal.decodeFeatures("gif", gif).toSeq ==
+      assert(Codecs.forFormat("toyfmt").contains(ToyCodec))
+      assert(Multimodal.decodeFeatures("toyfmt", gif).toSeq ==
         Array.fill(8)(gif.length.toFloat).toSeq)
       // A codec that FAILS to decode falls through to the stub, not null.
       object NoneCodec extends MediaCodec {
-        val formats: Set[String] = Set("gif")
+        val formats: Set[String] = Set("toyfmt")
         def decode(bytes: Array[Byte]): Option[Array[Float]] = None
       }
       Codecs.register(NoneCodec) // last registration wins
-      assert(Multimodal.decodeFeatures("gif", gif).toSeq ==
+      assert(Multimodal.decodeFeatures("toyfmt", gif).toSeq ==
         Multimodal.decodeStub(gif).toSeq)
-    } finally Codecs.unregister("gif")
-    assert(Multimodal.decodeFeatures("gif", gif).toSeq ==
+    } finally Codecs.unregister("toyfmt")
+    assert(Multimodal.decodeFeatures("toyfmt", gif).toSeq ==
       Multimodal.decodeStub(gif).toSeq)
+    // A deployment can OVERRIDE a built-in (last registration wins) —
+    // restore the built-in afterwards, never leave the registry bare.
+    object OverrideGif extends MediaCodec {
+      val formats: Set[String] = Set("gif")
+      def decode(bytes: Array[Byte]): Option[Array[Float]] =
+        Some(Array.fill(8)(-1f))
+    }
+    Codecs.register(OverrideGif)
+    try assert(Multimodal.decodeFeatures("gif", gif).toSeq == Seq.fill(8)(-1f))
+    finally Codecs.register(GifCodec)
+    // The built-in is live again: a real one-frame red GIF decodes to
+    // pixel stats, not the stub.
+    val back = Multimodal.decodeFeatures("gif", gif)
+    assert(back(0) == 1f && back(5) == 1f, back.toSeq)
   }
 
   test("metadata surfaces as a SQL-queryable struct column") {

@@ -37,6 +37,7 @@ class PlanGuardSpec extends SparkSpec {
     "q189_semdedup",     // centroids (~sqrt(n), broadcast) cross corpus, as q44
     "q196_ivf_subsplit_serve", // q44's bounded sides + the 1-row size-totals aggregate, broadcast
     "q205_ivf_centroid_refresh", // centroids (~sqrt(n), broadcast) cross corpus as q44, + the 1-row drift-threshold aggregate, broadcast
+    "q210_ivf_refreshed_serve", // q205's refresh chain (bounded drift-threshold aggregate) + q44's bounded probe sides, broadcast
     "q190_semdedup_incremental", // q189's assignTo: centroids (~sqrt(n), broadcast) cross corpus
     "q85_pmi_phrases",   // the 1-row N1/N2 scalar-agg totals, broadcast
     "q88_textrank",      // the 1-row node-count scalar aggregate, broadcast
