@@ -88,4 +88,47 @@ class BenchAdjudicationSpec extends SparkSpec {
     // tiny profiles still drop at least one warmup run
     assert(Bench.profiledWarm(Seq(9.0, 1.0)) == 1.0)
   }
+
+  test("eraOf: canary median, clamped, 1.0 without canary baselines") {
+    val base = Bench.CanaryQueries.map(_ -> 1.0).toMap
+    // a uniform 1.4x machine era reads as era = 1.4
+    assert(Bench.eraOf(Bench.CanaryQueries.map(_ -> 1.4).toMap, base) == 1.4)
+    // the median ignores one outlier canary (its own regression shows in
+    // the raw ratio, not the era)
+    val mixed = Map(Bench.CanaryQueries.head -> 9.0) ++
+      Bench.CanaryQueries.tail.map(_ -> 1.0).toMap
+    assert(Bench.eraOf(mixed, base) == 1.0)
+    // wilder swings clamp: an "era" of 10x is an incident, not an era
+    assert(Bench.eraOf(Bench.CanaryQueries.map(_ -> 10.0).toMap, base) == 3.0)
+    assert(Bench.eraOf(Bench.CanaryQueries.map(_ -> 0.1).toMap, base) == 0.5)
+    // no canaries in the run (spec harnesses, first round): neutral era
+    assert(Bench.eraOf(Map("toy_query" -> 5.0), Map("toy_query" -> 1.0)) == 1.0)
+  }
+
+  test("flags fire on the era-normalized ratio: a slow era is one number, not a flag storm") {
+    // One canary present, measured at 3x its baseline -> era = 3 (clamped
+    // cap). The non-canary query also runs ~3x its baseline: raw ratio > 2
+    // but normalized ratio ~ 1 -> NOT regressed, no adjudication needed.
+    val canary = Bench.CanaryQueries.head
+    var base = 0.0
+    // calibrate: measure once to build a baseline 3x under the real time
+    val cal = Bench.run(spark, sfDir = "unused",
+      queries = Seq("toy_query" -> fast, canary -> fast),
+      baseline = Map.empty, adjRuns = 2)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    base = om.readTree(cal).get("queries").get("toy_query").asDouble()
+    val canaryBase = om.readTree(cal).get("queries").get(canary).asDouble()
+    val json = Bench.run(spark, sfDir = "unused",
+      queries = Seq("toy_query" -> fast, canary -> fast),
+      baseline = Map("toy_query" -> base / 3.0, canary -> canaryBase / 3.0),
+      floor = 0.0, adjRuns = 2)
+    val node = om.readTree(json)
+    val era = node.get("era").asDouble()
+    assert(era > 1.5, s"era=$era in $json")
+    val norm = node.get("ratio_norm").get("toy_query").asDouble()
+    val raw = node.get("ratio").get("toy_query").asDouble()
+    assert(raw > 2.0, s"raw=$raw")
+    assert(norm < 2.0, s"norm=$norm era=$era raw=$raw")
+    assert(!node.get("regressed").toString.contains("toy_query"), json)
+  }
 }
