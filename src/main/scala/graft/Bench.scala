@@ -92,16 +92,39 @@ object Bench {
     "q09_topk", "q12_cond_buckets", "q19_null_handling",
     "q26_contains", "q27_first_match")
 
-  /** Median blessed-vs-measured ratio over the canaries present in both
-    * maps, clamped; 1.0 when no canary has a baseline (spec runs, first
-    * round). */
-  def eraOf(warm: scala.collection.Map[String, Double],
-            baseline: Map[String, Double]): Double = {
+  /** UNCLAMPED median blessed-vs-measured ratio over the canaries present
+    * in both maps; 1.0 when no canary has a baseline (spec runs, first
+    * round). Exposed separately so the artifact can machine-flag "raw era
+    * at/past a clamp bound" — which is an incident, not an era. */
+  def eraRawOf(warm: scala.collection.Map[String, Double],
+               baseline: Map[String, Double]): Double = {
     val rs = CanaryQueries.flatMap(q =>
       for { w <- warm.get(q); b <- baseline.get(q) } yield w / b).sorted
-    if (rs.isEmpty) 1.0
-    else math.min(3.0, math.max(0.5, rs(rs.length / 2)))
+    if (rs.isEmpty) 1.0 else rs(rs.length / 2)
   }
+
+  /** [[eraRawOf]] clamped to [0.5, 3] — the value that divides into every
+    * ratio before flagging. */
+  def eraOf(warm: scala.collection.Map[String, Double],
+            baseline: Map[String, Double]): Double =
+    math.min(3.0, math.max(0.5, eraRawOf(warm, baseline)))
+
+  /** ERA ALARM (the canary-regression failure mode): normalization absorbs
+    * anything that slows canaries and non-canaries alike, so a genuine
+    * shared-path regression — a scan/shuffle/codegen change — could ride
+    * era to zero flags. These are the two incident rules BASELINE_NOTES.md
+    * declares, machine-checked: a raw era at/past a clamp bound, or an era
+    * outside [0.8, 1.3], demands an explicit `machine-era:` adjudication
+    * entry in the notes (BaselineNotesSpec enforces the entry for the
+    * committed loop artifact). Returns null (JSON) when the era is
+    * unremarkable. */
+  val EraNotesBand: (Double, Double) = (0.8, 1.3)
+  def eraWarnOf(eraRaw: Double, hasBaseline: Boolean): Option[String] =
+    if (!hasBaseline) None
+    else if (eraRaw <= 0.5 || eraRaw >= 3.0) Some("era_at_clamp_bound")
+    else if (eraRaw < EraNotesBand._1 || eraRaw > EraNotesBand._2)
+      Some("era_outside_notes_band")
+    else None
 
   /** Flat {name: seconds} baseline, absent → empty. Jackson is already on
     * Spark's classpath; no extra dependency. */
@@ -248,7 +271,31 @@ object Bench {
       s""""$q":{"times":${numArr(times.map(t => math.rint(t * 1000) / 1000))},"jobs":${numArr(jobCounts)},"warm":$w,"verdict":"$verdict"}"""
     }.mkString("{", ",", "}")
     val eraR = math.rint(era * 1000) / 1000
-    s"""{"metric":"total","value":$total,"unit":"sec","run":"warm","exec":"noop_sink","era":$eraR,"queries":${obj(warm)},"cold":${obj(cold)},"ratio":${obj(ratio)},"ratio_norm":${obj(ratioNorm)},"regressed":${arr(regressed)},"adjudication":$adjudication,"unbaselined":${arr(unbaselined)},"materializes":${arr(mats.toSeq)},"failed":${arr(failed.toSeq)},"sf":"$sfDir"}"""
+    val eraRaw = math.rint(eraRawOf(warm, baseline) * 1000) / 1000
+    val eraWarn = eraWarnOf(eraRaw, baseline.nonEmpty)
+      .fold("null")(w => s""""$w"""")
+    s"""{"metric":"total","value":$total,"unit":"sec","run":"warm","exec":"noop_sink","era":$eraR,"era_raw":$eraRaw,"era_warn":$eraWarn,"queries":${obj(warm)},"cold":${obj(cold)},"ratio":${obj(ratio)},"ratio_norm":${obj(ratioNorm)},"regressed":${arr(regressed)},"adjudication":$adjudication,"unbaselined":${arr(unbaselined)},"materializes":${arr(mats.toSeq)},"failed":${arr(failed.toSeq)},"sf":"$sfDir"}"""
+  }
+
+  /** Compact (< 2 KB) summary of a full run artifact: the aggregate, the
+    * era fields, every flag array, and the CANARY warm times as the
+    * `queries` sample — no 200-entry per-query maps. Printed LAST by
+    * [[main]] so a consumer that keeps only a bounded tail of stdout (the
+    * round driver keeps 2000 chars — three rounds of its bench artifacts
+    * carried `parsed: null` because the 25 KB full line never fit) still
+    * captures one complete, parseable JSON object. The full artifact is
+    * the preceding stdout line and the SPARK_GRAFT_BENCH_OUT file. */
+  def compactOf(json: String, nQueries: Int): String = {
+    def f(name: String): String =
+      s""""$name":(\\[[^\\]]*\\]|"[^"]*"|[-0-9.E]+|null)""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("null")
+    // First occurrence of a query name in the artifact is its WARM time
+    // (the `queries` object precedes cold/ratio/ratio_norm).
+    val canaries = CanaryQueries.flatMap { q =>
+      s""""$q":([-0-9.E]+)""".r.findFirstMatchIn(json)
+        .map(m => s""""$q":${m.group(1)}""")
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f("value")},"unit":"sec","run":"warm","exec":"noop_sink","compact":true,"n_queries":$nQueries,"era":${f("era")},"era_raw":${f("era_raw")},"era_warn":${f("era_warn")},"regressed":${f("regressed")},"unbaselined":${f("unbaselined")},"failed":${f("failed")},"queries":$canaries,"queries_note":"canary sample; full per-query artifact on the preceding stdout line and in SPARK_GRAFT_BENCH_OUT","sf":${f("sf")}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,6 +310,7 @@ object Bench {
       "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_PERQ.json"))
     val json = run(spark, sfDir, SparkEntry.queries.toSeq, baseline)
     println(json)
+    println(compactOf(json, SparkEntry.queries.size))
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

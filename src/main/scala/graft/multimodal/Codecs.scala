@@ -68,9 +68,11 @@ object QoiCodec extends MediaCodec {
     Multimodal.decodeQoiFeatures(bytes)
 }
 
-/** Built-in: true frame decode for GIF (LZW) via the JDK's ImageIO
-  * reader — whole-frame rasters only (sub-rectangle delta frames fall to
-  * the stub; compositing them is Multimodal.frameSample's job). Feature
+/** Built-in: true frame decode for GIF via the hand-rolled LZW +
+  * interlace decoder (Multimodal.gifWalk — no ImageIO: the JDK's GIF
+  * reader silently drops the last interlace pass-4 row at heights 2–4) —
+  * whole-frame rasters only (sub-rectangle delta frames fall to the
+  * stub; compositing them is Multimodal.frameSample's job). Feature
   * vector is the per-frame image-stat mean over at most 16 frames with
   * the total frame count in slot 5. */
 object GifCodec extends MediaCodec {

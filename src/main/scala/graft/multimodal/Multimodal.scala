@@ -788,49 +788,262 @@ object Multimodal {
   def decodeMsAdpcmWavFeatures(bytes: Array[Byte]): Option[Array[Float]] =
     decodeMsAdpcmSamples(bytes).map(audioFeatures(_, bytes))
 
-  /** REAL frame decode for GIF (LZW via the JDK's ImageIO reader — in the
-    * JDK since 1.4, no third-party code): the feature vector is the
-    * componentwise MEAN of per-frame image stats over at most the first 16
-    * frames (the same bounded-work rule as AVI), with the TOTAL frame
-    * count in slot 5 — the decode analogue of frameSample's sampling cap.
-    * Frames are read as stored (whole-frame rasters); delta-optimized GIFs
-    * with sub-rectangle frames are the COMPOSITING path's business
-    * ([[frameSample]]) and are rejected here (any frame smaller than the
-    * logical screen → None → stub fallback) so the per-frame stats are
-    * never computed over a misleading sub-rect. None for undecodable
-    * bytes. */
-  def decodeGifFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
-    if (bytes.length < 10 ||
+  /** One decoded GIF frame as stored in the stream: position + size within
+    * the logical screen, the disposal method its GraphicControlExtension
+    * declared (0 none/unspecified, 1 keep, 2 restore-to-background,
+    * 3 restore-to-previous), and the palette-resolved ARGB raster
+    * (row-major; transparent-index pixels carry alpha 0 but keep their
+    * palette RGB components, matching IndexColorModel.getRGB). */
+  private[multimodal] final case class GifFrame(
+      index: Int, left: Int, top: Int, w: Int, h: Int,
+      disposal: Int, argb: Array[Int])
+
+  /** Hand-rolled GIF 87a/89a container walk + LZW + interlace decode — no
+    * ImageIO. The JDK's GIFImageReader silently drops the last interlace
+    * pass-4 row for images 2–4 px tall (verified against a hand-decoded
+    * LZW stream of the same bytes), so the engine decodes the public wire
+    * format itself, the same discipline as the BMP-RLE8 and QOI codecs
+    * (GIF89a spec, Appendix E/F for LZW and the 8/8/4/2 interlace walk).
+    *
+    * Invokes `cb` for each of the first `maxFrames` frames (frames past
+    * the cap are walked but not LZW-decoded, so counting a long GIF stays
+    * O(bytes)); returns the TOTAL frame count, or None for corrupt or
+    * truncated bytes — never throws. */
+  private[multimodal] def gifWalk(bytes: Array[Byte], maxFrames: Int)
+                                 (cb: GifFrame => Unit): Option[Int] = {
+    if (bytes.length < 14 ||
         !(bytes.startsWith("GIF87a".getBytes) || bytes.startsWith("GIF89a".getBytes)))
       return None
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    var reader: javax.imageio.ImageReader = null
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      reader = readers.next()
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      if (n <= 0) return None
-      val meta = parseMeta(bytes)
-      val sampled = (0 until math.min(n, 16)).map(reader.read)
-      if (sampled.exists(im => im.getWidth < meta.width || im.getHeight < meta.height))
-        return None
-      val acc = new Array[Float](8)
-      sampled.foreach { im =>
-        val s = imageStats(im)
-        var i = 0
-        while (i < 5) { acc(i) += s(i) / sampled.size; i += 1 }
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def readPalette(off: Int, n: Int): Array[Int] =
+      Array.tabulate(n) { j =>
+        ((bytes(off + 3 * j) & 0xFF) << 16) |
+          ((bytes(off + 3 * j + 1) & 0xFF) << 8) | (bytes(off + 3 * j + 2) & 0xFF)
       }
-      acc(5) = n.toFloat
-      acc(6) = math.log1p(meta.width.toDouble).toFloat
-      acc(7) = if (meta.height > 0) (meta.width.toDouble / meta.height).toFloat else 0f
-      Some(acc)
-    } catch { case _: Exception => None }
-    finally {
-      if (reader != null) reader.dispose()
-      iis.close()
+    try {
+      val screenFlags = bytes(10) & 0xFF
+      var pos = 13
+      var global: Array[Int] = null
+      if ((screenFlags & 0x80) != 0) {
+        val n = 2 << (screenFlags & 7)
+        if (pos + 3 * n > bytes.length) return None
+        global = readPalette(pos, n)
+        pos += 3 * n
+      }
+      var nFrames = 0
+      // The GraphicControlExtension applies to the NEXT image descriptor.
+      var pendingDisposal = 0
+      var pendingTransIdx = -1
+      while (true) {
+        val b = bytes(pos) & 0xFF
+        if (b == 0x3B) {                                   // trailer
+          return if (nFrames > 0) Some(nFrames) else None
+        } else if (b == 0x21) {                            // extension
+          val label = bytes(pos + 1) & 0xFF
+          pos += 2
+          var firstSub = true
+          var sz = bytes(pos) & 0xFF
+          while (sz != 0) {
+            if (label == 0xF9 && firstSub && sz >= 4) {
+              val packed = bytes(pos + 1) & 0xFF
+              pendingDisposal = (packed >> 2) & 7
+              pendingTransIdx = if ((packed & 1) != 0) bytes(pos + 4) & 0xFF else -1
+            }
+            firstSub = false
+            pos += 1 + sz
+            sz = bytes(pos) & 0xFF
+          }
+          pos += 1
+        } else if (b == 0x2C) {                            // image descriptor
+          val left = u16(pos + 1); val top = u16(pos + 3)
+          val w = u16(pos + 5); val h = u16(pos + 7)
+          val f = bytes(pos + 9) & 0xFF
+          pos += 10
+          var pal = global
+          if ((f & 0x80) != 0) {
+            val n = 2 << (f & 7)
+            if (pos + 3 * n > bytes.length) return None
+            pal = readPalette(pos, n)
+            pos += 3 * n
+          }
+          if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+          val minCode = bytes(pos) & 0xFF
+          pos += 1
+          // Concatenate the LZW sub-block payload (past-the-cap frames
+          // still walk the sub-blocks — counting must not decode).
+          val decodeThis = nFrames < maxFrames
+          val buf = if (decodeThis) new java.io.ByteArrayOutputStream() else null
+          var sz = bytes(pos) & 0xFF
+          while (sz != 0) {
+            if (pos + 1 + sz > bytes.length) return None
+            if (decodeThis) buf.write(bytes, pos + 1, sz)
+            pos += 1 + sz
+            sz = bytes(pos) & 0xFF
+          }
+          pos += 1
+          if (decodeThis) {
+            if (pal == null) return None
+            val idx = gifLzw(buf.toByteArray, minCode, w * h) match {
+              case Some(a) => a
+              case None    => return None
+            }
+            val argb = new Array[Int](w * h)
+            val interlaced = (f & 0x40) != 0
+            // Interlace row order: pass starts 0/4/2/1, steps 8/8/4/2.
+            val rowOf: Array[Int] =
+              if (!interlaced) Array.tabulate(h)(identity)
+              else {
+                val order = new Array[Int](h)
+                var k = 0
+                val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+                var p = 0
+                while (p < 4) {
+                  var y = starts(p)
+                  while (y < h) { order(k) = y; k += 1; y += steps(p) }
+                  p += 1
+                }
+                order
+              }
+            var r = 0
+            while (r < h) {
+              val y = rowOf(r)
+              var x = 0
+              while (x < w) {
+                val j = idx(r * w + x)
+                val rgbv = if (j < pal.length) pal(j) else 0
+                val a = if (j == pendingTransIdx) 0 else 0xFF
+                argb(y * w + x) = (a << 24) | rgbv
+                x += 1
+              }
+              r += 1
+            }
+            cb(GifFrame(nFrames, left, top, w, h, pendingDisposal, argb))
+          }
+          nFrames += 1
+          pendingDisposal = 0
+          pendingTransIdx = -1
+        } else return None                                 // unknown block
+      }
+      None                                                 // unreachable
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** GIF-variant LZW decode (LSB-first codes, growing code size 3..12
+    * bits, clear/EOI codes, the KwKwK case): `expected` = w·h indices out.
+    * None when the stream is truncated, references an unassigned code, or
+    * hits EOI before the raster is complete. */
+  private def gifLzw(data: Array[Byte], minCodeSize: Int,
+                     expected: Int): Option[Array[Int]] = {
+    if (minCodeSize < 2 || minCodeSize > 11) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i; i += 1 }
+    val out = new Array[Int](expected)
+    val stack = new Array[Int](4096)
+    var outPos = 0
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    var prev = -1
+    while (outPos < expected) {
+      if (bitPos + codeSize > totalBits) return None
+      var code = 0
+      var b = 0
+      while (b < codeSize) {
+        val bp = bitPos + b
+        if (((data(bp >> 3) >> (bp & 7)) & 1) != 0) code |= 1 << b
+        b += 1
+      }
+      bitPos += codeSize
+      if (code == clear) {
+        codeSize = minCodeSize + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        return None                    // EOI before the raster is complete
+      } else {
+        if (code > next || (code == next && prev < 0)) return None
+        var sp = 0
+        var cur = if (code == next) prev else code
+        while (cur >= 0) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        val first = stack(sp - 1)
+        while (sp > 0 && outPos < expected) {
+          sp -= 1; out(outPos) = stack(sp); outPos += 1
+        }
+        if (code == next && outPos < expected) {   // KwKwK: str(prev)+first
+          out(outPos) = first; outPos += 1
+        }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** The imageStats math over a flat ARGB raster (alpha ignored — a
+    * transparent GIF pixel still carries its palette RGB, matching what
+    * IndexColorModel.getRGB reports): IDENTICAL accumulation order to
+    * [[imageStats]]'s scanline loop so the two paths fold bit-for-bit. */
+  private def rgbStats(argb: Array[Int], w: Int, h: Int): Array[Float] = {
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val v = argb(p)
+      val r = (v >> 16) & 0xFF; val g = (v >> 8) & 0xFF; val bl = v & 0xFF
+      val l = 0.299 * r + 0.587 * g + 0.114 * bl
+      sr += r; sg += g; sb += bl; sl += l; sl2 += l * l
+      p += 1
+    }
+    val nn = n.toDouble
+    val meanL = sl / nn
+    val varL = math.max(sl2 / nn - meanL * meanL, 0.0)
+    Array[Float](
+      (sr / nn / 255.0).toFloat, (sg / nn / 255.0).toFloat, (sb / nn / 255.0).toFloat,
+      (meanL / 255.0).toFloat, (math.sqrt(varL) / 255.0).toFloat,
+      math.log1p(w.toDouble).toFloat, math.log1p(h.toDouble).toFloat,
+      (w.toDouble / h).toFloat)
+  }
+
+  /** REAL frame decode for GIF (hand-rolled LZW + interlace via
+    * [[gifWalk]] — no ImageIO): the feature vector is the componentwise
+    * MEAN of per-frame image stats over at most the first 16 frames (the
+    * same bounded-work rule as AVI), with the TOTAL frame count in slot 5
+    * — the decode analogue of frameSample's sampling cap. Frames are
+    * read as stored; delta-optimized GIFs with sub-rectangle frames are
+    * the COMPOSITING path's business ([[frameSample]]) and are rejected
+    * here (any frame smaller than the logical screen → None → stub
+    * fallback) so the per-frame stats are never computed over a
+    * misleading sub-rect. None for undecodable bytes. */
+  def decodeGifFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    val meta = parseMeta(bytes)
+    if (meta.format != "gif") return None
+    val frames = Vector.newBuilder[GifFrame]
+    gifWalk(bytes, 16)(frames += _).flatMap { total =>
+      val sampled = frames.result()
+      if (sampled.isEmpty ||
+          sampled.exists(fr => fr.left != 0 || fr.top != 0 ||
+            fr.w < meta.width || fr.h < meta.height)) None
+      else {
+        val acc = new Array[Float](8)
+        sampled.foreach { fr =>
+          val s = rgbStats(fr.argb, fr.w, fr.h)
+          var i = 0
+          while (i < 5) { acc(i) += s(i) / sampled.size; i += 1 }
+        }
+        acc(5) = total.toFloat
+        // Slot 6 is log1p(height) — the shared image-codec convention
+        // (width stays recoverable via the aspect slot).
+        acc(6) = math.log1p(meta.height.toDouble).toFloat
+        acc(7) = if (meta.height > 0) (meta.width.toDouble / meta.height).toFloat else 0f
+        Some(acc)
+      }
     }
   }
 
@@ -923,11 +1136,11 @@ object Multimodal {
     media.mapPartitions(_.map(r => r.copy(kind = s"${r.kind}@resized:$maxDim")))
   }
 
-  /** REAL frame sampling for multi-frame GIF (the one video-ish container
-    * the JDK can decode): frames are COMPOSITED onto a logical-screen-sized
-    * canvas in sequence (honoring per-frame offsets and disposal methods —
-    * optimized GIFs store delta sub-rectangles, so `reader.read(f)` alone
-    * is not the logical frame), and every k-th composited frame is
+  /** REAL frame sampling for multi-frame GIF (hand-rolled [[gifWalk]]
+    * decode): frames are COMPOSITED onto a logical-screen-sized canvas in
+    * sequence (honoring per-frame offsets, transparency, and disposal
+    * methods — optimized GIFs store delta sub-rectangles, so a stored
+    * frame alone is not the logical frame), and every k-th composited frame is
     * re-encoded as PNG — one row in, n/k rows out, each a standalone image
     * ready for the PNG feature path. Uncompressed AVI goes through the
     * same contract via decodeAviFrames (no compositing — AVI DIB frames
@@ -951,102 +1164,66 @@ object Multimodal {
       }
       else if (fmt != "gif") frameWindows(r, everyK)
       else {
-        // Close the ImageInputStream and dispose the reader on EVERY path:
-        // with ImageIO's default file cache each leaked stream pins a temp
-        // file + file descriptor on the executor.
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.content))
-        var reader: javax.imageio.ImageReader = null
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) frameWindows(r, everyK)
-          else {
-            reader = readers.next()
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            val first = reader.read(0)
-            val screen = parseMeta(r.content)
-            // The logical-screen dims come from UNTRUSTED header bytes (u16le
-            // up to 65535 each → a ~17 GB ARGB canvas, and OutOfMemoryError
-            // is an Error that would escape the Exception fallback below and
-            // kill the task). Clamp to a sane cap; real frames larger than
-            // the cap don't exist in practice (the cap still allows 1 GiB
-            // canvases), and a lying header degrades to a cropped composite
-            // instead of an executor OOM.
-            val MaxCanvasDim = 16384
+        val screen = parseMeta(r.content)
+        // The logical-screen dims come from UNTRUSTED header bytes (u16le
+        // up to 65535 each → a ~17 GB ARGB canvas, and OutOfMemoryError
+        // is an Error that would escape the fallback and kill the task).
+        // Clamp to a sane cap; real frames larger than the cap don't exist
+        // in practice (the cap still allows 1 GiB canvases), and a lying
+        // header degrades to a cropped composite instead of an executor
+        // OOM. gifWalk itself bounds any single frame to 64 Mpx.
+        val MaxCanvasDim = 16384
+        var canvas: java.awt.image.BufferedImage = null
+        var saved: java.awt.image.BufferedImage = null
+        val out = scala.collection.mutable.ArrayBuffer[MediaRow]()
+        // Streaming composite via the hand-rolled decoder ([[gifWalk]] —
+        // the JDK GIF reader corrupts small interlaced rasters): one frame
+        // in memory at a time, canvas mutated per the GIF89a disposal
+        // rules, every k-th composite re-encoded as PNG.
+        val walked = gifWalk(r.content, Int.MaxValue) { fr =>
+          if (canvas == null) {
             val lw = math.min(MaxCanvasDim,
-              if (screen.width > 0) screen.width else first.getWidth)
+              if (screen.width > 0) screen.width else fr.w)
             val lh = math.min(MaxCanvasDim,
-              if (screen.height > 0) screen.height else first.getHeight)
-            var canvas = new java.awt.image.BufferedImage(lw, lh,
+              if (screen.height > 0) screen.height else fr.h)
+            canvas = new java.awt.image.BufferedImage(lw, lh,
               java.awt.image.BufferedImage.TYPE_INT_ARGB)
-            var saved: java.awt.image.BufferedImage = null
-            val out = scala.collection.mutable.ArrayBuffer[MediaRow]()
-            var f = 0
-            while (f < n) {
-              val frame = if (f == 0) first else reader.read(f)
-              val (left, top, disposal) = gifFrameGeometry(reader.getImageMetadata(f))
-              if (disposal == "restoreToPrevious") {
-                saved = new java.awt.image.BufferedImage(lw, lh,
-                  java.awt.image.BufferedImage.TYPE_INT_ARGB)
-                val gs = saved.createGraphics(); gs.drawImage(canvas, 0, 0, null); gs.dispose()
-              }
-              val g = canvas.createGraphics()
-              g.drawImage(frame, left, top, null)
-              g.dispose()
-              if (f % everyK == 0) {
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(canvas, "png", bos)
-                out += MediaRow(r.media_id * 1000 + f, s"${r.kind}#frame$f", bos.toByteArray)
-              }
-              disposal match {
-                case "restoreToBackgroundColor" =>
-                  val gc = canvas.createGraphics()
-                  gc.setComposite(java.awt.AlphaComposite.Clear)
-                  gc.fillRect(left, top, frame.getWidth, frame.getHeight)
-                  gc.dispose()
-                case "restoreToPrevious" if saved != null =>
-                  canvas = saved
-                case _ => ()
-              }
-              f += 1
-            }
-            out.toSeq
           }
-        } catch { case _: Exception => frameWindows(r, everyK) }
-        finally {
-          if (reader != null) reader.dispose()
-          iis.close()
+          if (fr.disposal == 3) {                 // restore-to-previous
+            saved = new java.awt.image.BufferedImage(
+              canvas.getWidth, canvas.getHeight,
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val gs = saved.createGraphics(); gs.drawImage(canvas, 0, 0, null); gs.dispose()
+          }
+          // SRC_OVER with per-pixel alpha: transparent GIF pixels leave
+          // the canvas untouched (the delta-frame compositing contract).
+          val fim = new java.awt.image.BufferedImage(fr.w, fr.h,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          fim.setRGB(0, 0, fr.w, fr.h, fr.argb, 0, fr.w)
+          val g = canvas.createGraphics()
+          g.drawImage(fim, fr.left, fr.top, null)
+          g.dispose()
+          if (fr.index % everyK == 0) {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(canvas, "png", bos)
+            out += MediaRow(r.media_id * 1000 + fr.index,
+              s"${r.kind}#frame${fr.index}", bos.toByteArray)
+          }
+          fr.disposal match {
+            case 2 =>                             // restore-to-background
+              val gc = canvas.createGraphics()
+              gc.setComposite(java.awt.AlphaComposite.Clear)
+              gc.fillRect(fr.left, fr.top, fr.w, fr.h)
+              gc.dispose()
+            case 3 if saved != null =>
+              canvas = saved
+            case _ => ()
+          }
         }
+        if (walked.isDefined) out.toSeq else frameWindows(r, everyK)
       }
     }
   }
-
-  /** Per-frame GIF geometry from the ImageIO native metadata tree:
-    * (leftOffset, topOffset, disposalMethod). Defaults cover streams with
-    * no GraphicControlExtension. */
-  private def gifFrameGeometry(m: javax.imageio.metadata.IIOMetadata): (Int, Int, String) =
-    try {
-      val root = m.getAsTree("javax_imageio_gif_image_1.0")
-      var left = 0; var top = 0; var disposal = "none"
-      val kids = root.getChildNodes
-      var i = 0
-      while (i < kids.getLength) {
-        val node = kids.item(i)
-        node.getNodeName match {
-          case "ImageDescriptor" =>
-            val at = node.getAttributes
-            left = Option(at.getNamedItem("imageLeftPosition")).map(_.getNodeValue.toInt).getOrElse(0)
-            top = Option(at.getNamedItem("imageTopPosition")).map(_.getNodeValue.toInt).getOrElse(0)
-          case "GraphicControlExtension" =>
-            disposal = Option(node.getAttributes.getNamedItem("disposalMethod"))
-              .map(_.getNodeValue).getOrElse("none")
-          case _ => ()
-        }
-        i += 1
-      }
-      (left, top, disposal)
-    } catch { case _: Exception => (0, 0, "none") }
 
   private def frameWindows(r: MediaRow, everyK: Int): Seq[MediaRow] = {
     val frames = math.max(r.content.length / 1024, 1)

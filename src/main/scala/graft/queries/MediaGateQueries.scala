@@ -344,6 +344,33 @@ object MediaGateQueries extends QueryPack {
     bos.toByteArray
   }
 
+  /** Deterministic JPEG container for key `k` — the ONE lossy codec in
+    * the registry, so the q204 bit-exact pattern cannot apply. A FLAT
+    * color field (r,g,b) = (k·7, k·11, k·3) mod 256 encoded via ImageIO's
+    * JPEG writer at default quality: flat color keeps the lossy error
+    * bounded by DC-quantization + YCbCr rounding (≲ 2/255 per channel —
+    * constant blocks have no AC energy and edge padding replicates the
+    * same value), so the gate pins the deterministic ENVELOPE — header
+    * geometry exact (the SOFn walk), decode-path dims/aspect slots exact
+    * to float, channel means within ±0.02, luma std under 0.02 — as
+    * booleans whose oracle is literal TRUE (the q58 bound-as-boolean
+    * discipline). */
+  private[queries] def jpegBytes(k: Long): Array[Byte] = {
+    val w = 16 + (k % 8).toInt
+    val h = 12 + (k % 5).toInt
+    val rgb = (((k * 7) % 256).toInt << 16) |
+      (((k * 11) % 256).toInt << 8) | ((k * 3) % 256).toInt
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = im.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** The bounded key slice as a typed media dataset — executor-side
     * generation inside the map, no driver round trip. */
   private def mediaOf(s: SparkSession, d: String, kind: String,
@@ -459,6 +486,33 @@ object MediaGateQueries extends QueryPack {
           col("features")(0).as("mean_r"),
           col("features")(1).as("mean_g"),
           col("features")(2).as("mean_b"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // JPEG decode ENVELOPE (see jpegBytes): the lossy codec gated on what
+    // IS deterministic. width/height come from parseMeta's SOFn marker
+    // walk (exact); dims_ok/aspect_ok prove the REAL pixel decode ran
+    // (the stub's byte-hash slots could never reproduce log1p(w)/log1p(h)
+    // /aspect to 1e-6); the mean/std bands bound the decoded pixels to
+    // the synthesis color within the flat-field JPEG error envelope. All
+    // bounds ship as BOOLEANS so the oracle pins literals.
+    "q214_media_decode_jpeg_envelope" -> ((s, d) => {
+      val f = Multimodal.extractFeatures(mediaOf(s, d, "image", jpegBytes)).toDF()
+      val k = col("media_id")
+      def band(slot: Int, expected: org.apache.spark.sql.Column) =
+        abs(col("features")(slot).cast("double") - expected) < 0.02
+      f.select(k.as("o_orderkey"), col("format"),
+          col("width"), col("height"),
+          band(0, (k * 7 % 256).cast("double") / 255.0).as("mean_r_ok"),
+          band(1, (k * 11 % 256).cast("double") / 255.0).as("mean_g_ok"),
+          band(2, (k * 3 % 256).cast("double") / 255.0).as("mean_b_ok"),
+          (col("features")(4).cast("double") < 0.02).as("std_l_ok"),
+          (abs(col("features")(5).cast("double") - log1p(col("width").cast("double"))) < lit(1e-6) &&
+            abs(col("features")(6).cast("double") - log1p(col("height").cast("double"))) < lit(1e-6))
+            .as("dims_ok"),
+          (abs(col("features")(7).cast("double") -
+            col("width").cast("double") / col("height").cast("double")) < lit(1e-6))
+            .as("aspect_ok"))
         .orderBy(col("o_orderkey"))
     })
   )
@@ -775,6 +829,21 @@ object MediaGateQueries extends QueryPack {
              CAST(list_reduce(tg, (x, y) -> CAST(x + y AS FLOAT)) AS FLOAT) AS mean_g,
              CAST(list_reduce(tb, (x, y) -> CAST(x + y AS FLOAT)) AS FLOAT) AS mean_b
       FROM fr
+      ORDER BY o_orderkey""",
+
+    // The JPEG envelope's oracle is pure literals: geometry from the key
+    // formulas, every bound TRUE — the engine side is what computes the
+    // bands over REAL decoded pixels (a failed decode, a stub fallback, a
+    // drifted mean, or a broken SOFn walk all flip a column and
+    // hash-fail).
+    "q214_media_decode_jpeg_envelope" -> s"""
+      SELECT o_orderkey,
+             'jpeg' AS format,
+             CAST(16 + o_orderkey % 8 AS INT) AS width,
+             CAST(12 + o_orderkey % 5 AS INT) AS height,
+             TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok,
+             TRUE AS std_l_ok, TRUE AS dims_ok, TRUE AS aspect_ok
+      FROM orders WHERE o_orderkey <= $KeyCap
       ORDER BY o_orderkey"""
   )
 }

@@ -19,6 +19,16 @@ object StreamingQueries extends QueryPack {
     * query twice in one JVM). */
   private val mbRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Per-JVM disambiguator baked into every on-disk stream dir name
+    * (slices, live staging, file sinks): `mbRun` is only unique WITHIN a
+    * JVM, and the shared `java.io.tmpdir` is not exclusive — a concurrent
+    * graft process (a driver Bench/BenchSlope run alongside `sbt test`)
+    * would otherwise collide on `graft_stream_1` and trip the specs'
+    * tmp-hygiene snapshots. The specs filter on this prefix too, so they
+    * only ever assert over dirs THIS JVM created. */
+  private[graft] val jvmTag: String =
+    java.lang.ProcessHandle.current().pid().toString
+
   /** Memory-sink temp views registered by past runMicroBatch calls. Each
     * run registers a fresh `qn_runId` view; without eviction a 10+ run
     * sweep accretes every run's full result set in driver memory even
@@ -75,7 +85,7 @@ object StreamingQueries extends QueryPack {
       Seq((-1L, -1L, "sentinel", maxUs + off))
         .toDF("event_id", "user_id", "event_type", "us")
     }
-    writeSlices(s, s"graft_stream_$runId",
+    writeSlices(s, s"graft_stream_${jvmTag}_$runId",
       rangeSlices(ev, "us", nSlices) ++ sentinels)
   }
 
@@ -180,7 +190,7 @@ object StreamingQueries extends QueryPack {
       sys.addShutdownHook {
         liveSinkDirs.values.forEach(p => if (Files.exists(p)) deleteTree(p))
       }
-    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_mbsink_$runId")
+    val root = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_mbsink_${jvmTag}_$runId")
     if (Files.exists(root)) deleteTree(root)
     Option(liveSinkDirs.put(qn, root))
       .foreach(prev => if (prev != root && Files.exists(prev)) deleteTree(prev))
@@ -265,7 +275,7 @@ object StreamingQueries extends QueryPack {
       // rest); the remainder move in before the restart.
       val all = listDir(Paths.get(sliceDir)).sortBy(_.getFileName.toString)
       val live = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_stream_live_$runId")
+        s"graft_stream_live_${jvmTag}_$runId")
       if (Files.exists(live)) deleteTree(live)
       Files.createDirectories(live)
       def reveal(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
@@ -512,7 +522,7 @@ object StreamingQueries extends QueryPack {
     "q192_stream_exact_dedup_microbatch" -> ((s, d) => {
       import s.implicits._
       runMicroBatchToFiles(s, "q192_stream_exact_dedup_microbatch",
-        writeSlices(s, s"graft_stream_${mbRun.incrementAndGet()}",
+        writeSlices(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
           rangeSlices(Tables.documents(s, d).select(col("doc_id"), col("text")),
             "doc_id", 8)),
         "doc_id LONG, text STRING") { src =>
@@ -534,7 +544,7 @@ object StreamingQueries extends QueryPack {
     // within each batch (the kernel's sort). Oracle = q54's SQL VERBATIM.
     "q193_stream_near_dedup_microbatch" -> ((s, d) => {
       runMicroBatchToFiles(s, "q193_stream_near_dedup_microbatch",
-        writeSlices(s, s"graft_stream_${mbRun.incrementAndGet()}",
+        writeSlices(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
           rangeSlices(TextPipelineQueries.materializedShingles(s, d),
             "doc_id", 8)),
         "doc_id LONG, hs ARRAY<LONG>") { src =>
@@ -585,7 +595,7 @@ object StreamingQueries extends QueryPack {
     "q198_stream_exact_dedup_restart" -> ((s, d) => {
       import s.implicits._
       runMicroBatchWithRestart(s, "q198_stream_exact_dedup_restart",
-        writeSlices(s, s"graft_stream_${mbRun.incrementAndGet()}",
+        writeSlices(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
           rangeSlices(Tables.documents(s, d).select(col("doc_id"), col("text")),
             "doc_id", 8)),
         "doc_id LONG, text STRING", firstFiles = 4) { src =>
@@ -611,7 +621,7 @@ object StreamingQueries extends QueryPack {
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
       runMicroBatchToFiles(s, "q199_stream_static_join",
-        writeSlices(s, s"graft_stream_${mbRun.incrementAndGet()}",
+        writeSlices(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
           rangeSlices(ev, "us", 8)),
         "event_id LONG, user_id LONG, event_type STRING, us LONG, value DOUBLE") { src =>
         src.join(broadcast(cust), col("user_id") === col("c_custkey"))
@@ -660,7 +670,7 @@ object StreamingQueries extends QueryPack {
         col("event_type"), col("value"))
       val runId = mbRun.incrementAndGet()
       val root = claimSinkRoot("q202_stream_upsert_sink", runId)
-      val sliceDir = writeSlices(s, s"graft_stream_$runId",
+      val sliceDir = writeSlices(s, s"graft_stream_${jvmTag}_$runId",
         rangeSlices(ev, "us", 8))
       val state =
         try graft.streaming.UpsertSink.run(s, sliceDir,
@@ -698,7 +708,7 @@ object StreamingQueries extends QueryPack {
         col("event_type"), col("value"))
       val runId = mbRun.incrementAndGet()
       val root = claimSinkRoot("q203_stream_upsert_restart", runId)
-      val sliceDir = writeSlices(s, s"graft_stream_$runId",
+      val sliceDir = writeSlices(s, s"graft_stream_${jvmTag}_$runId",
         rangeSlices(ev, "us", 8))
       val stateRoot = root.resolve("state")
       val schema =
@@ -709,7 +719,7 @@ object StreamingQueries extends QueryPack {
       try {
         val all = listDir(Paths.get(sliceDir)).sortBy(_.getFileName.toString)
         val live = Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft_stream_live_$runId")
+          s"graft_stream_live_${jvmTag}_$runId")
         if (Files.exists(live)) deleteTree(live)
         Files.createDirectories(live)
         def reveal(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>

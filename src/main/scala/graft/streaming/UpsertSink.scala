@@ -112,14 +112,28 @@ object UpsertSink {
       m.map { case (b, v) => b -> stateRoot.resolve(v).resolve(s"bucket=$b") }
     }
 
+  /** Warn exactly once per JVM when the filesystem refuses directory
+    * fsync: on such deployments a power crash can still lose a renamed
+    * manifest that Spark's checkpoint believes committed (the torn-
+    * manifest fallback then drops that batch's data) — the weakened
+    * durability must be visible, not silent. */
+  private val fsyncDirWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Best-effort fsync of a directory so a completed rename inside it
-    * survives an OS/power crash (a no-op where the FS/JDK refuses a
-    * directory channel — object stores and some network FSes). */
+    * survives an OS/power crash (degrades — loudly, once — where the
+    * FS/JDK refuses a directory channel: object stores and some network
+    * FSes). */
   private def fsyncDir(dir: Path): Unit =
     try scala.util.Using.resource(
       java.nio.channels.FileChannel.open(dir, StandardOpenOption.READ)
     )(_.force(true))
-    catch { case scala.util.control.NonFatal(_) => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (fsyncDirWarned.compareAndSet(false, true))
+          System.err.println(s"[upsert-sink] WARN: directory fsync refused for $dir " +
+            s"(${e.getClass.getSimpleName}); manifest durability over a power crash " +
+            "is weakened on this filesystem")
+    }
 
   /** Manifest-last commit: write to a dotted temp name, fsync the bytes,
     * atomic-rename into place, fsync the directory. Without the two syncs
@@ -202,10 +216,23 @@ object UpsertSink {
       // content — so re-publishing is pure risk (a crash between deleting
       // the live v<batchId> and re-renaming staging over it would orphan
       // the only copy). Skip the merge entirely; the manifest IS the
-      // commit.
-      if (newestManifest(stateRoot).exists(_._1 >= batchId)) {
-        batches += 1
-        return
+      // commit. Spark replays at most the ONE batch after the last
+      // checkpoint commit, so only newest == batchId is a legitimate
+      // replay: newest > batchId means the checkpoint was reset while
+      // stateRoot was kept (batch ids restarted below the manifest), and
+      // silently skipping would swallow EVERY incoming batch as "already
+      // committed" — fail fast instead of losing data invisibly.
+      newestManifest(stateRoot).map(_._1) match {
+        case Some(newest) if newest == batchId =>
+          batches += 1
+          return
+        case Some(newest) if newest > batchId =>
+          throw new IllegalStateException(
+            s"upsert sink state at $stateRoot has manifest $newest but the " +
+              s"stream is replaying batch $batchId — the checkpoint was reset " +
+              "while the sink state was kept; refusing to silently skip " +
+              "(point the query at a fresh stateRoot or restore the checkpoint)")
+        case _ => ()
       }
       // Ord columns ride along as payload so state keeps the winning
       // change's ordering key for cross-batch latest-wins merges.

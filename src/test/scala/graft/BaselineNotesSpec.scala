@@ -32,4 +32,31 @@ class BaselineNotesSpec extends AnyFunSuite {
         "'baseline-sha256: $sha' entry in BASELINE_NOTES.md — append a note " +
         "recording WHY the baseline changed before committing the edit")
   }
+
+  test("an era-warned loop artifact has a machine-era adjudication entry in the notes") {
+    // The era-normalization escape hatch, closed: `era_warn` fires when the
+    // committed loop's raw canary era sits outside the notes band
+    // [0.8, 1.3] or at a clamp bound (Bench.eraWarnOf) — the two incident
+    // rules BASELINE_NOTES.md's r17 governance entry declares. A warned
+    // era is allowed ONLY with an explicit `machine-era: <era_raw>` line
+    // in the notes, so a silent 3x global slowdown can never ride the
+    // normalization to a green artifact without a human on record.
+    val p = Paths.get("BENCH_LOCAL_LAST.json")
+    if (Files.exists(p)) {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(p.toFile)
+      val warn = Option(node.get("era_warn")).filterNot(_.isNull).map(_.asText)
+      warn.foreach { w =>
+        val eraRaw = node.get("era_raw").asDouble()
+        val notes = new String(Files.readAllBytes(repoFile("BASELINE_NOTES.md")), "UTF-8")
+        val stamped = "(?m)^machine-era:\\s*([0-9.]+)\\s*$".r
+          .findAllMatchIn(notes).map(_.group(1).toDouble).toSet
+        assert(stamped.exists(e => math.abs(e - eraRaw) < 0.0005),
+          s"BENCH_LOCAL_LAST.json carries era_warn=$w (era_raw=$eraRaw) but " +
+            s"BASELINE_NOTES.md has no 'machine-era: $eraRaw' adjudication " +
+            "line — write the incident entry (what drifted, why it is or is " +
+            "not a shared-path regression) before committing the artifact")
+      }
+    }
+  }
 }

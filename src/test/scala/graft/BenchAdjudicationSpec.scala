@@ -105,6 +105,48 @@ class BenchAdjudicationSpec extends SparkSpec {
     assert(Bench.eraOf(Map("toy_query" -> 5.0), Map("toy_query" -> 1.0)) == 1.0)
   }
 
+  test("eraWarnOf: the alarm fires at clamp bounds and outside the notes band") {
+    // inside [0.8, 1.3]: unremarkable, no warning
+    assert(Bench.eraWarnOf(1.0, hasBaseline = true).isEmpty)
+    assert(Bench.eraWarnOf(1.29, hasBaseline = true).isEmpty)
+    assert(Bench.eraWarnOf(0.81, hasBaseline = true).isEmpty)
+    // drifted but within the clamp: requires a machine-era notes entry
+    assert(Bench.eraWarnOf(1.35, hasBaseline = true)
+      .contains("era_outside_notes_band"))
+    assert(Bench.eraWarnOf(0.7, hasBaseline = true)
+      .contains("era_outside_notes_band"))
+    // at/past a clamp bound: an incident, not an era — normalization
+    // would silently absorb up to the clamp, so this is the louder alarm
+    assert(Bench.eraWarnOf(3.0, hasBaseline = true).contains("era_at_clamp_bound"))
+    assert(Bench.eraWarnOf(7.2, hasBaseline = true).contains("era_at_clamp_bound"))
+    assert(Bench.eraWarnOf(0.4, hasBaseline = true).contains("era_at_clamp_bound"))
+    // no committed baseline (first round): the guard is off entirely
+    assert(Bench.eraWarnOf(3.5, hasBaseline = false).isEmpty)
+  }
+
+  test("compactOf: bounded-tail consumers get one complete parseable object") {
+    // The round driver keeps a 2000-char tail of Bench stdout; the full
+    // per-query artifact is ~25 KB and never fit (three rounds of
+    // `parsed: null` driver artifacts). The compact line printed LAST must
+    // stay under that bound and carry the adjudication fields verbatim.
+    val full = """{"metric":"total","value":216.54,"unit":"sec","run":"warm","exec":"noop_sink","era":0.852,"era_raw":0.852,"era_warn":null,"queries":{"q09_topk":0.41,"q12_cond_buckets":0.33,"zz_other":9.9},"cold":{"q09_topk":1.2},"ratio":{"q09_topk":1.0},"ratio_norm":{"q09_topk":1.17},"regressed":[],"adjudication":{},"unbaselined":["q214_media_decode_jpeg_envelope"],"materializes":[],"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    val c = Bench.compactOf(full, 214)
+    assert(c.length < 2000, s"compact line must fit the driver tail: ${c.length}")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(c) // throws on malformed JSON
+    assert(node.get("value").asDouble() == 216.54)
+    assert(node.get("n_queries").asInt() == 214)
+    assert(node.get("era_raw").asDouble() == 0.852)
+    assert(node.get("era_warn").isNull)
+    assert(node.get("unbaselined").get(0).asText() ==
+      "q214_media_decode_jpeg_envelope")
+    assert(node.get("sf").asText() == "/root/testdata/sf0.1")
+    // the queries sample carries the canaries' WARM times (first
+    // occurrence in the full artifact), not cold/ratio entries
+    assert(node.get("queries").get("q09_topk").asDouble() == 0.41)
+    assert(!node.get("queries").has("zz_other"))
+  }
+
   test("flags fire on the era-normalized ratio: a slow era is one number, not a flag storm") {
     // One canary present, measured at 3x its baseline -> era = 3 (clamped
     // cap). The non-canary query also runs ~3x its baseline: raw ratio > 2

@@ -92,6 +92,70 @@ class GifSpec extends AnyFunSuite {
       "a frame smaller than the logical screen must fall to the stub")
   }
 
+  /** Hand-assembled GIF with an explicit interlace flag and pixel stream:
+    * GCT of 256 entries, one image descriptor, and an "uncompressed" LZW
+    * stream (clear code before every literal so the dictionary never
+    * grows — all codes stay 9 bits). Rows are emitted in interlace pass
+    * order when `interlaced`, so the decoder's 8/8/4/2 walk is on the
+    * hook — this is the shape the JDK reader corrupted at heights 2–4. */
+  private def rawGif(w: Int, h: Int, interlaced: Boolean,
+                     pal: (Array[Byte], Array[Byte], Array[Byte]),
+                     idx: Array[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    bos.write("GIF89a".getBytes)
+    u16(w); u16(h)
+    bos.write(0xF7); bos.write(0); bos.write(0)     // GCT, 256 entries
+    (0 until 256).foreach { j =>
+      bos.write(pal._1(j) & 0xFF); bos.write(pal._2(j) & 0xFF); bos.write(pal._3(j) & 0xFF)
+    }
+    bos.write(0x2C); u16(0); u16(0); u16(w); u16(h)
+    bos.write(if (interlaced) 0x40 else 0x00)
+    bos.write(8)                                     // LZW min code size
+    // Row emission order: interlace passes start 0/4/2/1, step 8/8/4/2.
+    val rows =
+      if (!interlaced) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s, st) => s until h by st }
+    val codes = rows.flatMap(y => (0 until w).map(x => Seq(256, idx(y * w + x))))
+      .flatten :+ 257                                // clear+literal pairs, then EOI
+    // Pack 9-bit codes LSB-first, then split into <=255-byte sub-blocks.
+    val bits = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var acc = 0; var nBits = 0
+    codes.foreach { c =>
+      acc |= c << nBits; nBits += 9
+      while (nBits >= 8) { bits += (acc & 0xFF).toByte; acc >>= 8; nBits -= 8 }
+    }
+    if (nBits > 0) bits += (acc & 0xFF).toByte
+    bits.grouped(255).foreach { blk => bos.write(blk.length); bos.write(blk.toArray) }
+    bos.write(0); bos.write(0x3B)
+    bos.toByteArray
+  }
+
+  test("interlaced heights 2-4 decode every row (the JDK-reader row-loss range)") {
+    // Distinct index per row: a dropped/zeroed row shifts every channel
+    // mean, so the PNG-parity check pins the full interlace walk.
+    for (h <- 2 to 4; w = 5) {
+      val idx = Array.tabulate(w * h)(i => 10 + (i / w) * 40)
+      val gif = rawGif(w, h, interlaced = true, pal, idx)
+      val got = Multimodal.decodeGifFeatures(gif)
+        .getOrElse(fail(s"interlaced ${w}x$h GIF must decode"))
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      idx.zipWithIndex.foreach { case (j, i) =>
+        im.setRGB(i % w, i / w,
+          ((pal._1(j) & 0xFF) << 16) | ((pal._2(j) & 0xFF) << 8) | (pal._3(j) & 0xFF))
+      }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      val png = Multimodal.decodeImageFeatures(bos.toByteArray).get
+      assert(got.take(5).toSeq == png.take(5).toSeq,
+        s"h=$h: ${got.toSeq} vs ${png.toSeq}")
+      // Non-interlaced same pixels must agree with the interlaced read.
+      val flat = Multimodal.decodeGifFeatures(rawGif(w, h, interlaced = false, pal, idx)).get
+      assert(flat.take(5).toSeq == got.take(5).toSeq)
+    }
+  }
+
   test("corrupt bytes decode to None, truncation never throws") {
     assert(Multimodal.decodeGifFeatures("GIF89a".getBytes ++ Array.fill(4)(0xFF.toByte)).isEmpty)
     assert(Multimodal.decodeGifFeatures(Array.fill(64)(0x42.toByte)).isEmpty)

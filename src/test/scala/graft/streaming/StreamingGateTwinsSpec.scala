@@ -24,7 +24,9 @@ class StreamingGateTwinsSpec extends SparkSpec {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     scala.util.Using.resource(java.nio.file.Files.list(tmp)) { ls =>
       ls.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("graft_stream_")).toSet
+        // Scoped to THIS JVM's dirs (pid prefix): a concurrent graft process
+        // writing its own graft_stream_* must not trip this snapshot.
+        .filter(_.startsWith(s"graft_stream_${graft.queries.StreamingQueries.jvmTag}_")).toSet
     }
   }
 

@@ -26,7 +26,9 @@ class StreamingRestartSpec extends SparkSpec {
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     def stagingDirs: Set[String] = java.nio.file.Files.list(tmp).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n.startsWith("graft_stream_")).toSet
+      // Scoped to THIS JVM's dirs (pid prefix): a concurrent graft process
+      // writing its own graft_stream_* must not trip this snapshot.
+      .filter(n => n.startsWith(s"graft_stream_${graft.queries.StreamingQueries.jvmTag}_")).toSet
     val before = stagingDirs
 
     val rows = SparkEntry.queries("q194_stream_sessions_restart")(spark, sf)

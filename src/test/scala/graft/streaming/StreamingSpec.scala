@@ -172,7 +172,10 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     def streamDirs: Set[String] = java.nio.file.Files.list(tmp).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("graft_stream_")).toSet
+      .map(_.getFileName.toString)
+      // Scoped to THIS JVM's dirs (pid prefix): a concurrent graft process
+      // writing its own graft_stream_* must not trip this snapshot.
+      .filter(_.startsWith(s"graft_stream_${graft.queries.StreamingQueries.jvmTag}_")).toSet
     val before = streamDirs
     val out = graft.SparkEntry.queries("q186_stream_sessions_microbatch")(
       spark, "/root/testdata/sf0.001")

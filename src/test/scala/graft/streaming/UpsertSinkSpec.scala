@@ -8,8 +8,9 @@ import java.nio.file.{Files, Path, Paths}
 /** Pins for the foreachBatch upsert sink beyond the q202 hash gate:
   * in-JVM oracle identity with the batch CDC kernel, touched-bucket-only
   * write amplification, out-of-order tombstone retention (the reason
-  * deletes are kept in state, not physically dropped), and replay
-  * convergence over already-absorbed state (the crash-recovery claim). */
+  * deletes are kept in state, not physically dropped), one-batch replay
+  * idempotence (the crash-recovery claim), and the fail-fast on a
+  * checkpoint reset over kept state (silent skip = invisible data loss). */
 class UpsertSinkSpec extends SparkSpec {
 
   private val Schema = "k LONG, t LONG, i LONG, op STRING, v DOUBLE"
@@ -109,7 +110,7 @@ class UpsertSinkSpec extends SparkSpec {
     } finally { deleteTree(root); deleteTree(slices) }
   }
 
-  test("replay over absorbed state converges: fresh checkpoint, same slices, same final state") {
+  test("checkpoint reset over kept state fails fast instead of silently swallowing batches") {
     val root = tmpRoot("graft_upsert_spec4")
     val slices = tmpRoot("graft_upsert_spec4_in")
     val b1 = (1L to 10L).map(k => (k, 10L, k, "U", k * 1.0))
@@ -117,9 +118,23 @@ class UpsertSinkSpec extends SparkSpec {
     try {
       writeBatches(slices, Seq(df(b1), df(b2)))
       val first = collect(run(root, slices))
+      // The ops mistake: checkpoint wiped, sink state kept. Batch ids
+      // restart at 0 BELOW the manifest (newest = 1); treating that as
+      // "already committed" would silently swallow every future batch —
+      // with fresh slices, unbounded invisible data loss. The sink must
+      // refuse instead (only newest == batchId is a legitimate replay:
+      // Spark re-runs at most the one batch after the last commit).
       deleteTree(root.resolve("_ckpt")) // lose ALL offset tracking
-      val replayed = collect(run(root, slices)) // every batch re-applies
-      assert(replayed == first)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(root, slices)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("checkpoint was reset")), e.toString)
+      // The refusal left the durable state intact and readable.
+      assert(collect(UpsertSink.readState(spark, root,
+        "k", "op", "D", Seq("v"))) == first)
     } finally { deleteTree(root); deleteTree(slices) }
   }
 
