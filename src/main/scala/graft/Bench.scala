@@ -271,8 +271,12 @@ object Bench {
       s""""$q":{"times":${numArr(times.map(t => math.rint(t * 1000) / 1000))},"jobs":${numArr(jobCounts)},"warm":$w,"verdict":"$verdict"}"""
     }.mkString("{", ",", "}")
     val eraR = math.rint(era * 1000) / 1000
-    val eraRaw = math.rint(eraRawOf(warm, baseline) * 1000) / 1000
-    val eraWarn = eraWarnOf(eraRaw, baseline.nonEmpty)
+    // Warn on the UNROUNDED ratio — a raw era just outside the notes band
+    // (e.g. 0.7996) must not round back inside and mute the alarm; only
+    // the artifact field is rounded for display.
+    val eraRawFull = eraRawOf(warm, baseline)
+    val eraRaw = math.rint(eraRawFull * 1000) / 1000
+    val eraWarn = eraWarnOf(eraRawFull, baseline.nonEmpty)
       .fold("null")(w => s""""$w"""")
     s"""{"metric":"total","value":$total,"unit":"sec","run":"warm","exec":"noop_sink","era":$eraR,"era_raw":$eraRaw,"era_warn":$eraWarn,"queries":${obj(warm)},"cold":${obj(cold)},"ratio":${obj(ratio)},"ratio_norm":${obj(ratioNorm)},"regressed":${arr(regressed)},"adjudication":$adjudication,"unbaselined":${arr(unbaselined)},"materializes":${arr(mats.toSeq)},"failed":${arr(failed.toSeq)},"sf":"$sfDir"}"""
   }
@@ -302,17 +306,37 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_LAST.json")
-    val spark = GraftSession.local(cpus)
-    // JVM/codegen warmup so the first timed query is not charged session
-    // startup; deliberately does NOT touch the corpus (I/O stays timed).
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    val baseline = loadBaseline(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_PERQ.json"))
-    val json = run(spark, sfDir, SparkEntry.queries.toSeq, baseline)
+    RunCoord.registerJvm()
+    // Machine-wide bench serialization + contamination stamp (the r18
+    // refresh/driver-bench overlap produced 4 environmental flags that
+    // had to be adjudicated forensically): hold /tmp/graft_bench.lock for
+    // the whole timed sweep; if another bench holds it, WAIT (up to 45
+    // min) rather than contaminate both. other_graft_jvms counts any
+    // remaining concurrent graft work at sweep start — nonzero means the
+    // run's timings carry contention no matter what the lock serialized.
+    val (lock, waited) = RunCoord.acquireBenchLock(maxWaitS = 45 * 60)
+    val othersAtStart = RunCoord.otherGraftJvms()
+    val json0 = try {
+      val spark = GraftSession.local(cpus)
+      // JVM/codegen warmup so the first timed query is not charged session
+      // startup; deliberately does NOT touch the corpus (I/O stays timed).
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      val baseline = loadBaseline(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE_PERQ.json"))
+      val j = run(spark, sfDir, SparkEntry.queries.toSeq, baseline)
+      spark.stop()
+      j
+    } finally RunCoord.releaseBenchLock(lock)
+    // max(start, end): a peer that appeared or disappeared mid-sweep
+    // still counts as contamination.
+    val json = "{" +
+      s""""other_graft_jvms":${math.max(othersAtStart, RunCoord.otherGraftJvms())},""" +
+      s""""lock_acquired":${lock != null},""" +
+      s""""lock_wait_s":${math.rint(waited * 10) / 10},""" +
+      json0.drop(1)
     println(json)
     println(compactOf(json, SparkEntry.queries.size))
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
-    spark.stop()
   }
 }

@@ -21,13 +21,19 @@ object BenchOne {
     val runs = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus)
-    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    val (times, jobCounts) = Bench.profile(spark,
-      () => fn(spark, sfDir).write.format("noop").mode("overwrite").save(), runs)
-    def arr[T](xs: Seq[T]): String = xs.mkString("[", ",", "]")
-    println(s"""{"query":"$name","sf":"$sfDir","times":${arr(times.map(t => math.rint(t * 1000) / 1000))},"jobs":${arr(jobCounts)}}""")
-    spark.stop()
+    RunCoord.registerJvm()
+    // Blessing profiles demand isolation MORE than the sweep does — take
+    // the same machine-wide lock and stamp peer visibility.
+    val (lock, waited) = RunCoord.acquireBenchLock(maxWaitS = 45 * 60)
+    try {
+      val spark = GraftSession.local(cpus)
+      val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      val (times, jobCounts) = Bench.profile(spark,
+        () => fn(spark, sfDir).write.format("noop").mode("overwrite").save(), runs)
+      def arr[T](xs: Seq[T]): String = xs.mkString("[", ",", "]")
+      println(s"""{"query":"$name","sf":"$sfDir","other_graft_jvms":${RunCoord.otherGraftJvms()},"lock_acquired":${lock != null},"lock_wait_s":${math.rint(waited * 10) / 10},"times":${arr(times.map(t => math.rint(t * 1000) / 1000))},"jobs":${arr(jobCounts)}}""")
+      spark.stop()
+    } finally RunCoord.releaseBenchLock(lock)
   }
 }

@@ -18,6 +18,7 @@ object BenchSeq {
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    RunCoord.registerJvm()
     val spark = GraftSession.local(cpus)
     spark.range(1000000).selectExpr("sum(id)").collect()
     val out = names.map { name =>

@@ -24,6 +24,16 @@ object BenchSlope {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val large = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    RunCoord.registerJvm()
+    // Same machine-wide serialization as Bench: a slope probe racing the
+    // driver bench contaminates BOTH artifacts.
+    val (lock, waited) = RunCoord.acquireBenchLock(maxWaitS = 45 * 60)
+    try mainLocked(small, large, cpus, lock != null, waited)
+    finally RunCoord.releaseBenchLock(lock)
+  }
+
+  private def mainLocked(small: String, large: String, cpus: String,
+                         lockAcquired: Boolean, lockWaitS: Double): Unit = {
     val spark = GraftSession.local(cpus)
     spark.range(1000000).selectExpr("sum(id)").collect()
     def warmTimes(sfDir: String): Map[String, Double] = {
@@ -65,7 +75,7 @@ object BenchSlope {
       m.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     def round3(m: Map[String, Double]): Seq[(String, Double)] =
       m.toSeq.sortBy(_._1).map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
-    println(s"""{"metric":"slope","unit":"ratio","small":"$small","large":"$large","flag_rule":"ratio>$FlagRatio and large>${MinFlagSeconds}s","warm_small":${obj(round3(ts))},"warm_large":${obj(round3(tl))},"slope":${obj(slope)},"flagged":${flagged.map(q => s"\"$q\"").mkString("[", ",", "]")}}""")
+    println(s"""{"metric":"slope","unit":"ratio","small":"$small","large":"$large","other_graft_jvms":${RunCoord.otherGraftJvms()},"lock_acquired":$lockAcquired,"lock_wait_s":${math.rint(lockWaitS * 10) / 10},"flag_rule":"ratio>$FlagRatio and large>${MinFlagSeconds}s","warm_small":${obj(round3(ts))},"warm_large":${obj(round3(tl))},"slope":${obj(slope)},"flagged":${flagged.map(q => s"\"$q\"").mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

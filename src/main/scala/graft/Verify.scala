@@ -17,6 +17,10 @@ object Verify {
     val only: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Marker only (no bench lock — correctness runs don't need timing
+    // isolation): makes this JVM visible to any concurrent bench's
+    // other_graft_jvms contamination stamp.
+    RunCoord.registerJvm()
     val spark = GraftSession.local(cpus)
     val sweeps = sfDirs.split(',').map(_.trim).filter(_.nonEmpty)
     sweeps.foreach { sfDir =>

@@ -14,11 +14,25 @@ trait MediaCodec extends Serializable {
   def decode(bytes: Array[Byte]): Option[Array[Float]]
 }
 
-/** Built-in: true pixel decode for PNG/JPEG via javax.imageio (JDK-only). */
+/** Built-in: true pixel decode for PNG via javax.imageio (the one format
+  * still on the JDK reader; PNG is lossless, so the bit-exact q204 gate
+  * would catch a wrong raster immediately — unlike the lossy formats,
+  * where wrongness hides inside the error envelope). */
 object ImageIOCodec extends MediaCodec {
-  val formats: Set[String] = Set("png", "jpeg")
+  val formats: Set[String] = Set("png")
   def decode(bytes: Array[Byte]): Option[Array[Float]] =
     Multimodal.decodeImageFeatures(bytes)
+}
+
+/** Built-in: hand-rolled baseline-JPEG decode (multimodal.Jpeg — marker
+  * walk, Huffman + dequant + exact IDCT, chroma upsample, YCbCr→RGB; no
+  * ImageIO). Progressive/arithmetic/12-bit/CMYK streams decode to None
+  * (→ stub fallback) rather than risk a silently wrong raster — the
+  * GIF-incident discipline applied to the JDK's opaque libjpeg wrapper. */
+object JpegCodec extends MediaCodec {
+  val formats: Set[String] = Set("jpeg")
+  def decode(bytes: Array[Byte]): Option[Array[Float]] =
+    Jpeg.decodeFeatures(bytes)
 }
 
 /** Built-in: true sample decode for WAV, dispatching on the fmt-chunk
@@ -106,6 +120,7 @@ object Codecs {
     Option(registry.get(format))
 
   register(ImageIOCodec)
+  register(JpegCodec)
   register(Pcm16WavCodec)
   register(AviCodec)
   register(BmpCodec)

@@ -808,7 +808,12 @@ object Multimodal {
     * Invokes `cb` for each of the first `maxFrames` frames (frames past
     * the cap are walked but not LZW-decoded, so counting a long GIF stays
     * O(bytes)); returns the TOTAL frame count, or None for corrupt or
-    * truncated bytes — never throws. */
+    * truncated bytes — never throws on its own reads (a throwing `cb` is
+    * the CALLER's to catch). A missing 0x3B trailer at clean EOF is
+    * tolerated when ≥1 frame decoded (real-world encoders omit it);
+    * truncation inside a block, an unknown block byte, or EOI before the
+    * raster completes stay strict — tolerating those would silently
+    * fabricate pixel data, which the bit-exact stat gates forbid. */
   private[multimodal] def gifWalk(bytes: Array[Byte], maxFrames: Int)
                                  (cb: GifFrame => Unit): Option[Int] = {
     if (bytes.length < 14 ||
@@ -834,7 +839,11 @@ object Multimodal {
       // The GraphicControlExtension applies to the NEXT image descriptor.
       var pendingDisposal = 0
       var pendingTransIdx = -1
-      while (true) {
+      // Loop bound instead of while(true): real-world encoders sometimes
+      // omit the 0x3B trailer, so clean EOF after ≥1 complete frame is
+      // accepted below (truncation INSIDE a block still fails — the
+      // per-block bounds checks and the AIOOBE catch handle those).
+      while (pos < bytes.length) {
         val b = bytes(pos) & 0xFF
         if (b == 0x3B) {                                   // trailer
           return if (nFrames > 0) Some(nFrames) else None
@@ -924,7 +933,9 @@ object Multimodal {
           pendingTransIdx = -1
         } else return None                                 // unknown block
       }
-      None                                                 // unreachable
+      // Missing-trailer tolerance: EOF on a block boundary after at least
+      // one fully decoded frame counts as a complete file.
+      if (nFrames > 0) Some(nFrames) else None
     } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
@@ -990,7 +1001,7 @@ object Multimodal {
     * transparent GIF pixel still carries its palette RGB, matching what
     * IndexColorModel.getRGB reports): IDENTICAL accumulation order to
     * [[imageStats]]'s scanline loop so the two paths fold bit-for-bit. */
-  private def rgbStats(argb: Array[Int], w: Int, h: Int): Array[Float] = {
+  private[multimodal] def rgbStats(argb: Array[Int], w: Int, h: Int): Array[Float] = {
     var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
     var p = 0
     val n = w * h
@@ -1180,7 +1191,12 @@ object Multimodal {
         // the JDK GIF reader corrupts small interlaced rasters): one frame
         // in memory at a time, canvas mutated per the GIF89a disposal
         // rules, every k-th composite re-encoded as PNG.
-        val walked = gifWalk(r.content, Int.MaxValue) { fr =>
+        // The compositing callback does BufferedImage/Graphics2D/ImageIO
+        // work INSIDE gifWalk's frame loop; gifWalk itself only swallows
+        // its own out-of-bounds reads, so a callback failure (e.g. an
+        // ImageIO encoder error on adversarial dims) must be caught HERE
+        // to preserve the never-kill-the-task contract of this path.
+        val walked = try gifWalk(r.content, Int.MaxValue) { fr =>
           if (canvas == null) {
             val lw = math.min(MaxCanvasDim,
               if (screen.width > 0) screen.width else fr.w)
@@ -1219,7 +1235,7 @@ object Multimodal {
               canvas = saved
             case _ => ()
           }
-        }
+        } catch { case scala.util.control.NonFatal(_) => None }
         if (walked.isDefined) out.toSeq else frameWindows(r, everyK)
       }
     }

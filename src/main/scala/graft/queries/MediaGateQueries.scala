@@ -490,23 +490,27 @@ object MediaGateQueries extends QueryPack {
     }),
 
     // JPEG decode ENVELOPE (see jpegBytes): the lossy codec gated on what
-    // IS deterministic. width/height come from parseMeta's SOFn marker
-    // walk (exact); dims_ok/aspect_ok prove the REAL pixel decode ran
-    // (the stub's byte-hash slots could never reproduce log1p(w)/log1p(h)
-    // /aspect to 1e-6); the mean/std bands bound the decoded pixels to
-    // the synthesis color within the flat-field JPEG error envelope. All
-    // bounds ship as BOOLEANS so the oracle pins literals.
+    // IS deterministic. Since r19 the decode is the hand-rolled
+    // multimodal.Jpeg (no ImageIO), and the bands are the MEASURED
+    // flat-field envelope (JpegSpec sweeps every color the generator can
+    // emit): ±0.014 mean (3.5 LSB — the ENCODER's chroma-DC quantization
+    // ×1.77 conversion gain; our decoder sits ±1 LSB from the JDK's on
+    // the same bytes) and std < 0.005, from round-18's ±0.02/0.02.
+    // width/height come from parseMeta's SOFn marker walk (exact);
+    // dims_ok/aspect_ok prove the REAL pixel decode ran (the stub's
+    // byte-hash slots could never reproduce log1p(w)/log1p(h)/aspect to
+    // 1e-6). All bounds ship as BOOLEANS so the oracle pins literals.
     "q214_media_decode_jpeg_envelope" -> ((s, d) => {
       val f = Multimodal.extractFeatures(mediaOf(s, d, "image", jpegBytes)).toDF()
       val k = col("media_id")
       def band(slot: Int, expected: org.apache.spark.sql.Column) =
-        abs(col("features")(slot).cast("double") - expected) < 0.02
+        abs(col("features")(slot).cast("double") - expected) < 0.014
       f.select(k.as("o_orderkey"), col("format"),
           col("width"), col("height"),
           band(0, (k * 7 % 256).cast("double") / 255.0).as("mean_r_ok"),
           band(1, (k * 11 % 256).cast("double") / 255.0).as("mean_g_ok"),
           band(2, (k * 3 % 256).cast("double") / 255.0).as("mean_b_ok"),
-          (col("features")(4).cast("double") < 0.02).as("std_l_ok"),
+          (col("features")(4).cast("double") < 0.005).as("std_l_ok"),
           (abs(col("features")(5).cast("double") - log1p(col("width").cast("double"))) < lit(1e-6) &&
             abs(col("features")(6).cast("double") - log1p(col("height").cast("double"))) < lit(1e-6))
             .as("dims_ok"),

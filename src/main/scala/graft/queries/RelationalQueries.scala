@@ -690,23 +690,32 @@ object RelationalQueries extends QueryPack {
     // code every user by recency/frequency/monetary, then census the
     // segments): the corpus collapses to one user-level aggregate
     // (monetary through 1e-2 fixed-point longs, the q01 cents
-    // discipline); the three ntile(5) windows run DIRECTLY over that
-    // |users|-bounded AGGREGATE — the sanctioned single-partition shape.
-    // Recency quintiles order by date(t_last) DESC, which is exactly
-    // rec_days ASC without joining the corpus max-ts back in; user_id
-    // tie-breaks make every quintile edge deterministic on both engines.
-    // Output is the ≤ 125-row segment census.
+    // discipline). The per-user aggregate has LINEAR cardinality, so a
+    // global ntile(5) window over it is a single-task sort of every user
+    // at scale (the round-18 audit finding); instead each dimension gets
+    // an exact global rank from operators/GlobalRank (range-partition +
+    // in-partition sort + broadcast prefix-sum offsets — no single-
+    // partition exchange over the users) and the quintile code is
+    // NTILE's remainder arithmetic applied to (rank, n) — bit-identical
+    // to the window, user_id tie-breaks keeping every quintile edge
+    // deterministic on both engines. Output is the ≤ 125-row census.
     "q156_user_rfm" -> ((s, d) => {
+      import graft.operators.GlobalRank
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
       val u = ev.groupBy(col("user_id")).agg(
         max(col("ts")).as("t_last"),
         count(lit(1)).as("freq"),
         sum(round(col("value") * 100).cast("long")).as("mon_c"))
-      val coded = u
-        .withColumn("r_q", ntile(5).over(
-          Window.orderBy(to_date(col("t_last")).desc, col("user_id"))))
-        .withColumn("f_q", ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
-        .withColumn("m_q", ntile(5).over(Window.orderBy(col("mon_c").desc, col("user_id"))))
+      val r1 = GlobalRank.withRankAndTotal(u,
+        Seq(to_date(col("t_last")).desc, col("user_id")), "__rr", "__n")
+      val r2 = GlobalRank.withRankAndTotal(r1,
+        Seq(col("freq").desc, col("user_id")), "__fr", "__n2")
+      val r3 = GlobalRank.withRankAndTotal(r2,
+        Seq(col("mon_c").desc, col("user_id")), "__mr", "__n3")
+      val coded = r3
+        .withColumn("r_q", GlobalRank.ntileFromRank(col("__rr"), col("__n"), 5))
+        .withColumn("f_q", GlobalRank.ntileFromRank(col("__fr"), col("__n"), 5))
+        .withColumn("m_q", GlobalRank.ntileFromRank(col("__mr"), col("__n"), 5))
       coded.groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("freq")).as("n_events"),
@@ -1019,28 +1028,31 @@ object RelationalQueries extends QueryPack {
     // ABC inventory classification (the 80/15/5 Pareto partitioning every
     // supply-chain dashboard runs: class A parts produce 80% of revenue):
     // part-level revenue aggregate FIRST (fact scan collapses to
-    // |parts|-bounded), one descending rank/cumsum window over that
+    // |parts|-bounded), a RANGE-PARTITIONED prefix sum over that
     // aggregate with the exact ×1e4 integer revenue, class edges tested
     // in exact decimal arithmetic (5·cum ≤ 4·tot, 20·cum ≤ 19·tot — no
     // float share ever compared), then the ≤ 3-row class census.
     "q185_abc_classification" -> ((s, d) => {
+      // The per-part aggregate is LINEAR in the corpus, so the running
+      // revenue share comes from operators/GlobalRank's range-partitioned
+      // prefix sum (exact ×1e4 longs end to end), not a global cumsum
+      // window — and the grand total rides the same broadcastable ≤P-row
+      // per-partition meta relation, replacing both 1-row nested-loop
+      // total joins the round-18 shape carried.
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
           * 10000).cast("long")).as("rev_fp"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("rev_fp").desc, col("l_partkey"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val tot = rev.agg(sum(col("rev_fp")).as("tot_fp"))
-      rev.withColumn("cum_fp", sum(col("rev_fp")).over(w))
-        .join(broadcast(tot), expr("true"))
+      graft.operators.GlobalRank.withPrefixSumAndTotal(rev,
+          Seq(col("rev_fp").desc, col("l_partkey")), col("rev_fp"),
+          "cum_fp", "tot_fp")
         .withColumn("cls", expr(
           "case when 5 * cast(cum_fp as decimal(38,0)) <= 4 * cast(tot_fp as decimal(38,0)) then 'A'" +
           " when 20 * cast(cum_fp as decimal(38,0)) <= 19 * cast(tot_fp as decimal(38,0)) then 'B'" +
           " else 'C' end"))
         .groupBy(col("cls"))
-        .agg(count(lit(1)).as("n_parts"), sum(col("rev_fp")).as("cls_fp"))
-        .join(broadcast(tot), expr("true"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_fp")).as("cls_fp"),
+          max(col("tot_fp")).as("tot_fp"))
         .select(col("cls"), col("n_parts"),
           (col("cls_fp") / 1e4).cast("double").as("revenue"),
           round(col("cls_fp").cast("double") / col("tot_fp"), 6).as("share"))

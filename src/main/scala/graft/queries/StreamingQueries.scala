@@ -275,7 +275,7 @@ object StreamingQueries extends QueryPack {
       // rest); the remainder move in before the restart.
       val all = listDir(Paths.get(sliceDir)).sortBy(_.getFileName.toString)
       val live = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_stream_live_${jvmTag}_$runId")
+        s"graft_stream_${jvmTag}_live_$runId")
       if (Files.exists(live)) deleteTree(live)
       Files.createDirectories(live)
       def reveal(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>
@@ -719,7 +719,7 @@ object StreamingQueries extends QueryPack {
       try {
         val all = listDir(Paths.get(sliceDir)).sortBy(_.getFileName.toString)
         val live = Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft_stream_live_${jvmTag}_$runId")
+          s"graft_stream_${jvmTag}_live_$runId")
         if (Files.exists(live)) deleteTree(live)
         Files.createDirectories(live)
         def reveal(ps: Seq[java.nio.file.Path]): Unit = ps.foreach { p =>

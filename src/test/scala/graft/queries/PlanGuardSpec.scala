@@ -105,8 +105,75 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  /** Queries sanctioned to plan a GLOBAL (empty-partitioning) window.
+    * The sanction (cf. q106's bucket census) is for CONSTANT-bounded
+    * window inputs only — a fixed bucket/label/partition-count census
+    * whose row count is a query or config constant, never a relation
+    * that grows with the corpus. The lint below additionally requires
+    * every whitelisted global window to sit over an Aggregate, so the
+    * whitelist cannot hide a raw-data global sort. The round-18 audit
+    * found exactly the violation this catches: q156's ntile windows over
+    * the LINEAR-cardinality per-user aggregate sat unnoticed for six
+    * rounds because the single-partition-exchange lint sanctions any
+    * aggregate child. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    // K-bounded by Spark's rank-limit rewrite: the `rank <= K` filter
+    // plans WindowGroupLimit + TakeOrderedAndProject(K) BELOW the window,
+    // so the window runs over ≤K rows. The pattern pins that shape — if
+    // the rewrite ever stops firing, the child reverts to Sort and the
+    // lint fails.
+    "q76_bpe_merge_step"   -> "TakeOrderedAndProject",
+    "q85_pmi_phrases"      -> "TakeOrderedAndProject",
+    "q87_postings"         -> "TakeOrderedAndProject",
+    "q88_textrank"         -> "TakeOrderedAndProject",
+    "q178_top_suppliers"   -> "TakeOrderedAndProject",
+    // Constant-bounded aggregate inputs (a fixed bucket/label/value-domain
+    // census, never a per-entity relation):
+    "q66_heavy_hitters_bound" -> "aggInput=true", // ~60 (char,count) rows
+    "q80_mixture_balance"  -> "aggInput=true",    // |langs| rows (5)
+    "q106_score_roc"       -> "aggInput=true",    // ~15 score buckets
+    "q171_ks_drift"        -> "aggInput=true",    // length VALUE domain
+    "q209_pipeline_curation" -> "aggInput=true",  // |langs| quota rows
+    // GlobalRank meta windows: per-range-partition counts/sums, ≤P rows
+    // where P = shuffle partitions (a config constant, not a data size).
+    "q156_user_rfm"        -> "aggInput=true",
+    "q185_abc_classification" -> "aggInput=true")
+
+  /** Global windows in a plan, tagged with whether the window's input
+    * subtree is an aggregate (the only shape the whitelist may cover). */
+  private def globalWindowHits(p: SparkPlan): Seq[String] = {
+    val whole = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    whole.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty =>
+        val agg = w.child.exists(_.nodeName.contains("Aggregate"))
+        s"${w.nodeName}(aggInput=$agg) <- ${w.child.nodeName}"
+    }
+  }
+
   for (sf <- sfs) {
     val sfName = sf.split('/').last
+
+    test(s"global windows only where sanctioned, and only over aggregates [$sfName]") {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val hits = globalWindowHits(planOf(name, sf))
+        if (hits.isEmpty) None
+        else if (!globalWindowAllowed.contains(name))
+          Some(s"$name UNSANCTIONED: ${hits.mkString("; ")}")
+        else {
+          val pat = globalWindowAllowed(name)
+          val bad = hits.filterNot(_.contains(pat))
+          if (bad.nonEmpty)
+            Some(s"$name sanctioned for '$pat' but planned: ${bad.mkString("; ")}")
+          else None
+        }
+      }
+      assert(offenders.isEmpty,
+        s"global-window lint: ${offenders.mkString("\n")}")
+    }
 
     test(s"no gate query plans a CartesianProduct [$sfName]") {
       val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
