@@ -43,16 +43,20 @@ object GlobalRank {
   def withRankAndTotal(df: DataFrame, order: Seq[Column],
                        rankCol: String, totalCol: String): DataFrame = {
     val pid = "__gr_pid"; val mid = "__gr_mid"
-    val parted = df
+    // Counts fork BEFORE the in-partition sort: both branches share the
+    // range exchange (identical subtree → ReuseExchange), and the counts
+    // side doesn't pay a second sort of every partition.
+    val ranged = df
       .repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
       .withColumn(pid, spark_partition_id())
+    val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as("__gr_c"))
+    val parted = ranged
+      .sortWithinPartitions(order: _*)
       .withColumn(mid, monotonically_increasing_id())
     // monotonically_increasing_id = partitionIndex << 33 | ordinal; the
     // ordinal is assigned in the order rows flow out of the in-partition
     // sort, so the low 33 bits are the 0-based local rank.
     val localRank = (col(mid) - col(pid).cast("long") * lit(1L << 33)) + lit(1L)
-    val counts = parted.groupBy(col(pid)).agg(count(lit(1)).as("__gr_c"))
     val wCum = Window.orderBy(col(pid))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.orderBy(col(pid))
