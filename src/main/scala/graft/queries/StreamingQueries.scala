@@ -79,52 +79,79 @@ object StreamingQueries extends QueryPack {
                                    nSlices: Int, runId: Int): String = {
     val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
       col("event_type"), unix_micros(col("ts")).as("us"))
-    val maxUs = ev.agg(max(col("us"))).head().getLong(0)
     import s.implicits._
-    val sentinels = Seq(36000000000L, 72000000000L).map { off =>
-      Seq((-1L, -1L, "sentinel", maxUs + off))
-        .toDF("event_id", "user_id", "event_type", "us")
-    }
-    writeSlices(s, s"graft_stream_${jvmTag}_$runId",
-      rangeSlices(ev, "us", nSlices) ++ sentinels)
+    writeRangeSliced(s, s"graft_stream_${jvmTag}_$runId", ev, "us", nSlices,
+      extras = maxUs => Seq(36000000000L, 72000000000L).map { off =>
+        Seq((-1L, -1L, "sentinel", maxUs + off))
+          .toDF("event_id", "user_id", "event_type", "us")
+      })
   }
 
-  /** `df` split into `nSlices` key-range partitions of the long column
-    * `keyCol` — consecutive stream slices whose key ranges increase with
-    * the slice index (monotone "arrival order" under one-file triggers). */
-  private def rangeSlices(df: DataFrame, keyCol: String, nSlices: Int): Seq[DataFrame] = {
-    val r = df.agg(min(col(keyCol)), max(col(keyCol))).head()
-    val (lo0, hi0) = (r.getLong(0), r.getLong(1))
-    val span = hi0 - lo0 + 1
-    (0 until nSlices).map { k =>
-      val lo = lo0 + span * k / nSlices
-      val hi = lo0 + span * (k + 1) / nSlices
-      df.filter(col(keyCol) >= lo && col(keyCol) < hi)
-    }
-  }
-
-  /** Write each DataFrame in `parts` as ONE parquet file under a fresh
-    * temp dir named `dirName`. File names and modification times both
-    * increase with the part index, so FileStreamSource's ordering (mtime,
-    * path tiebreak) processes them in part order however it resolves —
-    * with `maxFilesPerTrigger=1`, one micro-batch per part. */
-  private def writeSlices(s: SparkSession, dirName: String,
-                          parts: Seq[DataFrame]): String = {
+  /** Single-pass range slicer: materializes `df` as `nSlices` key-range
+    * parquet FILES (plus one file per `extras` frame, which receives the
+    * observed key max — the sentinel hook) under a fresh temp dir named
+    * `dirName`, in ONE write job. Each row's slice index is computed with
+    * the same integer boundary arithmetic as the per-slice filters this
+    * replaces (slice k covers [lo + span·k/n, lo + span·(k+1)/n), integer
+    * division; the closed-form inverse of "largest k whose start ≤ u" is
+    * ceil((u+1)·n/span) − 1), rows are hash-shuffled by that index so each
+    * slice's rows land in exactly one task, and a partitionBy write emits
+    * one file per slice. The old path paid one MIN/MAX agg plus nSlices+2
+    * full scans of the input, each feeding a single-task coalesce(1)
+    * write — ~12 jobs and 12 input passes per gate where one scan suffices
+    * (guide §1.2/§2.4: remove redundant passes; the decision — which slice
+    * — is a few bytes per row, so move the rows once). File names and
+    * modification times both increase with the slice index exactly as
+    * before, so FileStreamSource's ordering (mtime, path tiebreak) and the
+    * per-trigger file contents are bit-identical to the old per-slice
+    * writer and every downstream gate result is unchanged.
+    *
+    * AQE note: coalescing can only MERGE whole shuffle partitions (all of
+    * a slice's rows still sit in one task — the file count per slice stays
+    * one); skew SPLITTING applies to joins only, never this shuffle. */
+  private def writeRangeSliced(s: SparkSession, dirName: String, df: DataFrame,
+                               keyCol: String, nSlices: Int,
+                               extras: Long => Seq[DataFrame] = _ => Nil): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val r = df.agg(min(col(keyCol)), max(col(keyCol))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = hi - lo + 1
+    val sliceExpr = expr(
+      s"cast((($keyCol - ${lo}L + 1L) * ${nSlices}L + ${span - 1}L) div ${span}L - 1L as int)")
+    val ex = extras(hi)
+    val all = ex.zipWithIndex.foldLeft(df.withColumn("__slice", sliceExpr)) {
+      case (acc, (e, i)) => acc.unionByName(e.withColumn("__slice", lit(nSlices + i)))
+    }
+    val nTotal = nSlices + ex.length
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), dirName)
     if (Files.exists(dir)) deleteTree(dir)
     Files.createDirectories(dir)
-    parts.zipWithIndex.foreach { case (df, idx) =>
-      val tmp = dir.resolve(s"_tmp_$idx")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = listDir(tmp)
-        .map(_.toString).find(_.endsWith(".parquet")).get
-      val dst = dir.resolve(f"slice_$idx%03d.parquet")
-      Files.move(Paths.get(part), dst, StandardCopyOption.REPLACE_EXISTING)
-      deleteTree(tmp)
+    val stage = dir.resolve("_stage")
+    all.repartition(nTotal, col("__slice"))
+      .write.partitionBy("__slice").mode("overwrite").parquet(stage.toString)
+    (0 until nTotal).foreach { k =>
+      val sub = stage.resolve(s"__slice=$k")
+      val dst = dir.resolve(f"slice_$k%03d.parquet")
+      val part =
+        if (Files.isDirectory(sub))
+          listDir(sub).map(_.toString).find(_.endsWith(".parquet"))
+        else None
+      part match {
+        case Some(p) =>
+          Files.move(Paths.get(p), dst, StandardCopyOption.REPLACE_EXISTING)
+        case None =>
+          // Empty range slice (degenerate tiny inputs only): materialize
+          // an empty file so the trigger count is unchanged.
+          val tmp = dir.resolve(s"_tmp_$k")
+          df.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val p = listDir(tmp).map(_.toString).find(_.endsWith(".parquet")).get
+          Files.move(Paths.get(p), dst, StandardCopyOption.REPLACE_EXISTING)
+          deleteTree(tmp)
+      }
       Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 1000L))
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + k * 1000L))
     }
+    deleteTree(stage)
     dir.toString
   }
 
@@ -205,7 +232,7 @@ object StreamingQueries extends QueryPack {
     * log). The result is read BACK from the sink files, so the gate
     * hashes what the sink durably wrote, not what the query emitted.
     * `sliceDir`/`schema` describe the pre-sliced file-source input (see
-    * [[writeSlices]]); the slice dir is deleted with the stream. */
+    * [[writeRangeSliced]]); the slice dir is deleted with the stream. */
   private def runMicroBatchToFiles(s: SparkSession, qn: String,
                                    sliceDir: String, schema: String)(
       build: DataFrame => DataFrame): DataFrame =
@@ -522,9 +549,9 @@ object StreamingQueries extends QueryPack {
     "q192_stream_exact_dedup_microbatch" -> ((s, d) => {
       import s.implicits._
       runMicroBatchToFiles(s, "q192_stream_exact_dedup_microbatch",
-        writeSlices(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
-          rangeSlices(Tables.documents(s, d).select(col("doc_id"), col("text")),
-            "doc_id", 8)),
+        writeRangeSliced(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", 8),
         "doc_id LONG, text STRING") { src =>
         graft.streaming.StreamingDedup.exactDedup(
           graft.streaming.StreamingDedup.fingerprints(
@@ -544,9 +571,9 @@ object StreamingQueries extends QueryPack {
     // within each batch (the kernel's sort). Oracle = q54's SQL VERBATIM.
     "q193_stream_near_dedup_microbatch" -> ((s, d) => {
       runMicroBatchToFiles(s, "q193_stream_near_dedup_microbatch",
-        writeSlices(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
-          rangeSlices(TextPipelineQueries.materializedShingles(s, d),
-            "doc_id", 8)),
+        writeRangeSliced(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
+          TextPipelineQueries.materializedShingles(s, d),
+          "doc_id", 8),
         "doc_id LONG, hs ARRAY<LONG>") { src =>
         graft.streaming.StreamingDedup.nearDupVerdicts(
           graft.streaming.StreamingDedup.signaturesFromShingles(src),
@@ -595,9 +622,9 @@ object StreamingQueries extends QueryPack {
     "q198_stream_exact_dedup_restart" -> ((s, d) => {
       import s.implicits._
       runMicroBatchWithRestart(s, "q198_stream_exact_dedup_restart",
-        writeSlices(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
-          rangeSlices(Tables.documents(s, d).select(col("doc_id"), col("text")),
-            "doc_id", 8)),
+        writeRangeSliced(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", 8),
         "doc_id LONG, text STRING", firstFiles = 4) { src =>
         graft.streaming.StreamingDedup.exactDedup(
           graft.streaming.StreamingDedup.fingerprints(
@@ -621,8 +648,8 @@ object StreamingQueries extends QueryPack {
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
       runMicroBatchToFiles(s, "q199_stream_static_join",
-        writeSlices(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
-          rangeSlices(ev, "us", 8)),
+        writeRangeSliced(s, s"graft_stream_${jvmTag}_${mbRun.incrementAndGet()}",
+          ev, "us", 8),
         "event_id LONG, user_id LONG, event_type STRING, us LONG, value DOUBLE") { src =>
         src.join(broadcast(cust), col("user_id") === col("c_custkey"))
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -670,8 +697,8 @@ object StreamingQueries extends QueryPack {
         col("event_type"), col("value"))
       val runId = mbRun.incrementAndGet()
       val root = claimSinkRoot("q202_stream_upsert_sink", runId)
-      val sliceDir = writeSlices(s, s"graft_stream_${jvmTag}_$runId",
-        rangeSlices(ev, "us", 8))
+      val sliceDir = writeRangeSliced(s, s"graft_stream_${jvmTag}_$runId",
+        ev, "us", 8)
       val state =
         try graft.streaming.UpsertSink.run(s, sliceDir,
           "user_id LONG, us LONG, event_id LONG, event_type STRING, value DOUBLE",
@@ -708,8 +735,8 @@ object StreamingQueries extends QueryPack {
         col("event_type"), col("value"))
       val runId = mbRun.incrementAndGet()
       val root = claimSinkRoot("q203_stream_upsert_restart", runId)
-      val sliceDir = writeSlices(s, s"graft_stream_${jvmTag}_$runId",
-        rangeSlices(ev, "us", 8))
+      val sliceDir = writeRangeSliced(s, s"graft_stream_${jvmTag}_$runId",
+        ev, "us", 8)
       val stateRoot = root.resolve("state")
       val schema =
         "user_id LONG, us LONG, event_id LONG, event_type STRING, value DOUBLE"

@@ -236,8 +236,22 @@ object UpsertSink {
       }
       // Ord columns ride along as payload so state keeps the winning
       // change's ordering key for cross-batch latest-wins merges.
+      // Persisted for the batch's lifetime: the compacted change set is
+      // consumed by TWO jobs (the touched-bucket collect and the staging
+      // write), and without the pin each re-runs the per-key latest-wins
+      // aggregation — and re-reads the batch's source files — from
+      // scratch. Batch-bounded (one micro-batch, post-compaction), so the
+      // pin is as scale-safe as the batch itself; released in the finally
+      // below before the batch returns.
       val latest = graft.operators.CdcApply
         .latestChanges(batch, keyCol, ordCols, opCol, ordCols ++ payloadCols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try applyLatest(latest, batchId)
+      finally latest.unpersist(false)
+      batches += 1
+    }
+
+    private def applyLatest(latest: DataFrame, batchId: Long): Unit = {
       val bucketOf = pmod(hash(col(keyCol)), lit(nBuckets)).cast("int")
       val touched = latest.select(bucketOf.as("b")).distinct()
         .collect().map(_.getInt(0)).sorted
@@ -271,7 +285,6 @@ object UpsertSink {
           prev ++ touched.map(_ -> s"v$batchId"))
         bucketWrites += touched.length
       }
-      batches += 1
     }
   }
 
