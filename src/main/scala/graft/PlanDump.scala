@@ -36,9 +36,28 @@ object PlanDump {
       val plan =
         if (!execMode) plan0
         else {
-          df.write.format("noop").mode("overwrite").save()
-          plan0 + "\n\n== Final adaptive plan (after execution) ==\n" +
-            df.queryExecution.executedPlan.toString
+          // The noop write runs its OWN QueryExecution (printing
+          // df.queryExecution after the write shows an un-executed
+          // adaptive plan, isFinalPlan=false) — capture the write's
+          // execution through the listener instead, which is the only
+          // view showing what AQE actually reused/re-planned at runtime.
+          @volatile var finalPlan = ""
+          val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit = finalPlan = qe.executedPlan.toString
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          }
+          spark.listenerManager.register(listener)
+          try {
+            df.write.format("noop").mode("overwrite").save()
+            val deadline = System.nanoTime() + 10_000_000_000L
+            while (finalPlan.isEmpty && System.nanoTime() < deadline)
+              Thread.sleep(50)
+          } finally spark.listenerManager.unregister(listener)
+          plan0 + "\n\n== Final adaptive plan (after execution) ==\n" + finalPlan
         }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"),

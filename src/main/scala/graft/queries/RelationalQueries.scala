@@ -662,6 +662,10 @@ object RelationalQueries extends QueryPack {
     // into doubles once; top-20 by support is a TakeOrdered on the
     // pair-bounded aggregate with (pa, pb) tie-break.
     "q150_assoc_rules" -> ((s, d) => {
+      // r19 A/B note: an eager localCheckpoint of the distinct (order,
+      // part) relation (four consumers) measured NEUTRAL isolated (~1.65 s
+      // / 11 jobs either way — the runtime already shares the distinct's
+      // exchange across branches); kept the simpler recompute shape.
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("supp"))

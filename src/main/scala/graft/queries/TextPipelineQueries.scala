@@ -173,7 +173,12 @@ object TextPipelineQueries extends QueryPack {
       // is the warm path for both q81 and q90.
       val vv = c2t.agg(countDistinct(col("w2")).as("v"))
       val c2 = c2t.drop("w2").join(broadcast(vv), expr("true"))
-      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // c1 from the bigram-TYPE relation (Σ c2 per first word ≡ the bigram
+      // occurrence count of that first word) — not a third tokenize pass
+      // over the corpus; the q132/q124 derivation discipline.
+      val c1 = c2t
+        .withColumn("w1b", split(col("gram"), " ").getItem(0))
+        .groupBy(col("w1b").as("w1")).agg(sum(col("c2")).as("c1"))
       bi.join(c2, Seq("gram")).join(c1, Seq("w1"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
@@ -1254,6 +1259,14 @@ object TextPipelineQueries extends QueryPack {
             transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
               e => e.getField("tok")))).as("ck"),
           count(lit(1)).cast("long").as("clen"))
+      // r19 A/B note: materializing `chunks` once (eager localCheckpoint)
+      // to kill the double-planned tokenize → break-window → collect_list
+      // subtree measured WORSE isolated (1.30 → 1.55 s, jobs 10 → 12) —
+      // the collect_list-struct rows are expensive to store, and the
+      // branches' scans pipeline better than a materialize-then-read
+      // barrier. Kept recompute; a ck-partitioned window variant was
+      // rejected outright (boilerplate chunks are corpus-bounded hot keys
+      // and only a JOIN is AQE-skew-splittable, guide §2.5).
       val shared = chunks.groupBy(col("ck"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1)
@@ -2009,11 +2022,23 @@ object TextPipelineQueries extends QueryPack {
         .withColumn("w2", split(col("gram"), " ").getItem(1))
       val c12 = bi.groupBy(col("gram"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy(col("w1"))
-        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
-      val ct = c12.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+      // Continuation/history statistics as w1-/w2-partitioned windows over
+      // the bigram-TYPE relation instead of three grouped aggregates
+      // joined back: the join shape planned the scan → bigram-explode →
+      // c12-aggregate subtree FOUR times (zero runtime exchange reuse, r19
+      // plan audit — 8 corpus scans for one query). The windows reuse one
+      // c12 build and two exchanges of the |bigram types|-bounded relation;
+      // only the 1-row type-count total keeps its own (second) c12 branch,
+      // because a global window over the type relation is the exact shape
+      // the PlanGuard lint forbids. Corpus scans: 4 → 2.
+      val wW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+      val wW2 = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
       val tt = c12.agg(count(lit(1)).as("nt"))
-      c12.join(c1, Seq("w1")).join(ct, Seq("w2")).join(broadcast(tt), expr("true"))
+      c12
+        .withColumn("c1", sum(col("c12")).over(wW1))
+        .withColumn("fanout", count(lit(1)).over(wW1))
+        .withColumn("cont", count(lit(1)).over(wW2))
+        .join(broadcast(tt), expr("true"))
         .withColumn("p_fp", expr(
           "cast(round((greatest(cast(c12 as double) - 0.75, cast(0 as double)) / c1" +
           " + 0.75 * (cast(fanout as double) / c1) * (cast(cont as double) / nt))" +
@@ -2226,17 +2251,36 @@ object TextPipelineQueries extends QueryPack {
         .withColumn("w2", split(col("gram"), " ").getItem(1))
       val vv = c2t.agg(countDistinct(col("w2")).as("v"))
       val c2 = c2t.drop("w2").join(broadcast(vv), expr("true"))
-      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // c1 (first-word occurrence count) derived from the bigram-TYPE
+      // relation, not from a third pass over the corpus bigram stream:
+      // every bigram occurrence contributes 1 to exactly one c2(gram), so
+      // Σ c2 over grams sharing w1 IS count(bi rows with that w1). The
+      // former bi.groupBy(w1) re-planned the whole tokenize+explode
+      // subtree (no runtime exchange reuse with the c2t branch — the
+      // aggregates differ); this groups the |bigram types|-bounded c2t
+      // output instead. Same trick as q124's continuation counts.
+      val c1 = c2t
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       val scored = bi.join(c2, Seq("gram")).join(c1, Seq("w1"))
         .select(col("doc_id"), col("i"), expr(
           "cast(round(-ln((c2 + 1.0) / (c1 + v)) * 1e9) as bigint)").as("nll_fp"))
+      // Rank and per-doc totals from ONE pass over the scored relation:
+      // the former `ranked JOIN tot` shape planned the whole scan → bigram
+      // → c1/c2-join subtree TWICE (once under the row_number window, once
+      // under the per-doc aggregate — zero runtime exchange reuse, r19
+      // plan audit), i.e. two full corpus tokenizations feeding a
+      // SortMergeJoin. count/sum as unordered window aggregates over the
+      // SAME doc_id partitioning ride the row_number window's single
+      // exchange; both windows are doc_id-partitioned (never global), so
+      // the shape stays 100×-safe.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("nll_fp"), col("i"))
-      val ranked = scored.withColumn("rn", row_number().over(w))
-      val tot = scored.groupBy(col("doc_id")).agg(
-          count(lit(1)).as("n_bigrams"), sum(col("nll_fp")).as("sum_fp"))
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .withColumn("n_bigrams", count(lit(1)).over(wDoc))
+        .withColumn("sum_fp", sum(col("nll_fp")).over(wDoc))
         .withColumn("k", greatest(lit(1L), expr("n_bigrams div 5")))
-      ranked.join(tot, Seq("doc_id"))
         .filter(col("rn") <= col("k"))
         .groupBy(col("doc_id"), col("n_bigrams"), col("k"), col("sum_fp"))
         .agg(sum(col("nll_fp")).as("mink_fp"))
@@ -3246,8 +3290,15 @@ object TextPipelineQueries extends QueryPack {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nn = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      // r19 A/B note: both a term-partitioned window df and an eager
+      // localCheckpoint of tf measured at-or-worse isolated (join shape
+      // 1.46 s / 13 jobs vs 1.55 s for either variant) — the df branch's
+      // re-planned subtree is the CHEAPER distinct-shaped aggregate, and
+      // the window variant would additionally turn stopword terms into
+      // unsplittable hot window partitions (guide §2.5: only a JOIN is
+      // AQE-skew-splittable). Kept the aggregate + term-keyed join.
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val idf = df.join(broadcast(nn), expr("true"))
         .withColumn("idf_fp", expr(
           "cast(round(ln(cast(n_docs as double) / df) * 1e9) as bigint)"))

@@ -278,8 +278,15 @@ object VectorQueries extends QueryPack {
               when(col("dx").isNotNull, 1).otherwise(0).as("is_dropped"))
 
   def semDedupVerdict(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = assignTo(emb, cents)
-    val cc = semDedupCc(assigned, cents)
+    // assignTo (a corpus × √n-centroid cosine argmax — the single most
+    // expensive kernel here) feeds both the scored relation and the pair
+    // generator, and cc feeds the keeper-order joins twice plus the final
+    // report; without a barrier every consumer re-planned the whole
+    // assignment subtree (zero runtime exchange reuse, r19 plan audit).
+    // One eager localCheckpoint each (per-invocation RDD — nothing
+    // survives across runs) replaces 3-5 assignment computations with one.
+    val assigned = assignTo(emb, cents).localCheckpoint(true)
+    val cc = semDedupCc(assigned, cents).localCheckpoint(true)
     val drops = semDedupDrops(
       SaltedSelfPairs.pairs(assigned, Seq("cluster"), "vec_id", MaxBucket),
       emb, cc.select(col("vec_id"), col("cos_cent")))
@@ -303,8 +310,12 @@ object VectorQueries extends QueryPack {
     * machine-checked, not asserted. */
   def semDedupIncrementalVerdict(emb: DataFrame, cents: DataFrame,
                                  t: Long): DataFrame = {
-    val assigned = assignTo(emb, cents)
-    val cc = semDedupCc(assigned, cents)
+    // Same barrier rationale as semDedupVerdict, amplified: the standing/
+    // batch split and the three pair generators made the incremental form
+    // re-plan assignTo up to 6× (it carried a confirmed 2× bench flag in
+    // this round's pre-run); cc additionally feeds four keeper-order joins.
+    val assigned = assignTo(emb, cents).localCheckpoint(true)
+    val cc = semDedupCc(assigned, cents).localCheckpoint(true)
     val ccn = cc.select(col("vec_id"), col("cos_cent"))
     val standing = assigned.select(col("cluster"), col("vec_id"))
       .filter(col("vec_id") < t)
@@ -694,7 +705,10 @@ object VectorQueries extends QueryPack {
         s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
         trainIvfCentroids(emb, n)
       }
-      val assigned = assignTo(emb, cents)
+      // assigned feeds the split-size aggregate AND the sub-list relation
+      // — one eager localCheckpoint instead of re-planning the assignment
+      // argmax per consumer (same rationale as q210).
+      val assigned = assignTo(emb, cents).localCheckpoint(true)
       val splits = ivfSubSplits(assigned)
       val qs = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -741,6 +755,10 @@ object VectorQueries extends QueryPack {
         s"ivf_cents|$d|${graft.operators.MaterializeOnce.fingerprint(d, "embeddings.parquet")}", s) {
         trainIvfCentroids(emb, n)
       }
+      // r19 A/B note: an eager localCheckpoint of `assigned` (it feeds the
+      // refresh aggregate and the serve join) measured WORSE isolated
+      // (1.85 → 2.2 s at an identical 21-job count — the runtime already
+      // reuses the assignment subtree here); kept as-is.
       val assigned = assignTo(emb, cents)
       val qs = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -804,6 +822,11 @@ object VectorQueries extends QueryPack {
     // the exact ranking is shorter than K and dividing by K would silently
     // understate recall (it could never reach 1.0).
     "q50_ann_recall" -> ((s, d) => {
+      // r19 A/B note: an eager localCheckpoint of the exact ranking (it
+      // feeds both hit joins and the denominator aggregate) measured WORSE
+      // isolated (2.0 s / 25 jobs → 2.4 s / 30 jobs) — the three consumers
+      // pipeline and partially share broadcasts at runtime, and the
+      // barrier serializes them. Kept the recompute shape.
       val e = exactTopK(s, d).select(col("q_id"), col("vec_id"))
       def hits(ann: DataFrame, name: String): DataFrame =
         e.as("e").join(ann.select(col("q_id"), col("vec_id")).as("a"),
@@ -1200,15 +1223,30 @@ object VectorQueries extends QueryPack {
         .select(col("id_a"), col("id_b"),
           col("la").cast("long").as("la"), col("lb").cast("long").as("lb"),
           Vectors.cosine(col("ea"), col("eb")).as("cos"))
-      val dir = sc.select(col("id_a").as("a"), col("la").as("t"),
-          col("id_b").as("nb"), col("lb").as("p"), col("cos"))
-        .union(sc.select(col("id_b").as("a"), col("lb").as("t"),
-          col("id_a").as("nb"), col("la").as("p"), col("cos")))
+      // Both pair orientations in ONE pass (the semDedupDrops explode
+      // idiom): the former union of two projections re-planned the whole
+      // salted pair-join + double embedding join + cosine subtree twice
+      // (zero runtime exchange reuse, r19 plan audit).
+      val dir = sc.select(explode(array(
+          struct(col("id_a").as("a"), col("la").as("t"),
+            col("id_b").as("nb"), col("lb").as("p"), col("cos")),
+          struct(col("id_b").as("a"), col("lb").as("t"),
+            col("id_a").as("nb"), col("la").as("p"), col("cos")))).as("o"))
+        .select(col("o.a").as("a"), col("o.t").as("t"),
+          col("o.nb").as("nb"), col("o.p").as("p"), col("o.cos").as("cos"))
+      // s1 (one row per scored vector) feeds the label-marginal aggregate
+      // AND the agreement aggregate — materialize the tiny relation once
+      // per run (eager localCheckpoint, per-invocation RDD) instead of
+      // re-running the whole 1-NN pipeline per branch.
       val s1 = graft.operators.TopK
         .perKey(dir, Seq("a"), Seq(col("cos").desc, col("nb")), 1, col("nb"))
         .select(col("a"), col("t"), col("p"))
-      val marg = s1.select(col("t").as("lab"), lit(1L).as("is_t"), lit(0L).as("is_p"))
-        .union(s1.select(col("p").as("lab"), lit(0L).as("is_t"), lit(1L).as("is_p")))
+        .localCheckpoint(true)
+      // Both marginal roles in one pass (same explode idiom).
+      val marg = s1.select(explode(array(
+          struct(col("t").as("lab"), lit(1L).as("is_t"), lit(0L).as("is_p")),
+          struct(col("p").as("lab"), lit(0L).as("is_t"), lit(1L).as("is_p")))).as("m"))
+        .select(col("m.lab").as("lab"), col("m.is_t").as("is_t"), col("m.is_p").as("is_p"))
         .groupBy(col("lab"))
         .agg(sum(col("is_t")).as("tc"), sum(col("is_p")).as("pc"))
       val spe = marg.agg(sum(expr("tc * pc")).as("spe"))
