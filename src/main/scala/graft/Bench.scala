@@ -302,6 +302,35 @@ object Bench {
     s"""{"metric":"total","value":${f("value")},"unit":"sec","run":"warm","exec":"noop_sink","compact":true,"n_queries":$nQueries,"era":${f("era")},"era_raw":${f("era_raw")},"era_warn":${f("era_warn")},"regressed":${f("regressed")},"unbaselined":${f("unbaselined")},"failed":${f("failed")},"queries":$canaries,"queries_note":"canary sample; full per-query artifact on the preceding stdout line and in SPARK_GRAFT_BENCH_OUT","sf":${f("sf")}}"""
   }
 
+  /** Per-query summary (~6 KB for 214 gates): the driver contract fields
+    * plus the FULL warm `queries` map rounded to 3 decimals, printed as the
+    * FINAL stdout line. Rationale (r19 verdict item 1): the driver's
+    * per-query round-over-round comparison (PERF `n_common` / geomean)
+    * parses bench stdout, and for two rounds it saw either nothing (the
+    * 25 KB full artifact exceeds its line handling) or only the 5-canary
+    * sample of [[compactOf]] — so every per-query claim had to be
+    * re-derived from committed artifacts by hand. This line carries the
+    * complete map while staying an order of magnitude smaller than the
+    * full artifact: the bulky evidence objects (cold/ratio/ratio_norm/
+    * adjudication) stay on the full-artifact line and in
+    * SPARK_GRAFT_BENCH_OUT. The <2 KB [[compactOf]] line immediately
+    * precedes it as the fallback for strictly-bounded-tail consumers.
+    * Purely additive output — the timed loop and the numbers on every
+    * line are unchanged. */
+  def perqOf(json: String, nQueries: Int): String = {
+    def f(name: String): String =
+      s""""$name":(\\[[^\\]]*\\]|"[^"]*"|[-0-9.E]+|null)""".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("null")
+    // First "queries" object in the artifact is the WARM map (cold/ratio
+    // maps follow it).
+    val body = """"queries":\{([^{}]*)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    val entries = """"([^"]+)":([-0-9.E]+)""".r.findAllMatchIn(body).map { m =>
+      s""""${m.group(1)}":${math.rint(m.group(2).toDouble * 1000) / 1000}"""
+    }.mkString(",")
+    s"""{"metric":"total","value":${f("value")},"unit":"sec","run":"warm","exec":"noop_sink","perq":true,"n_queries":$nQueries,"era":${f("era")},"era_raw":${f("era_raw")},"era_warn":${f("era_warn")},"regressed":${f("regressed")},"unbaselined":${f("unbaselined")},"failed":${f("failed")},"queries":{$entries},"sf":${f("sf")}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -334,9 +363,27 @@ object Bench {
       s""""lock_acquired":${lock != null},""" +
       s""""lock_wait_s":${math.rint(waited * 10) / 10},""" +
       json0.drop(1)
+    // The post-stop StateStore maintenance thread logs a 10-line
+    // IllegalStateException stack ("SparkEnv not active") into the sbt
+    // session after the streaming gates have run — ~800 chars of noise
+    // inside the driver's bounded 2000-char stdout tail (it crowded the
+    // r19 tail). Stop the maintenance task while SparkEnv is still up.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     println(json)
     println(compactOf(json, SparkEntry.queries.size))
+    // FINAL line: the full per-query warm map (r19 verdict item 1) — the
+    // line the round driver parses for its per-query comparison.
+    println(perqOf(json, SparkEntry.queries.size))
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    // The driver overwrites outPath on its own runs (its low-core scaling
+    // sweep lands LAST, so the 32-cpu per-query artifact survived nowhere
+    // in r19). Keep a per-core-count copy alongside it.
+    val cpuPath =
+      if (outPath.endsWith(".json"))
+        outPath.stripSuffix(".json") + s"_c$cpus.json"
+      else outPath + s"_c$cpus"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cpuPath),
       (json + "\n").getBytes("UTF-8"))
   }
 }

@@ -147,6 +147,29 @@ class BenchAdjudicationSpec extends SparkSpec {
     assert(!node.get("queries").has("zz_other"))
   }
 
+  test("perqOf: the FINAL stdout line carries the FULL per-query warm map") {
+    // r19 verdict item 1: the driver's per-query comparison saw only the
+    // 5-canary sample for two rounds. The perq line (printed last) must be
+    // complete JSON with EVERY query's warm time and none of the bulky
+    // evidence objects.
+    val full = """{"metric":"total","value":216.54,"unit":"sec","run":"warm","exec":"noop_sink","era":0.852,"era_raw":0.852,"era_warn":null,"queries":{"q09_topk":0.41,"q12_cond_buckets":0.330001874,"zz_other":9.9},"cold":{"q09_topk":1.2},"ratio":{"q09_topk":1.0},"ratio_norm":{"q09_topk":1.17},"regressed":[],"adjudication":{},"unbaselined":["q214_media_decode_jpeg_envelope"],"materializes":[],"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    val p = Bench.perqOf(full, 214)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(p) // throws on malformed JSON
+    assert(node.get("perq").asBoolean())
+    assert(node.get("value").asDouble() == 216.54)
+    assert(node.get("n_queries").asInt() == 214)
+    // the full WARM map, 3-decimal rounded — not the canary sample
+    assert(node.get("queries").size() == 3)
+    assert(node.get("queries").get("q09_topk").asDouble() == 0.41)
+    assert(node.get("queries").get("q12_cond_buckets").asDouble() == 0.33)
+    assert(node.get("queries").get("zz_other").asDouble() == 9.9)
+    // warm map only: the evidence objects stay on the full-artifact line
+    assert(!p.contains("adjudication"))
+    assert(!p.contains("\"cold\""))
+    assert(node.get("sf").asText() == "/root/testdata/sf0.1")
+  }
+
   test("flags fire on the era-normalized ratio: a slow era is one number, not a flag storm") {
     // One canary present, measured at 3x its baseline -> era = 3 (clamped
     // cap). The non-canary query also runs ~3x its baseline: raw ratio > 2
