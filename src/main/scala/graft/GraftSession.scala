@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def local(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
@@ -35,8 +35,24 @@ object GraftSession {
       // distributed-FS checkpoint, so the setting is deployment-safe.
       .config("spark.sql.streaming.checkpointFileManagerClass",
         "graft.streaming.NioCheckpointFileManager")
+      // The FileSystem-API sibling of the same pathology: every local file
+      // CREATE (parquet data files, slice prep, staging writes) forked a
+      // `chmod`. FastLocalFileSystem is stock LocalFileSystem (checksums
+      // and all) over a raw layer that skips the fork; see the class doc.
+      .config("spark.hadoop.fs.file.impl", "graft.hadoop.FastLocalFileSystem")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Experiment hook (dev A/Bs only — never set by the driver):
+    // semicolon-separated k=v pairs applied LAST, so an isolated profile
+    // can toggle one conf against the shipped defaults in the same
+    // session shape. E.g. SPARK_GRAFT_EXTRA_CONF=
+    // "spark.hadoop.fs.file.impl=org.apache.hadoop.fs.LocalFileSystem".
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -43,9 +43,18 @@ object PlanDump {
           // view showing what AQE actually reused/re-planned at runtime.
           @volatile var finalPlan = ""
           val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+            // Only write actions qualify (an auxiliary action fired inside
+            // the window — an eager checkpoint, a collect — must not be
+            // recorded as the query's plan; the DSv2 noop write reports
+            // "overwrite", V1 parquet saves report "save"), and last-writer
+            // wins: events deliver in completion order and the noop write
+            // completes after anything it triggered, so the final write
+            // event IS the query's execution.
             override def onSuccess(funcName: String,
                 qe: org.apache.spark.sql.execution.QueryExecution,
-                durationNs: Long): Unit = finalPlan = qe.executedPlan.toString
+                durationNs: Long): Unit =
+              if (funcName == "overwrite" || funcName == "save")
+                finalPlan = qe.executedPlan.toString
             override def onFailure(funcName: String,
                 qe: org.apache.spark.sql.execution.QueryExecution,
                 exception: Exception): Unit = ()
@@ -53,9 +62,19 @@ object PlanDump {
           spark.listenerManager.register(listener)
           try {
             df.write.format("noop").mode("overwrite").save()
+            // The listener bus is async: wait for the first save event,
+            // then keep draining until the recorded plan has been stable
+            // for 500 ms — an earlier auxiliary save must not win just
+            // because its event landed first.
             val deadline = System.nanoTime() + 10_000_000_000L
-            while (finalPlan.isEmpty && System.nanoTime() < deadline)
+            var last = ""
+            var stableSince = System.nanoTime()
+            while (System.nanoTime() < deadline &&
+                   (finalPlan.isEmpty ||
+                    System.nanoTime() - stableSince < 500_000_000L)) {
+              if (finalPlan != last) { last = finalPlan; stableSince = System.nanoTime() }
               Thread.sleep(50)
+            }
           } finally spark.listenerManager.unregister(listener)
           plan0 + "\n\n== Final adaptive plan (after execution) ==\n" + finalPlan
         }

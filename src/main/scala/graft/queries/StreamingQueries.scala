@@ -102,9 +102,13 @@ object StreamingQueries extends QueryPack {
     * (guide §1.2/§2.4: remove redundant passes; the decision — which slice
     * — is a few bytes per row, so move the rows once). File names and
     * modification times both increase with the slice index exactly as
-    * before, so FileStreamSource's ordering (mtime, path tiebreak) and the
-    * per-trigger file contents are bit-identical to the old per-slice
-    * writer and every downstream gate result is unchanged.
+    * before, so FileStreamSource's ordering (mtime, path tiebreak) and each
+    * trigger's slice MEMBERSHIP are identical to the old per-slice writer.
+    * WITHIN-file row order is NOT guaranteed (it is shuffle-fetch order,
+    * nondeterministic run to run) — do not build a gate on it. Today's
+    * consumers are order-insensitive: stateful operators sort per group
+    * before applying state, and UpsertSink's max_by rides the unique
+    * (us, event_id) ordinal.
     *
     * AQE note: coalescing can only MERGE whole shuffle partitions (all of
     * a slice's rows still sit in one task — the file count per slice stays

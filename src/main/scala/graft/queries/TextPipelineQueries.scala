@@ -582,15 +582,25 @@ object TextPipelineQueries extends QueryPack {
         .select(col("doc_id")).distinct()
       val s3 = s2.filter(col("doc_id") % 10 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
+      // The survivor relation feeds BOTH the quota census and the main
+      // S4/S5 chain, and the r20 executed-plan audit showed the whole
+      // dedup→quality→decontaminate subtree re-planned per consumer (15
+      // corpus scans for one query, 3 reused exchanges). Stages S4/S5 only
+      // need (doc_id, lang, n) — project the toks payload away FIRST, then
+      // one eager localCheckpoint pins the narrow survivors (per-invocation
+      // RDD; the q189 barrier discipline — materializing survivors between
+      // stages is also exactly what a production curation pipeline does).
+      val s3n = s3.select(col("doc_id"), col("lang"), col("n"))
+        .localCheckpoint(true)
       // S4 — mixture balance over the survivors: quotas from the s3
       // census (5-row agg + window + broadcast back, q80's shape).
-      val perLang = s3.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val perLang = s3n.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
       val quotas = perLang
         .withColumn("n_total", sum(col("n_docs")).over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
         .withColumn("quota", expr("(n_total * 3) div 20"))
         .select(col("lang"), col("n_docs"), col("quota"))
-      val s4 = s3.join(broadcast(quotas), Seq("lang"))
+      val s4 = s3n.join(broadcast(quotas), Seq("lang"))
         .filter(graft.functions.KeepGate.ltScaled(
           graft.functions.KeepGate.draw("mix", col("doc_id")),
           col("n_docs"), col("quota")))
@@ -2031,6 +2041,13 @@ object TextPipelineQueries extends QueryPack {
       // only the 1-row type-count total keeps its own (second) c12 branch,
       // because a global window over the type relation is the exact shape
       // the PlanGuard lint forbids. Corpus scans: 4 → 2.
+      // Skew bound (why these windows are exempt from the q137 objection
+      // to windows over corpus-hot keys): a w1/w2 partition holds one row
+      // per DISTINCT successor/predecessor TYPE, never per occurrence —
+      // the worst case is max fan-out of a stopword token, bounded by
+      // vocabulary size V, not corpus size; under Zipf the hot partition
+      // is O(V·p) for head-word share p, orders below the occurrence
+      // counts AQE skew-splitting exists for (and windows can't split).
       val wW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
       val wW2 = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
       val tt = c12.agg(count(lit(1)).as("nt"))
@@ -2247,22 +2264,33 @@ object TextPipelineQueries extends QueryPack {
       val bi = t.select(col("doc_id"),
           posexplode(TextFns.wordShingles(col("toks"), 2)).as(Seq("i", "gram")))
         .withColumn("w1", split(col("gram"), " ").getItem(0))
+      // c2t is |bigram types|-bounded (vocabulary², far under corpus size)
+      // and feeds THREE consumers (vv, c2's join side, c1) plus the scored
+      // branch's c2 join; the r20 executed-plan audit showed the
+      // tokenize→explode→aggregate subtree re-planned per consumer (8
+      // corpus scans for one query) whenever broadcast reuse didn't fire.
+      // One eager localCheckpoint pins the small relation (per-invocation
+      // RDD, nothing survives the run — the q189 barrier discipline; see
+      // VectorQueries.semDedupVerdict for the executor-memory/lineage
+      // tradeoff note).
       val c2t = bi.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
         .withColumn("w2", split(col("gram"), " ").getItem(1))
+        .localCheckpoint(true)
       val vv = c2t.agg(countDistinct(col("w2")).as("v"))
-      val c2 = c2t.drop("w2").join(broadcast(vv), expr("true"))
-      // c1 (first-word occurrence count) derived from the bigram-TYPE
-      // relation, not from a third pass over the corpus bigram stream:
-      // every bigram occurrence contributes 1 to exactly one c2(gram), so
-      // Σ c2 over grams sharing w1 IS count(bi rows with that w1). The
-      // former bi.groupBy(w1) re-planned the whole tokenize+explode
-      // subtree (no runtime exchange reuse with the c2t branch — the
-      // aggregates differ); this groups the |bigram types|-bounded c2t
-      // output instead. Same trick as q124's continuation counts.
-      val c1 = c2t
-        .withColumn("w1", split(col("gram"), " ").getItem(0))
-        .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      val scored = bi.join(c2, Seq("gram")).join(c1, Seq("w1"))
+      // c1 (first-word occurrence count) as a w1-partitioned WINDOW over
+      // the checkpointed type relation instead of a separate grouped
+      // aggregate joined back (q124's continuation-count shape — the same
+      // Σ c2 per w1 ≡ first-word occurrence identity, same
+      // distinct-successor skew bound): the former c1 join added a second
+      // gram-side relation and its own broadcast; this rides one pass over
+      // c2t and leaves scored with a SINGLE gram join carrying c2, c1 and
+      // the broadcast 1-row v together.
+      val wW1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(split(col("gram"), " ").getItem(0))
+      val c2 = c2t.drop("w2")
+        .withColumn("c1", sum(col("c2")).over(wW1))
+        .join(broadcast(vv), expr("true"))
+      val scored = bi.join(c2, Seq("gram"))
         .select(col("doc_id"), col("i"), expr(
           "cast(round(-ln((c2 + 1.0) / (c1 + v)) * 1e9) as bigint)").as("nll_fp"))
       // Rank and per-doc totals from ONE pass over the scored relation:

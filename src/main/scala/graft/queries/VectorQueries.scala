@@ -285,6 +285,13 @@ object VectorQueries extends QueryPack {
     // assignment subtree (zero runtime exchange reuse, r19 plan audit).
     // One eager localCheckpoint each (per-invocation RDD — nothing
     // survives across runs) replaces 3-5 assignment computations with one.
+    // Tradeoff, stated once for every localCheckpoint in this file: the
+    // checkpointed blocks live on executors until the DataFrame is GC'd
+    // (there is no safe in-function unpersist point — the returned plan
+    // still references them), and lineage truncation means an executor
+    // loss during the run fails the query instead of recomputing. Both are
+    // acceptable for a bounded per-invocation relation; on a cluster,
+    // `checkpoint(reliable)` trades speed back for fault tolerance.
     val assigned = assignTo(emb, cents).localCheckpoint(true)
     val cc = semDedupCc(assigned, cents).localCheckpoint(true)
     val drops = semDedupDrops(
